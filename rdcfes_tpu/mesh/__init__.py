@@ -1,0 +1,14 @@
+from .core import Mesh, ELEMENT_FACES, extract_boundary_faces
+from .generators import box_hex_mesh, box_tet_mesh
+from . import gmsh
+from . import transform
+
+__all__ = [
+    "Mesh",
+    "ELEMENT_FACES",
+    "extract_boundary_faces",
+    "box_hex_mesh",
+    "box_tet_mesh",
+    "gmsh",
+    "transform",
+]

@@ -1,0 +1,209 @@
+"""Host-side unstructured-mesh container.
+
+This is the TPU-native replacement for the mesh surface the reference app
+consumes from libMesh (`Mesh`, `elem->subdomain_id()`, `elem->neighbor_ptr(s)`,
+`get_boundary_info()`; see SURVEY.md section 2.3 and reference src/pihna.C:20,
+src/adpm.C:306, src/process_mesh.C:6-14).  The mesh lives on the host as plain
+NumPy struct-of-arrays; the device only ever sees frozen arrays (coordinates,
+connectivity, precomputed sparsity/slot tables), which is what makes the
+assembly and solve paths pure, static-shaped XLA programs.
+
+Conventions
+-----------
+* single volume-element type per mesh (TET4 or HEX8) — matches every shipped
+  reference case (brain/lung meshes are TET4, cube/hydrogel are HEX8)
+* node and element ids are 0-based and contiguous; file order defines the IC
+  contract exactly as in the reference (SURVEY.md section 3.4)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# Local faces of each element type, each face listed with outward orientation.
+# Orderings follow the standard TET4/HEX8 vertex numbering used by both Gmsh
+# and libMesh (reference relies on libMesh side numbering for BCs,
+# src/solid_system.C:301; Gmsh side-element export, src/process_mesh.C:44-64).
+ELEMENT_FACES: Dict[str, Tuple[Tuple[int, ...], ...]] = {
+    # TET4 sides 0..3 (libMesh numbering)
+    "TET4": ((0, 2, 1), (0, 1, 3), (1, 2, 3), (2, 0, 3)),
+    # HEX8 sides 0..5 (libMesh numbering: bottom, front, right, back, left, top)
+    "HEX8": (
+        (0, 3, 2, 1),
+        (0, 1, 5, 4),
+        (1, 2, 6, 5),
+        (2, 3, 7, 6),
+        (3, 0, 4, 7),
+        (4, 5, 6, 7),
+    ),
+}
+
+NODES_PER_ELEM = {"TET4": 4, "HEX8": 8}
+FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4"}
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Immutable host-side mesh (struct of NumPy arrays).
+
+    Attributes
+    ----------
+    coords        : (N, 3) float64 node coordinates
+    connectivity  : (E, K) int32 element-to-node map
+    elem_type     : "TET4" or "HEX8"
+    subdomain_id  : (E,) int32 region / material id per element
+                    (reference: elem->subdomain_id(), src/adpm.C:306)
+    boundary_faces: (F, Kf) int32 node ids of boundary side elements
+    boundary_elem : (F,) int32 owning element of each boundary face
+    boundary_side : (F,) int32 local side index within the owning element
+    boundary_id   : (F,) int32 boundary-condition id of each face
+                    (reference: BoundaryInfo side list, src/process_mesh.C:6)
+    """
+
+    coords: np.ndarray
+    connectivity: np.ndarray
+    elem_type: str
+    subdomain_id: np.ndarray
+    boundary_faces: Optional[np.ndarray] = None
+    boundary_elem: Optional[np.ndarray] = None
+    boundary_side: Optional[np.ndarray] = None
+    boundary_id: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.coords = np.ascontiguousarray(self.coords, dtype=np.float64)
+        self.connectivity = np.ascontiguousarray(self.connectivity, dtype=np.int32)
+        if self.subdomain_id is None:
+            self.subdomain_id = np.zeros(self.n_elems, dtype=np.int32)
+        self.subdomain_id = np.ascontiguousarray(self.subdomain_id, dtype=np.int32)
+        assert self.elem_type in NODES_PER_ELEM, self.elem_type
+        assert self.connectivity.shape[1] == NODES_PER_ELEM[self.elem_type]
+        if self.boundary_faces is None:
+            faces, elems, sides = extract_boundary_faces(
+                self.connectivity, self.elem_type
+            )
+            self.boundary_faces = faces
+            self.boundary_elem = elems
+            self.boundary_side = sides
+            self.boundary_id = np.zeros(len(faces), dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_nodes(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_elems(self) -> int:
+        return self.connectivity.shape[0]
+
+    @property
+    def nodes_per_elem(self) -> int:
+        return NODES_PER_ELEM[self.elem_type]
+
+    @property
+    def dim(self) -> int:
+        return 3
+
+    def with_coords(self, coords: np.ndarray) -> "Mesh":
+        return dataclasses.replace(self, coords=np.asarray(coords, dtype=np.float64))
+
+    # ------------------------------------------------------------------
+    def element_volumes(self) -> np.ndarray:
+        """Exact element volumes (reference: elem->volume(), src/pihna.C:901).
+
+        TET4: |det J| / 6.  HEX8: integral of det J via 2x2x2 Gauss, exact for
+        trilinear hexes.
+        """
+        X = self.coords[self.connectivity]  # (E, K, 3)
+        if self.elem_type == "TET4":
+            v0 = X[:, 1] - X[:, 0]
+            v1 = X[:, 2] - X[:, 0]
+            v2 = X[:, 3] - X[:, 0]
+            return np.einsum("ei,ei->e", np.cross(v0, v1), v2) / 6.0
+        # HEX8 via the quadrature used everywhere else
+        from ..fem import elements as _el
+
+        qp, qw = _el.quadrature("HEX8")
+        dN = _el.shape_gradients("HEX8", qp)  # (Q, K, 3)
+        J = np.einsum("ekd,qkr->eqdr", X, dN)
+        detJ = np.linalg.det(J)
+        return np.einsum("eq,q->e", detJ, qw)
+
+    def subdomain_ids_present(self) -> np.ndarray:
+        return np.unique(self.subdomain_id)
+
+    def print_info(self) -> str:
+        """Summary string mirroring the role of mesh.print_info()
+        (reference src/pihna.C:46)."""
+        lines = [
+            "Mesh Information:",
+            f"  elem_type={self.elem_type}",
+            f"  n_nodes={self.n_nodes}",
+            f"  n_elems={self.n_elems}",
+            f"  n_subdomains={len(self.subdomain_ids_present())}",
+            f"  n_boundary_faces={0 if self.boundary_faces is None else len(self.boundary_faces)}",
+        ]
+        return "\n".join(lines)
+
+
+def _face_key(face: np.ndarray) -> np.ndarray:
+    """Orientation-independent key for a face: sorted node ids."""
+    return np.sort(face, axis=-1)
+
+
+def extract_boundary_faces(
+    connectivity: np.ndarray, elem_type: str
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Find all element faces that are not shared with a neighbor.
+
+    Vectorized replacement for the reference's `elem->neighbor_ptr(s) ==
+    nullptr` pattern (src/adpm.C:602, src/process_mesh.C:14): build every
+    (element, side) face, hash by sorted node ids, and keep faces whose key
+    appears exactly once.
+
+    Returns (faces [F,Kf] with outward node ordering, elem_ids [F], side_ids [F]).
+    """
+    conn = np.asarray(connectivity)
+    faces_def = ELEMENT_FACES[elem_type]
+    n_sides = len(faces_def)
+    E = conn.shape[0]
+
+    all_faces = np.stack(
+        [conn[:, list(fd)] for fd in faces_def], axis=1
+    )  # (E, S, Kf)
+    Kf = all_faces.shape[-1]
+    flat = all_faces.reshape(E * n_sides, Kf)
+    keys = _face_key(flat)
+    # unique rows; boundary faces appear once
+    _, inv, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    is_boundary = counts[inv] == 1
+    idx = np.nonzero(is_boundary)[0]
+    elem_ids = (idx // n_sides).astype(np.int32)
+    side_ids = (idx % n_sides).astype(np.int32)
+    return flat[idx].astype(np.int32), elem_ids, side_ids
+
+
+def element_neighbors(connectivity: np.ndarray, elem_type: str) -> np.ndarray:
+    """Neighbor element per (element, side); -1 on the boundary.
+
+    Replaces libMesh `elem->neighbor_ptr(s)` for the Kelly error-indicator
+    face-jump computation (reference src/pihna.C:830 via KellyErrorEstimator).
+    """
+    conn = np.asarray(connectivity)
+    faces_def = ELEMENT_FACES[elem_type]
+    n_sides = len(faces_def)
+    E = conn.shape[0]
+    all_faces = np.stack([conn[:, list(fd)] for fd in faces_def], axis=1)
+    Kf = all_faces.shape[-1]
+    flat = _face_key(all_faces.reshape(E * n_sides, Kf))
+    order = np.lexsort(flat.T[::-1])
+    flat_sorted = flat[order]
+    same_as_next = np.all(flat_sorted[:-1] == flat_sorted[1:], axis=1)
+    neighbors = np.full(E * n_sides, -1, dtype=np.int64)
+    a = order[:-1][same_as_next]
+    b = order[1:][same_as_next]
+    neighbors[a] = b // n_sides
+    neighbors[b] = a // n_sides
+    return neighbors.reshape(E, n_sides).astype(np.int32)

@@ -1,0 +1,189 @@
+"""Gmsh 2.x ASCII mesh reader / writer.
+
+Replaces the `GmshIO(mesh).read/write` surface used by every driver
+(reference src/pihna.C:44-47) and the hand-rolled Gmsh 2.2 writer of the mesh
+utility (src/process_mesh.C:3-84).  Format details mirror the reference's
+writer exactly: `$MeshFormat 2.2 0 8`, 1-based node ids, elements carrying two
+integer tags (physical id, 0), boundary side elements listed before volume
+elements with their boundary-condition id as the physical tag.
+
+Node/element ids are compacted to 0-based contiguous indices preserving FILE
+ORDER — this is the IC-file contract of the reference (nodal/elemental `.dat`
+files are read in mesh iteration order, src/pihna.C:287-310; see SURVEY.md
+section 3.4 for the `skip_renumber` semantics, which for the contiguous
+meshes shipped with the reference reduce to exactly this).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Dict, Optional, TextIO, Union
+
+import numpy as np
+
+from .core import ELEMENT_FACES, Mesh
+
+# Gmsh element type codes (the subset the reference handles,
+# src/process_mesh.C:52-72)
+_GMSH_TRI3 = 2
+_GMSH_QUAD4 = 3
+_GMSH_TET4 = 4
+_GMSH_HEX8 = 5
+
+_VOLUME_TYPES = {_GMSH_TET4: ("TET4", 4), _GMSH_HEX8: ("HEX8", 8)}
+_SURFACE_TYPES = {_GMSH_TRI3: ("TRI3", 3), _GMSH_QUAD4: ("QUAD4", 4)}
+_GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 15: 1}
+
+
+def read(path_or_file: Union[str, TextIO]) -> Mesh:
+    """Read a Gmsh 2.x ASCII mesh into a Mesh."""
+    if isinstance(path_or_file, str):
+        with open(path_or_file, "r") as f:
+            text = f.read()
+    else:
+        text = path_or_file.read()
+    try:
+        return _read_lines(iter(text.splitlines()))
+    except StopIteration:
+        raise ValueError("truncated Gmsh file") from None
+
+
+def _read_lines(lines) -> Mesh:
+
+    def seek(section: str):
+        for line in lines:
+            if line.strip() == section:
+                return True
+        return False
+
+    if not seek("$MeshFormat"):
+        raise ValueError("not a Gmsh file: missing $MeshFormat")
+    fmt = next(lines).split()
+    if not fmt[0].startswith("2"):
+        raise ValueError(f"only Gmsh 2.x ASCII supported, got version {fmt[0]}")
+
+    if not seek("$Nodes"):
+        raise ValueError("missing $Nodes")
+    n_nodes = int(next(lines))
+    node_ids = np.empty(n_nodes, dtype=np.int64)
+    coords = np.empty((n_nodes, 3), dtype=np.float64)
+    for i in range(n_nodes):
+        parts = next(lines).split()
+        node_ids[i] = int(parts[0])
+        coords[i] = [float(parts[1]), float(parts[2]), float(parts[3])]
+    id_map: Dict[int, int] = {int(g): i for i, g in enumerate(node_ids)}
+
+    if not seek("$Elements"):
+        raise ValueError("missing $Elements")
+    n_elems_total = int(next(lines))
+    vol_conn = []
+    vol_subdomain = []
+    vol_type: Optional[str] = None
+    surf_conn = []
+    surf_bcid = []
+    surf_type: Optional[str] = None
+    for _ in range(n_elems_total):
+        parts = next(lines).split()
+        etype = int(parts[1])
+        ntags = int(parts[2])
+        tags = [int(t) for t in parts[3 : 3 + ntags]]
+        nodes = [id_map[int(g)] for g in parts[3 + ntags :]]
+        physical = tags[0] if tags else 0
+        if etype in _VOLUME_TYPES:
+            name, k = _VOLUME_TYPES[etype]
+            if vol_type is None:
+                vol_type = name
+            elif vol_type != name:
+                raise ValueError(
+                    f"mixed volume element types ({vol_type} and {name}) not supported"
+                )
+            assert len(nodes) == k
+            vol_conn.append(nodes)
+            vol_subdomain.append(physical)
+        elif etype in _SURFACE_TYPES:
+            name, k = _SURFACE_TYPES[etype]
+            if surf_type is None:
+                surf_type = name
+            assert len(nodes) == k
+            surf_conn.append(nodes)
+            surf_bcid.append(physical)
+        else:
+            # points / edges carry no information the reference uses
+            continue
+    if vol_type is None:
+        raise ValueError("mesh contains no supported volume elements")
+
+    connectivity = np.asarray(vol_conn, dtype=np.int32)
+    mesh = Mesh(
+        coords=coords,
+        connectivity=connectivity,
+        elem_type=vol_type,
+        subdomain_id=np.asarray(vol_subdomain, dtype=np.int32),
+    )
+    if surf_conn:
+        _attach_boundary_ids(mesh, np.asarray(surf_conn, dtype=np.int32),
+                             np.asarray(surf_bcid, dtype=np.int32))
+    return mesh
+
+
+def _attach_boundary_ids(mesh: Mesh, surf_faces: np.ndarray,
+                         surf_ids: np.ndarray) -> None:
+    """Assign boundary-condition ids from file surface elements to the
+    topologically extracted boundary faces (matching by sorted node key)."""
+    bfaces = mesh.boundary_faces
+    key_of = {tuple(sorted(f)): i for i, f in enumerate(bfaces)}
+    for f, bid in zip(surf_faces, surf_ids):
+        i = key_of.get(tuple(sorted(f.tolist())))
+        if i is not None:
+            mesh.boundary_id[i] = bid
+
+
+def write(mesh: Mesh, path_or_file: Union[str, TextIO]) -> None:
+    """Write Gmsh 2.2 ASCII, byte-format-compatible with the reference's
+    writer (src/process_mesh.C:22-83): side elements first (physical tag =
+    boundary id), then volume elements (physical tag = subdomain id)."""
+    out: TextIO
+    close = False
+    if isinstance(path_or_file, str):
+        out = open(path_or_file, "w")
+        close = True
+    else:
+        out = path_or_file
+    try:
+        w = out.write
+        w("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        w("$Nodes\n")
+        w(f"{mesh.n_nodes}\n")
+        for i, (x, y, z) in enumerate(mesh.coords):
+            w(f"{i + 1} {_fmt(x)} {_fmt(y)} {_fmt(z)}\n")
+        w("$EndNodes\n")
+        n_faces = 0 if mesh.boundary_faces is None else len(mesh.boundary_faces)
+        w("$Elements\n")
+        w(f"{n_faces + mesh.n_elems}\n")
+        index = 1
+        gmsh_face = _GMSH_TRI3 if mesh.elem_type == "TET4" else _GMSH_QUAD4
+        if n_faces:
+            for f, bid in zip(mesh.boundary_faces, mesh.boundary_id):
+                nodes = " ".join(str(n + 1) for n in f)
+                w(f"{index} {gmsh_face} 2 {bid} 0 {nodes}\n")
+                index += 1
+        gmsh_vol = _GMSH_TET4 if mesh.elem_type == "TET4" else _GMSH_HEX8
+        for e in range(mesh.n_elems):
+            nodes = " ".join(str(n + 1) for n in mesh.connectivity[e])
+            w(f"{index} {gmsh_vol} 2 {mesh.subdomain_id[e]} 0 {nodes}\n")
+            index += 1
+        w("$EndElements\n")
+    finally:
+        if close:
+            out.close()
+
+
+def _fmt(x: float) -> str:
+    """C++ ostream default formatting (6 significant digits)."""
+    return f"{x:.6g}"
+
+
+def dumps(mesh: Mesh) -> str:
+    buf = io.StringIO()
+    write(mesh, buf)
+    return buf.getvalue()

@@ -1,0 +1,102 @@
+import io
+
+import numpy as np
+import pytest
+
+from rdcfes_tpu.mesh import Mesh, box_hex_mesh, box_tet_mesh, gmsh, transform
+from rdcfes_tpu.mesh.core import element_neighbors, extract_boundary_faces
+
+CUBE_MSH = "/root/reference/run/Solid/uniaxial_compression/cube.msh"
+
+
+def test_box_hex_volume():
+    m = box_hex_mesh(3, 4, 5, bounds=((0, 2), (0, 1), (0, 1)))
+    assert m.n_elems == 3 * 4 * 5
+    assert m.n_nodes == 4 * 5 * 6
+    vols = m.element_volumes()
+    assert np.all(vols > 0)
+    np.testing.assert_allclose(vols.sum(), 2.0, rtol=1e-12)
+
+
+def test_box_tet_volume_and_orientation():
+    m = box_tet_mesh(3, 3, 3)
+    assert m.n_elems == 6 * 27
+    vols = m.element_volumes()
+    assert np.all(vols > 0), "all tets must be positively oriented"
+    np.testing.assert_allclose(vols.sum(), 1.0, rtol=1e-12)
+
+
+def test_boundary_extraction_counts():
+    m = box_hex_mesh(3, 3, 3)
+    assert len(m.boundary_faces) == 6 * 9
+    mt = box_tet_mesh(2, 2, 2)
+    # each boundary quad of each surface cell splits into 2 triangles
+    assert len(mt.boundary_faces) == 6 * 4 * 2
+
+
+def test_boundary_ids_cover_all_faces():
+    m = box_hex_mesh(2, 2, 2)
+    # all six ids present, each with 4 faces
+    ids, counts = np.unique(m.boundary_id, return_counts=True)
+    assert set(ids.tolist()) == {0, 1, 2, 3, 4, 5}
+    assert all(c == 4 for c in counts)
+
+
+def test_element_neighbors():
+    m = box_hex_mesh(2, 1, 1)
+    nbr = element_neighbors(m.connectivity, "HEX8")
+    # element 0 and 1 share exactly one face
+    assert (nbr[0] == 1).sum() == 1
+    assert (nbr[1] == 0).sum() == 1
+    assert (nbr == -1).sum() == 10  # 12 faces total, 2 interior
+
+
+def test_gmsh_read_cube():
+    m = gmsh.read(CUBE_MSH)
+    assert m.elem_type == "HEX8"
+    assert m.n_nodes == 729
+    assert m.n_elems == 512
+    np.testing.assert_allclose(m.element_volumes().sum(), 1.5**3, rtol=1e-6)
+    ids, counts = np.unique(m.boundary_id, return_counts=True)
+    assert set(ids.tolist()) == {0, 1, 2, 3, 4, 5}
+    assert all(c == 64 for c in counts)
+
+
+def test_gmsh_roundtrip():
+    m = box_tet_mesh(2, 2, 2)
+    m.subdomain_id[:] = 7
+    text = gmsh.dumps(m)
+    m2 = gmsh.read(io.StringIO(text))
+    assert m2.elem_type == "TET4"
+    np.testing.assert_allclose(m2.coords, m.coords, atol=1e-5)
+    np.testing.assert_array_equal(m2.connectivity, m.connectivity)
+    assert np.all(m2.subdomain_id == 7)
+    # boundary ids survive the roundtrip
+    np.testing.assert_array_equal(
+        np.sort(m2.boundary_id), np.sort(m.boundary_id)
+    )
+
+
+def test_rotate_parity_with_reference_formula():
+    # spot-check the rotation against the literal expressions of utils.h:305-318
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(3)
+    tx, ty, tz = 0.3, -1.1, 2.0
+    Sx, Cx = np.sin(tx), np.cos(tx)
+    Sy, Cy = np.sin(ty), np.cos(ty)
+    Sz, Cz = np.sin(tz), np.cos(tz)
+    expected = np.array(
+        [
+            v[2] * (Sx * Sz + Cx * Cz * Sy) - v[1] * (Cx * Sz - Cz * Sx * Sy) + Cy * Cz * v[0],
+            v[1] * (Cx * Cz + Sx * Sy * Sz) - v[2] * (Cz * Sx - Cx * Sy * Sz) + Cy * Sz * v[0],
+            Cx * Cy * v[2] - Sy * v[0] + Cy * Sx * v[1],
+        ]
+    )
+    np.testing.assert_allclose(transform.rotate(v, tx, ty, tz), expected, rtol=1e-14)
+
+
+def test_transform_mesh():
+    m = box_hex_mesh(2, 2, 2)
+    m2 = transform.transform_mesh(m, scale=2.0, translate=(1, 0, 0))
+    np.testing.assert_allclose(m2.element_volumes().sum(), 8.0, rtol=1e-12)
+    np.testing.assert_allclose(m2.coords.min(axis=0), [1, 0, 0], atol=1e-12)
