@@ -1,0 +1,139 @@
+"""Transient linearized-Crank-Nicolson RDC system.
+
+This is the TPU-native equivalent of libMesh's
+`TransientLinearImplicitSystem` as the reference drivers use it
+(src/pihna.C:28-35,66-93): per time step
+
+  1. rotate solution history (older <- old <- current, src/pihna.C:77-78)
+  2. assemble LHS = [phi_j phi_i - (dt/2) J(u_old)] and
+     RHS = [u_old phi_i + (dt/2) F(u_old)] — the one-Newton-step
+     linearized Crank-Nicolson scheme common to every RDC driver
+     (SURVEY.md section 2.4 "numerics common to all RDC drivers")
+  3. Krylov-solve the sparse system (replaces PETSc KSP, src/pihna.C:80)
+  4. clamp the solution pointwise to physical bounds
+     (`check_solution`, src/pihna.C:760-803)
+
+The whole step is one jitted function: gather -> batched quadrature physics
+-> segment-sum scatter into block-CSR -> BiCGStab.  The mesh is static here,
+so geometry factors are computed once at construction.  History depth is 2
+(u_old kept, u_older kept-but-unused — matching the reference, where `older`
+usage is commented out, src/ripf.C:461-466).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import (
+    assemble_matrix,
+    assemble_vector,
+    build_sparsity,
+    interpolate_at_qp,
+)
+from ..fem.geometry import geometry_factors
+from ..fem.weakform import element_matrices, element_vectors
+from ..mesh.core import Mesh
+from ..solvers.krylov import (
+    DEFAULT_MAXITER,
+    DEFAULT_RTOL,
+    apply_block_jacobi,
+    bicgstab,
+    block_jacobi_inverse,
+    gmres,
+)
+from ..fem.bcsr import bcsr_matvec
+
+
+def clamp_nonnegative(u: jnp.ndarray) -> jnp.ndarray:
+    """Default post-solve clamp: every species >= 0 (src/pihna.C:786-790)."""
+    return jnp.maximum(u, 0.0)
+
+
+class TransientRDCSystem:
+    """A transient multi-species RDC system on a fixed mesh.
+
+    Parameters
+    ----------
+    mesh     : host Mesh
+    n_vars   : number of coupled nodal variables V
+    physics  : callable(u_qp [V,E,Q], grad_qp [V,E,Q,3], fields, params)
+               -> WeakForm.  `fields` is a dict of auxiliary arrays
+               (per-element or per-qp) plus scalars like "time".
+    clamp    : callable(u [N,V]) -> u, applied after each solve
+    method   : linear solver ("bicgstab" | "gmres")
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        n_vars: int,
+        physics: Callable,
+        clamp: Callable = clamp_nonnegative,
+        method: str = "bicgstab",
+        rtol: float = DEFAULT_RTOL,
+        maxiter: int = DEFAULT_MAXITER,
+    ):
+        self.mesh = mesh
+        self.n_vars = n_vars
+        self.physics = physics
+        self.clamp = clamp
+        self.method = method
+        self.rtol = rtol
+        self.maxiter = maxiter
+
+        self.sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
+        # device-resident static tables
+        self.conn = jnp.asarray(mesh.connectivity)
+        self.slots = jnp.asarray(self.sp.slots)
+        self.rows = jnp.asarray(self.sp.rows)
+        self.cols = jnp.asarray(self.sp.cols)
+        self.diag_slots = jnp.asarray(self.sp.diag_slots)
+        self.phi, self.JxW, self.dphi = geometry_factors(
+            jnp.asarray(mesh.coords), self.conn, mesh.elem_type
+        )
+        self._step = jax.jit(self._step_impl)
+
+    # ------------------------------------------------------------------
+    def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
+        u0 = jnp.asarray(u0, dtype=jnp.float64)
+        assert u0.shape == (self.mesh.n_nodes, self.n_vars)
+        return {"u": u0, "u_old": u0, "u_older": u0}
+
+    # ------------------------------------------------------------------
+    def assemble(self, u_old: jnp.ndarray, fields: Dict, params: Dict):
+        """Assemble (block-CSR values, rhs) for one linearized-CN step."""
+        u_qp, grad_qp = interpolate_at_qp(u_old, self.conn, self.phi, self.dphi)
+        wf = self.physics(u_qp, grad_qp, fields, params)
+        Fe = element_vectors(wf, self.phi, self.JxW, self.dphi)
+        Ke = element_matrices(wf, self.phi, self.JxW, self.dphi)
+        values = assemble_matrix(Ke, self.slots, self.sp.nnz)
+        b = assemble_vector(Fe, self.conn, self.sp.n_nodes)
+        return values, b
+
+    def _step_impl(self, state: Dict, fields: Dict, params: Dict):
+        u = state["u"]
+        # history rotation (src/pihna.C:77-78): the freshly rotated "old"
+        # solution drives the assembly
+        u_old = u
+        values, b = self.assemble(u_old, fields, params)
+        matvec = partial(
+            bcsr_matvec, values, self.rows, self.cols, n_nodes=self.sp.n_nodes
+        )
+        Dinv = block_jacobi_inverse(values, self.diag_slots)
+        M = partial(apply_block_jacobi, Dinv)
+        fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
+        res = fn(matvec, b, x0=u_old, M=M, rtol=self.rtol, maxiter=self.maxiter)
+        u_new = self.clamp(res.x)
+        new_state = {"u": u_new, "u_old": u_old, "u_older": state["u_old"]}
+        return new_state, res.iters, res.residual
+
+    # ------------------------------------------------------------------
+    def step(self, state: Dict, fields: Optional[Dict] = None,
+             params: Optional[Dict] = None):
+        """Advance one time step. Returns (new_state, lin_iters, lin_residual)."""
+        return self._step(state, fields or {}, params or {})
