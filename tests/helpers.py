@@ -100,11 +100,12 @@ def check_jacobian_consistency(mesh, n_vars, physics, fields, params, u,
     N = mesh.n_nodes
     Kb = K.reshape(N, n_vars, N, n_vars)
     Eb = expected.reshape(N, n_vars, N, n_vars)
+    global_atol = 1e-13 * max(np.abs(K).max(), np.abs(expected).max())
     for v in range(n_vars):
         for w in range(n_vars):
             scale = max(np.abs(Eb[:, v, :, w]).max(), np.abs(Kb[:, v, :, w]).max(), 1e-30)
             err = np.abs(Kb[:, v, :, w] - Eb[:, v, :, w]).max()
-            assert err <= rtol * scale, (
+            assert err <= rtol * scale + global_atol, (
                 f"jacobian block ({v},{w}) mismatch: abs {err:.3e}, "
                 f"rel {err / scale:.3e}"
             )
