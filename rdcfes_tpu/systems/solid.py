@@ -1,0 +1,251 @@
+"""Quasi-static finite-strain solid mechanics system (moving mesh).
+
+TPU-native replacement for the reference's SolidSystem : FEMSystem
+(src/solid_system.C) + libMesh NewtonSolver stack:
+
+* the unknowns ARE the current node positions x (N, 3) — the reference's
+  "coordinates as primary variables / mesh_position_get-set" machinery
+  (src/solid_system.C:49-123) reduces, in a functional formulation, to
+  re-evaluating the geometry factors from x inside the Newton loop
+* element residual/Jacobian: internal forces B^T sigma and geometric +
+  material stiffness from the batched hyperelastic evaluation
+  (src/solid_system.C:146-271; constitutive math in models/hyperelastic.py)
+* penalty Dirichlet boundary conditions on deformed-vs-reference positions,
+  scaled by pseudo-time * 1.000001, with the NaN=unconstrained-axis
+  convention (src/solid_system.C:273-371)
+* post-processing: per-element averaged Cauchy stress -> principal values ->
+  hydrostatic pressure + Von Mises, and fibre push-forward F*eta
+  (src/solid_system.C:394-538; eigensolver in models/eig3.py)
+
+The penalty-BC Jacobian uses the same inexact linearization as the
+reference (psi_i psi_j * penalty only, geometry treated as frozen).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem import elements
+from ..fem.assembly import assemble_matrix, assemble_vector, build_sparsity
+from ..fem.bcsr import bcsr_matvec
+from ..fem.geometry import face_geometry_factors, geometry_factors
+from ..mesh.core import FACE_TYPE, Mesh
+from ..models.eig3 import principal_stress_invariants
+from ..models.hyperelastic import stress_and_tangent
+from ..solvers.newton import NewtonOptions, NewtonResult, newton_solve
+
+# B-matrix slot table: (axis v, voigt a) -> gradient component, for the
+# Voigt ordering (00, 11, 22, 01, 12, 02)
+_B_SLOTS = {
+    (0, 0): 0, (0, 3): 1, (0, 5): 2,
+    (1, 1): 1, (1, 3): 0, (1, 4): 2,
+    (2, 2): 2, (2, 4): 1, (2, 5): 0,
+}
+
+
+@dataclass
+class SolidBC:
+    """One penalty Dirichlet boundary set: displacement per axis, NaN = free."""
+
+    boundary_id: int
+    displacement: Tuple[float, float, float]
+
+
+class SolidSystem:
+    """Quasi-static hyperelastic equilibrium with load stepping."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        materials: Dict[int, Dict[str, float]],
+        bcs: Dict[int, Tuple[float, float, float]],
+        penalty: float = 1.0e5,
+        fibres: Optional[np.ndarray] = None,
+        newton: NewtonOptions = NewtonOptions(),
+    ):
+        self.mesh = mesh
+        self.newton = newton
+        self.penalty = float(penalty)
+        self.sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
+        self.conn = jnp.asarray(mesh.connectivity)
+        self.slots = jnp.asarray(self.sp.slots)
+        self.rows = jnp.asarray(self.sp.rows)
+        self.cols = jnp.asarray(self.sp.cols)
+        self.diag_slots = jnp.asarray(self.sp.diag_slots)
+        self.X0 = jnp.asarray(mesh.coords)  # undeformed configuration
+
+        # per-element material tables (subdomain -> element broadcast,
+        # replacing the per-element string-keyed parameter lookups of
+        # src/solid_system.C:183-190)
+        E = mesh.n_elems
+        young = np.full(E, 1.0e3)
+        poisson = np.full(E, 0.3)
+        fibre_k = np.zeros(E)
+        rates = np.zeros((E, 3))
+        for sid, mat in materials.items():
+            sel = mesh.subdomain_id == sid
+            young[sel] = mat.get("young", 1.0e3)
+            poisson[sel] = mat.get("poisson", 0.3)
+            fibre_k[sel] = mat.get("fibre_stiffness", 0.0)
+            for d in range(3):
+                rates[sel, d] = mat.get(f"stretch_rate_{d}", 0.0)
+        self.young = jnp.asarray(young)
+        self.poisson = jnp.asarray(poisson)
+        self.fibre_k = jnp.asarray(fibre_k)
+        self.rates = jnp.asarray(rates)
+
+        if fibres is None:
+            fibres = np.zeros((E, 3))
+        self.fibres = jnp.asarray(fibres)
+
+        # boundary-condition face tables (static shapes)
+        bfaces, bmask, bdisp = [], [], []
+        for bid, disp in bcs.items():
+            sel = mesh.boundary_id == bid
+            faces = mesh.boundary_faces[sel]
+            if len(faces) == 0:
+                continue
+            d = np.asarray(disp, dtype=np.float64)
+            m = ~np.isnan(d)
+            bfaces.append(faces)
+            bmask.append(np.broadcast_to(m, (len(faces), 3)).copy())
+            bdisp.append(np.broadcast_to(np.nan_to_num(d), (len(faces), 3)).copy())
+        if bfaces:
+            self.bc_faces = jnp.asarray(np.concatenate(bfaces))
+            self.bc_mask = jnp.asarray(np.concatenate(bmask).astype(np.float64))
+            self.bc_disp = jnp.asarray(np.concatenate(bdisp))
+            # face slot table into the volume sparsity
+            slot_lookup = {}
+            for s in range(self.sp.nnz):
+                slot_lookup[(int(self.sp.rows[s]), int(self.sp.cols[s]))] = s
+            fc = np.asarray(self.bc_faces)
+            Fn, Kf = fc.shape
+            fslots = np.empty((Fn, Kf, Kf), dtype=np.int32)
+            for f in range(Fn):
+                for i in range(Kf):
+                    for j in range(Kf):
+                        fslots[f, i, j] = slot_lookup[(fc[f, i], fc[f, j])]
+            self.bc_slots = jnp.asarray(fslots)
+        else:
+            self.bc_faces = None
+
+        self.face_type = FACE_TYPE[mesh.elem_type]
+        self._solve = jax.jit(self._solve_impl)
+        self._post = jax.jit(self._post_impl)
+
+    # ------------------------------------------------------------------
+    def initial_positions(self) -> jnp.ndarray:
+        return self.X0
+
+    # ------------------------------------------------------------------
+    def assemble(self, x: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Residual (N, 3) and block-CSR tangent values (nnz, 3, 3) at
+        current positions x."""
+        mesh = self.mesh
+        phi, JxW, dphi = geometry_factors(x, self.conn, mesh.elem_type)
+        X0e = self.X0[self.conn]  # (E, K, 3)
+        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi, X0e)
+        lam = 1.0 + pseudo_time * self.rates  # (E, 3)
+        EQ = JxW.shape
+        sigma, tangent, _F = stress_and_tangent(
+            grad_X,
+            jnp.broadcast_to(lam[:, None, :], EQ + (3,)),
+            jnp.broadcast_to(self.fibres[:, None, :], EQ + (3,)),
+            self.young[:, None],
+            self.poisson[:, None],
+            self.fibre_k[:, None],
+            want_tangent=True,
+        )
+        # residual: B_i^T sigma  == sigma . grad(phi_i)
+        Fe = jnp.einsum("eq,eqvd,eqid->vei", JxW, sigma, dphi)
+        # geometric stiffness: (grad phi_i . sigma . grad phi_j) delta_vw
+        G = jnp.einsum("eq,eqic,eqcd,eqjd->eij", JxW, dphi, sigma, dphi)
+        Kgeo = jnp.einsum("vw,eij->vweij", jnp.eye(3), G)
+        # material stiffness: B_i^T tangent B_j
+        E_, Q, K, _ = dphi.shape
+        B = jnp.zeros((E_, Q, K, 3, 6))
+        for (v, a), comp in _B_SLOTS.items():
+            B = B.at[..., v, a].set(dphi[..., comp])
+        Kmat = jnp.einsum("eq,eqiva,eqab,eqjwb->vweij", JxW, B, tangent, B)
+        values = assemble_matrix(Kgeo + Kmat, self.slots, self.sp.nnz)
+        R = assemble_vector(Fe, self.conn, self.sp.n_nodes)
+
+        if self.bc_faces is not None:
+            R, values = self._apply_penalty_bcs(x, pseudo_time, R, values)
+        return R, values
+
+    def _apply_penalty_bcs(self, x, pseudo_time, R, values):
+        """Penalty Dirichlet contributions (src/solid_system.C:273-371)."""
+        ratio = pseudo_time * 1.000001
+        psi, JxWf, xyz, _ = face_geometry_factors(x, self.bc_faces, self.face_type)
+        orig = jnp.einsum("qk,fkd->fqd", psi, self.X0[self.bc_faces])
+        target = ratio * self.bc_disp  # (F, 3)
+        diff = xyz - orig - target[:, None, :]  # (F, Q, 3)
+        masked = diff * self.bc_mask[:, None, :]
+        # residual: penalty * psi_i * diff
+        Rf = self.penalty * jnp.einsum("fq,qi,fqv->fiv", JxWf, psi, masked)
+        Fn, Kf = self.bc_faces.shape
+        R = R + jax.ops.segment_sum(
+            Rf.reshape(Fn * Kf, 3), self.bc_faces.reshape(-1),
+            num_segments=self.sp.n_nodes,
+        )
+        # jacobian: penalty * psi_i psi_j on constrained axes (diagonal blocks)
+        Kf_pen = self.penalty * jnp.einsum("fq,qi,qj->fij", JxWf, psi, psi)
+        Kblocks = Kf_pen[..., None] * self.bc_mask[:, None, None, :]  # (F,i,j,3)
+        Kblocks = Kblocks[..., None] * jnp.eye(3)  # (F,i,j,3,3)
+        values = values + jax.ops.segment_sum(
+            Kblocks.reshape(Fn * Kf * Kf, 3, 3),
+            self.bc_slots.reshape(-1),
+            num_segments=self.sp.nnz,
+        )
+        return R, values
+
+    # ------------------------------------------------------------------
+    def _solve_impl(self, x0: jnp.ndarray, pseudo_time) -> NewtonResult:
+        assemble = partial(self.assemble, pseudo_time=pseudo_time)
+        return newton_solve(
+            lambda x: assemble(x), x0, self.sp, self.newton,
+            rows=self.rows, cols=self.cols, diag_slots=self.diag_slots,
+        )
+
+    def run_solver(self, x: jnp.ndarray, pseudo_time: float) -> NewtonResult:
+        """One load step: Newton-solve equilibrium at the given pseudo-time
+        (reference run_solver, src/solid_system.C:373-392)."""
+        return self._solve(x, jnp.asarray(pseudo_time, jnp.float64))
+
+    # ------------------------------------------------------------------
+    def _post_impl(self, x: jnp.ndarray, pseudo_time):
+        """Per-element pressure, Von Mises, current fibre vector
+        (reference post_process, src/solid_system.C:394-538)."""
+        phi, JxW, dphi = geometry_factors(x, self.conn, self.mesh.elem_type)
+        X0e = self.X0[self.conn]
+        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi, X0e)
+        lam = 1.0 + pseudo_time * self.rates
+        EQ = JxW.shape
+        sigma, _, F = stress_and_tangent(
+            grad_X,
+            jnp.broadcast_to(lam[:, None, :], EQ + (3,)),
+            jnp.broadcast_to(self.fibres[:, None, :], EQ + (3,)),
+            self.young[:, None], self.poisson[:, None], self.fibre_k[:, None],
+            want_tangent=False,
+        )
+        nq = sigma.shape[1]
+        sigma_avg = sigma.sum(axis=1) / nq  # arithmetic qp mean, as reference
+        p, vm = principal_stress_invariants(sigma_avg)
+        fibre_cur = jnp.einsum("eqij,ej->ei", F, self.fibres) / nq
+        return p, vm, fibre_cur
+
+    def post_process(self, x: jnp.ndarray, pseudo_time: float):
+        return self._post(x, jnp.asarray(pseudo_time, jnp.float64))
+
+    # ------------------------------------------------------------------
+    def displacement(self, x: jnp.ndarray) -> jnp.ndarray:
+        """u = current - undeformed (reference SolidSystem::update,
+        src/solid_system.C:103-123)."""
+        return x - self.X0
