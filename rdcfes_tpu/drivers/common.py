@@ -1,0 +1,57 @@
+"""Shared driver plumbing: output schedules, step banners, perf log."""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+from typing import List, Set
+
+
+def output_time_points(deck, n_steps: int, key: str = "output_time_points",
+                       step_key: str = "output_step") -> Set[int]:
+    """The reference's output-schedule logic (src/pihna.C:143-166): an
+    explicit integer-list string when `output_step` is 0 (default: only the
+    final step), else every multiple of `output_step`."""
+    from ..io.getpot import export_integers
+
+    step = deck(step_key, 0)
+    if step == 0:
+        return set(export_integers(deck(key, str(n_steps))))
+    return set(range(step, n_steps + 1, step))
+
+
+def step_banner(t: int, n: int, time_value: float, label: str = "Time") -> None:
+    print(f" ==== Step {t:4d} out of {n:4d} ({label}={time_value:9g}) ==== ")
+
+
+class PerfLog:
+    """Phase timer printed at exit — the role of the reference's global
+    libMesh PerfLog (src/main.C:7,59)."""
+
+    def __init__(self, name: str = "rdcfes_tpu"):
+        self.name = name
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+
+    @contextmanager
+    def scope(self, label: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[label] += dt
+            self.counts[label] += 1
+
+    def report(self, out=sys.stdout) -> None:
+        total = sum(self.totals.values())
+        print(f"\n Performance log: {self.name}", file=out)
+        print(f" {'phase':<28}{'calls':>8}{'total s':>12}{'avg ms':>12}", file=out)
+        for label in sorted(self.totals, key=lambda k: -self.totals[k]):
+            n = self.counts[label]
+            tt = self.totals[label]
+            print(f" {label:<28}{n:>8}{tt:>12.4f}{1e3 * tt / max(n, 1):>12.3f}",
+                  file=out)
+        print(f" {'TOTAL':<28}{'':>8}{total:>12.4f}", file=out)

@@ -1,0 +1,153 @@
+"""PIHNA driver: 5-species glioma growth (reference src/pihna.C:18-96).
+
+Flow: deck -> results dir -> Gmsh read + processed copy -> nodal ICs
+(n, c, h, v, a) + elemental structure (HU, RT) -> time loop
+(rotate history, linearized-CN solve, clamp >= 0) -> CSV volumes + VTU/PVD
+at the output time points.
+
+AMR: the deck's mesh/AMR/* knobs are parsed for compatibility but adaptive
+refinement is deferred (every shipped deck effectively disables it:
+run/PIHNA/input.dat refinement_step=10000 > 120 steps); a warning is printed
+if a deck would actually trigger it.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from ..io import dat, provenance
+from ..io.csv_metrics import pihna_header, pihna_row
+from ..io.getpot import Deck
+from ..io.vtu import ParaviewWriter, elemental_to_nodal
+from ..mesh import gmsh
+from ..models.pihna import PIHNA_VARS, pihna_physics
+from ..systems import TransientRDCSystem
+from .common import PerfLog, output_time_points, step_banner
+
+
+def load_params(deck: Deck) -> dict:
+    """Deck key -> physics param mapping (src/pihna.C:182-234), including
+    the necrosis/* -> /Kappa_k scaling (src/pihna.C:364-366)."""
+    p = {}
+    p["dt"] = deck("time_step", 1.0e-9)
+    p["cells_min_capacity"] = deck("cells_min_capacity", 0.0)
+    Kk = deck("cells_max_capacity", 1.0)
+    p["cells_max_capacity"] = Kk
+    p["cells_max_capacity_exponent"] = deck("cells_max_capacity/exponent", 1.0)
+    p["cytokines_max_capacity"] = deck("cytokines_max_capacity", 1.0)
+    p["necrosis_c"] = deck("necrosis/c", 0.0) / Kk
+    p["necrosis_h"] = deck("necrosis/h", 0.0) / Kk
+    p["necrosis_v"] = deck("necrosis/v", 0.0) / Kk
+    p["diffuse_c"] = deck("diffuse/c", 0.0)
+    p["taxis_c"] = deck("taxis/c", 0.0)
+    p["diffuse_h"] = deck("diffuse/h", 0.0)
+    p["taxis_h"] = deck("taxis/h", 0.0)
+    p["produce_c"] = deck("produce/c", 0.0)
+    p["switch_c2h"] = deck("switch/c/to/h", 0.0)
+    p["switch_h2c"] = deck("switch/h/to/c", 0.0)
+    p["switch_h2n"] = deck("switch/h/to/n", 0.0)
+    p["diffuse_v"] = deck("diffuse/v", 0.0)
+    p["taxis_v"] = deck("taxis/v", 0.0)
+    p["produce_v"] = deck("produce/v", 0.0)
+    p["secrete_a_c"] = deck("secrete/a/from/c", 0.0)
+    p["secrete_a_h"] = deck("secrete/a/from/h", 0.0)
+    p["uptake_a_v"] = deck("uptake/a/from/v", 0.0)
+    p["decay_a"] = deck("decay/a", 0.0)
+    return p
+
+
+def load_ranges(deck: Deck) -> dict:
+    r = {}
+    for key, pkey in [
+        ("range/active_tumor", "range_active_tumor"),
+        ("range/necrotic", "range_necrotic"),
+        ("range/vascularity", "range_vascularity"),
+        ("range/total_cell", "range_total_cell"),
+    ]:
+        r[pkey + "_min"] = deck(key + "/min", 1.0e-12)
+        r[pkey + "_max"] = deck(key + "/max", 1.0e12)
+    return r
+
+
+def run(deck_path: str = "input.dat") -> str:
+    plog = PerfLog("pihna")
+    deck = Deck(deck_path)
+
+    input_gmsh = deck("input_GMSH", "input.msh")
+    input_nodal = deck("input_nodal", "input.nodal")
+    input_elem = deck("input_elemental", "input.elemental")
+    DIR = provenance.prepare_results_dir(
+        deck("directory", "") or None, deck_path, [input_nodal, input_elem]
+    )
+    out_gmsh = os.path.join(DIR, deck("output_GMSH", "output.msh"))
+    out_pv = os.path.join(DIR, deck("output_PARAVIEW", "output4paraview"))
+    out_csv = os.path.join(DIR, deck("output_CSV", "output.csv"))
+
+    n_steps = deck("time_step_number", 1)
+    dt = deck("time_step", 1.0e-9)
+    refinement_step = deck("refinement_step", 1 + n_steps)
+    amr_max_steps = deck("mesh/AMR/max_steps", 0)
+    deck("mesh/AMR/max_level", 3)
+    deck("mesh/AMR/refine_percentage", 0.5)
+    deck("mesh/AMR/coarsen_percentage", 0.5)
+    deck("mesh/skip_renumber_nodes_and_elements", True)
+    otp = output_time_points(deck, n_steps)
+
+    with plog.scope("mesh io"):
+        mesh = gmsh.read(input_gmsh)
+        print(mesh.print_info())
+        gmsh.write(mesh, out_gmsh)
+
+    with plog.scope("initial conditions"):
+        u0 = dat.read_stream(input_nodal, mesh.n_nodes, 5)
+        structure = dat.read_stream(input_elem, mesh.n_elems, 2)  # HU, RT
+
+    params = load_params(deck)
+    ranges = load_ranges(deck)
+
+    with plog.scope("system setup"):
+        system = TransientRDCSystem(mesh, 5, pihna_physics)
+        state = system.initial_state(u0)
+
+    paraview = ParaviewWriter(mesh)
+    paraview.open_pvd(out_pv)
+    csv = open(out_csv, "w")
+    pihna_header(csv)
+
+    hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
+    rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
+
+    def save(t: int, time_value: float):
+        u = np.asarray(state["u"])
+        with plog.scope("csv output"):
+            pihna_row(csv, mesh, u, time_value, {**params, **ranges})
+        with plog.scope("vtu output"):
+            fields = [(name, u[:, i]) for i, name in enumerate(PIHNA_VARS)]
+            fields += [("HU", hu_nodal), ("RT", rt_nodal)]
+            paraview.update_pvd(fields, t)
+
+    save(0, 0.0)
+
+    time_value = 0.0
+    for t in range(1, n_steps + 1):
+        time_value += dt
+        step_banner(t, n_steps, time_value)
+        with plog.scope("solve"):
+            state, iters, res = system.step(state, params=params)
+        if refinement_step > 0 and t % refinement_step == 0 and amr_max_steps > 0:
+            print(
+                "WARNING: adaptive mesh refinement requested but deferred in "
+                "this build (documented deviation; all shipped decks disable "
+                "or never reach it)", file=sys.stderr,
+            )
+        if t in otp:
+            save(t, time_value)
+
+    csv.close()
+    paraview.close_pvd()
+    deck.warn_unused()
+    plog.report()
+    return DIR

@@ -1,0 +1,206 @@
+"""RIPF driver: radiation-induced pulmonary fibrosis (reference src/ripf.C:13-96).
+
+Three coupled field groups as in the reference: the implicit RIPF system
+(HU, cc, fb), the finite-difference time-derivative fields, and the RT dose
+fields (broad, focus, total).  Per step (src/ripf.C:69-93 + check_solution
+:675-775):
+
+  1. linearized-CN solve of (HU, cc, fb)
+  2. clamp: HU to [HU/min, HU/max], cc/fb >= 0
+  3. TD fields = (clamped - previous RAW solution)/dt — the reference keeps
+     the PRE-clamp solver output as "previous" (src/ripf.C:770)
+  4. accumulate the fractionated RT dose by simulation day and publish
+     RT_dose/total/max (used as the fallback for fb/lambda/RT/r and
+     fb/omicro/RT/r when the deck sets them to 0, with the reference's
+     Real -> int truncation, src/ripf.C:397-403, :772)
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fem.assembly import interpolate_at_qp
+from ..io import dat, provenance
+from ..io.csv_metrics import ripf_row
+from ..io.getpot import Deck
+from ..io.vtu import ParaviewWriter
+from ..mesh import gmsh
+from ..models.ripf import RIPF_VARS, ripf_physics, rt_dose_schedule
+from ..systems import TransientRDCSystem
+from .common import PerfLog, output_time_points, step_banner
+
+
+def load_params(deck: Deck) -> dict:
+    """Deck key -> physics params with the reference's hard validation
+    (src/ripf.C:171-250: libmesh_error() on out-of-range values)."""
+    def req(name, default, check=None, msg=""):
+        v = deck(name, default)
+        if check is not None and not check(v):
+            raise ValueError(f"input parameter out of range: {name} = {v} {msg}")
+        return v
+
+    p = {"dt": deck("time_step", 1.0e-9)}
+    p["volfr_stroma"] = deck("volume_fraction/stroma", 0.0)
+    p["volfr_parenchyma"] = deck("volume_fraction/parenchyma", 0.0)
+    p["volfr_exponent"] = req("volume_fraction/exponent", 1.0, lambda v: v >= 0.0)
+    p["volfr_min_vacant"] = deck("volume_fraction/min_vacant", 1.0e-12)
+    deck("volume_fraction/max_vacant", 1.0 - p["volfr_min_vacant"])
+    p["phi_cc_build"] = req("HU/phi/cc/build", 0.0, lambda v: v >= 0.0)
+    p["phi_cc_decay"] = req("HU/phi/cc/decay", 0.0, lambda v: v <= 0.0)
+    p["phi_cc_rate"] = req("HU/phi/cc/rate", 0.0, lambda v: v >= 0.0)
+    p["phi_fb_build"] = req("HU/phi/fb/build", 0.0, lambda v: v >= 0.0)
+    p["phi_fb_decay"] = req("HU/phi/fb/decay", 0.0, lambda v: v <= 0.0)
+    p["phi_fb_rate"] = req("HU/phi/fb/rate", 0.0, lambda v: v >= 0.0)
+    p["phi_tolerance"] = req("HU/phi/tolerance", 0.0, lambda v: v >= 0.0)
+    p["cc_kappa"] = req("cc/kappa", 0.0, lambda v: v >= 0.0)
+    p["cc_kappa_RT_c"] = req("cc/kappa/RT/c", 0.0, lambda v: v >= 0.0)
+    p["cc_delta"] = req("cc/delta", 0.0, lambda v: v >= 0.0)
+    p["cc_delta_RT_a"] = req("cc/delta/RT/a", 0.0, lambda v: v > 0.0)
+    p["cc_delta_RT_b"] = req("cc/delta/RT/b", 0.0, lambda v: v > 0.0)
+    p["fb_lambda"] = req("fb/lambda", 0.0, lambda v: v >= 0.0)
+    p["_fb_lambda_RT_r"] = req("fb/lambda/RT/r", 0.0, lambda v: v >= 0.0)
+    p["lambda_HU_r"] = req("fb/lambda/HU/r", -1.0, lambda v: v < 0.0)
+    p["fb_omicro"] = req("fb/omicro", 0.0, lambda v: v >= 0.0)
+    p["_fb_omicro_RT_r"] = req("fb/omicro/RT/r", 0.0, lambda v: v >= 0.0)
+    p["omicro_fb_b"] = req("fb/omicro/fb/b", 0.0, lambda v: 0.0 <= v <= 1.0)
+    p["fb_omega"] = req("fb/omega", 0.0, lambda v: v >= 0.0)
+    p["fb_diffusion"] = req("fb/diffusion", 0.0, lambda v: v >= 0.0)
+    p["fb_haptotaxis"] = req("fb/haptotaxis", 0.0, lambda v: v >= 0.0)
+    p["fb_radiotaxis"] = req("fb/radiotaxis", 0.0, lambda v: v >= 0.0)
+    return p
+
+
+def run(deck_path: str = "input.dat") -> str:
+    plog = PerfLog("ripf")
+    deck = Deck(deck_path)
+
+    input_gmsh = deck("input_GMSH", "input.msh")
+    input_nodal = deck("input_nodal", "input.nodal")
+    input_rt = deck("input_nodal_RT", "input.nodal~RT")
+    DIR = provenance.prepare_results_dir(
+        deck("directory", "") or None, deck_path, [input_nodal, input_rt]
+    )
+    out_gmsh = os.path.join(DIR, deck("output_GMSH", "output.msh"))
+    out_pv = os.path.join(DIR, deck("output_PARAVIEW", "output4paraview"))
+    out_csv = os.path.join(DIR, deck("output_CSV", "output.csv"))
+
+    n_steps = deck("time_step_number", 1)
+    dt = deck("time_step", 1.0e-9)
+    deck("mesh/skip_renumber_nodes_and_elements", True)
+    otp = output_time_points(deck, n_steps)
+
+    HU_min = deck("HU/min", -1000.0)
+    HU_max = deck("HU/max", 1000.0)
+    broad_frac = deck("RT_dose/broad/fractions", 1)
+    focus_frac = deck("RT_dose/focus/fractions", 1)
+    ranges = {
+        "range_cc_HU_min": deck("range_cc/HU/min", HU_min),
+        "range_cc_HU_max": deck("range_cc/HU/max", HU_max),
+        "range_cc_min": deck("range_cc/min", 1.0e-9),
+        "range_fb_HU_min": deck("range_fb/HU/min", HU_min),
+        "range_fb_HU_max": deck("range_fb/HU/max", HU_max),
+        "range_fb_min": deck("range_fb/min", 1.0e-9),
+    }
+    params = load_params(deck)
+
+    with plog.scope("mesh io"):
+        mesh = gmsh.read(input_gmsh)
+        print(mesh.print_info())
+        gmsh.write(mesh, out_gmsh)
+
+    with plog.scope("initial conditions"):
+        u0 = dat.read_stream(input_nodal, mesh.n_nodes, 3)
+        rt = dat.read_stream(input_rt, mesh.n_nodes, 2)  # broad, focus
+
+    def clamp(u):
+        HU = jnp.clip(u[:, 0], HU_min, HU_max)
+        rest = jnp.maximum(u[:, 1:], 0.0)
+        return jnp.concatenate([HU[:, None], rest], axis=1)
+
+    with plog.scope("system setup"):
+        system = TransientRDCSystem(mesh, 3, ripf_physics, clamp=clamp)
+        state = system.initial_state(u0)
+
+    # --- check_solution state (TD fields, RT schedule) --------------------
+    td = np.zeros((mesh.n_nodes, 3))
+    prev_raw = u0.copy()
+    rt_total = np.zeros(mesh.n_nodes)
+
+    def check(time_value: float):
+        """Post-solve bookkeeping (src/ripf.C:675-775)."""
+        nonlocal td, prev_raw, rt_total
+        raw = np.asarray(state["u_raw"])
+        clamped = np.asarray(state["u"])
+        td = (clamped - prev_raw) / dt
+        prev_raw = raw
+        rt_total = np.asarray(
+            rt_dose_schedule(rt[:, 0], rt[:, 1], time_value, broad_frac, focus_frac)
+        )
+        rt_total_max = rt_total.max()
+        if rt_total_max <= 0.0:
+            raise RuntimeError("maximum total RT dose <= 0 (reference aborts here)")
+        # deck value 0 -> fall back to int(max total dose) (src/ripf.C:397-403)
+        params["lambda_RT_r"] = params["_fb_lambda_RT_r"] or float(int(rt_total_max))
+        params["omicro_RT_r"] = params["_fb_omicro_RT_r"] or float(int(rt_total_max))
+
+    def qp_fields():
+        stacked = jnp.asarray(np.stack([td[:, 1], td[:, 2], rt_total], axis=1))
+        vals_qp, grads_qp = interpolate_at_qp(
+            stacked, system.conn, system.phi, system.dphi
+        )
+        g = grads_qp[2]
+        norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        return {
+            "cc_dtime": vals_qp[0],
+            "fb_dtime": vals_qp[1],
+            "RT": vals_qp[2],
+            "RT_grad_unit": jnp.where(norm > 0.0, g / jnp.where(norm == 0, 1.0, norm), 0.0),
+        }
+
+    # initial check before the loop (src/ripf.C:50-53)
+    check(0.0)
+
+    paraview = ParaviewWriter(mesh)
+    paraview.open_pvd(out_pv)
+    csv = open(out_csv, "w")  # header intentionally absent (src/ripf.C:800-807)
+
+    def save(t: int, time_value: float):
+        u = np.asarray(state["u"])
+        with plog.scope("csv output"):
+            ripf_row(csv, mesh, u, time_value, ranges)
+        with plog.scope("vtu output"):
+            fields = [(name, u[:, i]) for i, name in enumerate(RIPF_VARS)]
+            fields += [
+                ("HU_TimeDeriv", td[:, 0]),
+                ("cc_TimeDeriv", td[:, 1]),
+                ("fb_TimeDeriv", td[:, 2]),
+                ("RT_dose/broad", rt[:, 0]),
+                ("RT_dose/focus", rt[:, 1]),
+                ("RT_dose/total", rt_total),
+            ]
+            paraview.update_pvd(fields, t)
+
+    save(0, 0.0)
+
+    # the params dict carries resolved lambda_RT_r before the first step
+    _ = params.pop("_fb_lambda_RT_r_unused", None)
+    time_value = 0.0
+    for t in range(1, n_steps + 1):
+        time_value += dt
+        step_banner(t, n_steps, time_value)
+        step_params = {k: v for k, v in params.items() if not k.startswith("_")}
+        with plog.scope("solve"):
+            state, iters, res = system.step(state, fields=qp_fields(),
+                                            params=step_params)
+        check(time_value)
+        if t in otp:
+            save(t, time_value)
+
+    csv.close()
+    paraview.close_pvd()
+    deck.warn_unused()
+    plog.report()
+    return DIR

@@ -1,0 +1,191 @@
+"""Solid driver: quasi-static hyperelastic load stepping (reference
+src/solid.C:14-112).
+
+Flow: deck -> (wiped) results dir -> Gmsh read + processed copy -> optional
+fibre file -> pseudo-time ramp: Newton equilibrium solve, stress
+post-processing (pressure/Von Mises/fibre push-forward), VTU output.
+
+Deck notes (faithful to the reference's sharp edges):
+  * number_of_loading_steps = int(1.0 / loading_step) (src/solid.C:153-154)
+  * material keys are read under `material/<id>/Hyperelastic/...`; the
+    shipped decks write `Neohookean` so the reference silently uses the
+    defaults E=1e3, nu=0.3 — our unused-key warning surfaces this
+  * BC displacement components parse NAN = unconstrained axis
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from ..io import dat, provenance
+from ..io.getpot import Deck, export_integers
+from ..io.vtu import ParaviewWriter, elemental_to_nodal
+from ..mesh import gmsh
+from ..solvers.newton import NewtonOptions
+from ..systems import SolidSystem
+from .common import PerfLog, step_banner
+
+
+def load_newton_options(deck: Deck) -> NewtonOptions:
+    """solver/* knobs (src/solid.C:216-238, src/solid_system.C:86-100)."""
+    deck("solver/quiet", False)
+    deck("solver/assembly_use_symmetry", False)
+    return NewtonOptions(
+        max_nonlinear_iterations=deck("solver/nonlinear/max_nonlinear_iterations", 100),
+        relative_step_tolerance=deck("solver/nonlinear/relative_step_tolerance", 1e-3),
+        relative_residual_tolerance=deck("solver/nonlinear/relative_residual_tolerance", 1e-8),
+        absolute_residual_tolerance=deck("solver/nonlinear/absolute_residual_tolerance", 1e-8),
+        require_residual_reduction=deck("solver/nonlinear/require_reduction", False),
+        max_linear_iterations=deck("solver/linear/max_linear_iterations", 50000),
+        initial_linear_tolerance=deck("solver/linear/initial_linear_tolerance", 1e-3),
+    )
+
+
+def load_bcs(deck: Deck) -> dict:
+    """BCs table (src/solid.C:240-259): id -> (dx, dy, dz), NaN = free."""
+    bcs = {}
+    for bc in export_integers(deck("BCs", " 0 ")):
+        disp = tuple(
+            deck(f"BC/{bc}/displacement/{d}", 0.0) for d in range(3)
+        )
+        bcs[bc] = disp
+    return bcs
+
+
+def load_materials(deck: Deck) -> dict:
+    """Materials table (src/solid.C:261-280)."""
+    mats = {}
+    for m in export_integers(deck("materials", " 0 ")):
+        mats[m] = {
+            "young": deck(f"material/{m}/Hyperelastic/Young", 1.0e3),
+            "poisson": deck(f"material/{m}/Hyperelastic/Poisson", 0.3),
+            "fibre_stiffness": deck(f"material/{m}/Hyperelastic/FibreStiffness", 0.0),
+            "stretch_rate_0": deck(f"material/{m}/Hyperelastic/VolumetricStretchRatio/rate_0", 0.0),
+            "stretch_rate_1": deck(f"material/{m}/Hyperelastic/VolumetricStretchRatio/rate_1", 0.0),
+            "stretch_rate_2": deck(f"material/{m}/Hyperelastic/VolumetricStretchRatio/rate_2", 0.0),
+        }
+    return mats
+
+
+def load_fibres(deck: Deck, mesh) -> np.ndarray:
+    """Per-element fibre unit vectors; errors on degenerate rows
+    (src/solid.C:285-328)."""
+    name = deck("input_fibres", ".")
+    if name == ".":
+        return np.zeros((mesh.n_elems, 3))
+    raw = dat.read_stream(name, mesh.n_elems, 3)
+    norms = np.linalg.norm(raw, axis=1)
+    if (norms <= 1.0e-6).any():
+        raise ValueError(f"{name}: degenerate fibre vector (|v| <= 1e-6)")
+    return raw / norms[:, None]
+
+
+def schedule(deck: Deck, n_steps: int, step_key: str, default_past_end: bool):
+    """output/remeshing schedules (src/solid.C:156-200): step==0 means only
+    the final step (output) or never (remeshing: 1+n_steps)."""
+    step = deck(step_key, 0)
+    if step == 0:
+        return {n_steps + 1} if default_past_end else {n_steps}
+    return set(range(step, n_steps + 1, step))
+
+
+def run(deck_path: str = "input.dat") -> str:
+    plog = PerfLog("solid")
+    deck = Deck(deck_path)
+
+    input_gmsh = deck("input_GMSH", "input.msh")
+    DIR = provenance.prepare_results_dir(
+        deck("directory", "") or None, deck_path, wipe=True
+    )
+    out_gmsh = os.path.join(DIR, deck("output_GMSH", "output.msh"))
+    out_pv = os.path.join(DIR, deck("output_PARAVIEW", "output4paraview"))
+
+    loading_step = deck("loading_step", 1.0)
+    n_load_steps = int(1.0 / loading_step)
+    otp = (set(export_integers(deck("output_time_points", "")))
+           if deck.have("output_time_points")
+           else schedule(deck, n_load_steps, "output_step", False))
+    if deck.have("output_time_points"):
+        deck("output_step", 0)
+    rtp = schedule(deck, n_load_steps, "remeshing_step", True)
+    deck("mesh/skip_renumber_nodes_and_elements", True)
+    for k, d in [("mesh/AMR/max_steps", 0), ("mesh/AMR/max_level", 3)]:
+        deck(k, d)
+    deck("mesh/AMR/refine_percentage", 0.5)
+    deck("mesh/AMR/coarsen_percentage", 0.5)
+
+    with plog.scope("mesh io"):
+        mesh = gmsh.read(input_gmsh)
+        print(mesh.print_info())
+        gmsh.write(mesh, out_gmsh)
+
+    fibres = load_fibres(deck, mesh)
+    with plog.scope("system setup"):
+        system = SolidSystem(
+            mesh,
+            materials=load_materials(deck),
+            bcs=load_bcs(deck),
+            penalty=deck("BCs/displacement_penalty", 1.0e5),
+            fibres=fibres,
+            newton=load_newton_options(deck),
+        )
+    x = system.initial_positions()
+
+    paraview = ParaviewWriter(mesh)
+    paraview.open_pvd(out_pv)
+
+    p_elem = np.zeros(mesh.n_elems)
+    vm_elem = np.zeros(mesh.n_elems)
+    fibre_cur = fibres.copy()
+
+    def save(t: int):
+        xs = np.asarray(x)
+        u = np.asarray(system.displacement(x))
+        with plog.scope("vtu output"):
+            fields = [
+                ("x", xs[:, 0]), ("y", xs[:, 1]), ("z", xs[:, 2]),
+                ("undeformed_x", mesh.coords[:, 0]),
+                ("undeformed_y", mesh.coords[:, 1]),
+                ("undeformed_z", mesh.coords[:, 2]),
+                ("u_x", u[:, 0]), ("u_y", u[:, 1]), ("u_z", u[:, 2]),
+                ("fibre_reference_x", elemental_to_nodal(mesh, fibres[:, 0])),
+                ("fibre_reference_y", elemental_to_nodal(mesh, fibres[:, 1])),
+                ("fibre_reference_z", elemental_to_nodal(mesh, fibres[:, 2])),
+                ("fibre_current_x", elemental_to_nodal(mesh, fibre_cur[:, 0])),
+                ("fibre_current_y", elemental_to_nodal(mesh, fibre_cur[:, 1])),
+                ("fibre_current_z", elemental_to_nodal(mesh, fibre_cur[:, 2])),
+                ("p", elemental_to_nodal(mesh, p_elem)),
+                ("VM", elemental_to_nodal(mesh, vm_elem)),
+            ]
+            # current positions travel as the Points array too
+            paraview.update_pvd(fields, t, coords=xs)
+
+    save(0)
+
+    pseudo_time = 0.0
+    for l in range(1, n_load_steps + 1):
+        pseudo_time += loading_step
+        step_banner(l, n_load_steps, pseudo_time, label="pseudo-time")
+        with plog.scope("newton solve"):
+            res = system.run_solver(x, pseudo_time)
+            x = res.x
+        print(f"   Newton: {int(res.iters)} iterations, "
+              f"|R| {float(res.residual_norm):.3e}")
+        with plog.scope("post process"):
+            p_j, vm_j, fc_j = system.post_process(x, pseudo_time)
+            p_elem, vm_elem, fibre_cur = (
+                np.asarray(p_j), np.asarray(vm_j), np.asarray(fc_j)
+            )
+        if l in rtp:
+            print("WARNING: adaptive remeshing requested but deferred in this "
+                  "build (documented deviation)", file=sys.stderr)
+        if l in otp:
+            save(l)
+
+    paraview.close_pvd()
+    deck.warn_unused()
+    plog.report()
+    return DIR

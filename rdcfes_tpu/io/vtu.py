@@ -1,0 +1,166 @@
+"""ParaView VTU / PVD writers.
+
+Output-format parity with the reference's Paraview_IO (src/paraview.h:12-248):
+
+* ASCII .vtu with Points ("position"), PointData (node_ID then every field),
+  CellData (element_ID, region_ID, processor_ID), Cells
+  (connectivity/offsets/types with the VTK type map, src/paraview.h:210-234)
+* values with |x| <= 1e-24 flushed to 0 (src/paraview.h:96)
+* a .pvd collection file accumulating <DataSet timestep=.../> entries
+  (src/paraview.h:157-198)
+
+Field list = all system variables in registration order, which is what
+libMesh's build_solution_vector produces for the reference; CONSTANT MONOMIAL
+(per-element) variables are projected to nodes by averaging adjacent element
+values, matching libMesh's nodal projection of monomials.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..mesh.core import Mesh
+
+SMALLEST_NUMBER = 1.0e-24
+
+_VTK_TYPE = {"TET4": 10, "HEX8": 12, "TRI3": 5, "QUAD4": 9}
+
+
+def elemental_to_nodal(mesh: Mesh, values: np.ndarray) -> np.ndarray:
+    """Arithmetic average of adjacent element values at each node (the
+    nodal projection applied to CONSTANT MONOMIAL fields on output)."""
+    conn = mesh.connectivity
+    total = np.zeros(mesh.n_nodes)
+    count = np.zeros(mesh.n_nodes)
+    np.add.at(total, conn.ravel(), np.repeat(values, conn.shape[1]))
+    np.add.at(count, conn.ravel(), 1.0)
+    return total / np.maximum(count, 1.0)
+
+
+def _fmt(x: float) -> str:
+    return f"{x:g}"
+
+
+def write_vtu(
+    path: str,
+    mesh: Mesh,
+    point_fields: Sequence[Tuple[str, np.ndarray]],
+    cell_fields: Sequence[Tuple[str, np.ndarray]] = (),
+    coords: Optional[np.ndarray] = None,
+    processor_id: Optional[np.ndarray] = None,
+) -> None:
+    """Write one ASCII .vtu frame.
+
+    point_fields: (name, (N,) array) in output order; elemental fields the
+    caller wants exported as PointData should be pre-projected with
+    `elemental_to_nodal`.
+    cell_fields: extra (name, (E,) int array) CellData after the standard
+    element_ID/region_ID/processor_ID triple.
+    """
+    coords = mesh.coords if coords is None else np.asarray(coords)
+    E = mesh.n_elems
+    N = mesh.n_nodes
+    proc = processor_id if processor_id is not None else np.zeros(E, dtype=int)
+    vtk_type = _VTK_TYPE[mesh.elem_type]
+    K = mesh.nodes_per_elem
+
+    with open(path, "w") as f:
+        w = f.write
+        w('<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">\n')
+        w("  <UnstructuredGrid>\n")
+        w(f'    <Piece  NumberOfPoints="{N}" NumberOfCells="{E}">\n')
+        w("      <Points>\n")
+        w('        <DataArray type="Float64" Name="position" NumberOfComponents="3" format="ascii">\n')
+        w(" " + " ".join(_fmt(v) for v in coords.ravel()))
+        w("\n        </DataArray>\n      </Points>\n")
+        w("      <PointData>\n")
+        w('        <DataArray type="Int32" Name="node_ID" NumberOfComponents="1" format="ascii">\n')
+        w(" " + " ".join(str(i + 1) for i in range(N)))
+        w("\n        </DataArray>\n")
+        for name, vals in point_fields:
+            vals = np.asarray(vals, dtype=np.float64)
+            flushed = np.where(np.abs(vals) <= SMALLEST_NUMBER, 0.0, vals)
+            w(f'        <DataArray type="Float64" Name="{name}" NumberOfComponents="1" format="ascii">\n')
+            w(" " + " ".join(_fmt(v) for v in flushed))
+            w("\n        </DataArray>\n")
+        w("      </PointData>\n")
+        w("      <CellData>\n")
+        for name, vals in (
+            ("element_ID", np.arange(1, E + 1)),
+            ("region_ID", mesh.subdomain_id),
+            ("processor_ID", proc),
+        ):
+            w(f'        <DataArray type="Int32" Name="{name}" NumberOfComponents="1" format="ascii">\n')
+            w(" " + " ".join(str(int(v)) for v in vals))
+            w("\n        </DataArray>\n")
+        for name, vals in cell_fields:
+            w(f'        <DataArray type="Float64" Name="{name}" NumberOfComponents="1" format="ascii">\n')
+            w(" " + " ".join(_fmt(float(v)) for v in vals))
+            w("\n        </DataArray>\n")
+        w("      </CellData>\n")
+        w("      <Cells>\n")
+        w('        <DataArray type="Int32" Name="connectivity" NumberOfComponents="1" format="ascii">\n')
+        w(" " + " ".join(str(int(v)) for v in mesh.connectivity.ravel()))
+        w("\n        </DataArray>\n")
+        w('        <DataArray type="Int32" Name="offsets" NumberOfComponents="1" format="ascii">\n')
+        w(" " + " ".join(str(K * (e + 1)) for e in range(E)))
+        w("\n        </DataArray>\n")
+        w('        <DataArray type="Int32" Name="types" NumberOfComponents="1" format="ascii">\n')
+        w(" " + " ".join(str(vtk_type) for _ in range(E)))
+        w("\n        </DataArray>\n")
+        w("      </Cells>\n    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
+
+
+class ParaviewWriter:
+    """Time-series writer: open_pvd / update_pvd / close_pvd parity
+    (src/paraview.h:157-198)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self._pvd = None
+        self._base = None
+
+    def open_pvd(self, base: str) -> None:
+        assert self._pvd is None, "pvd already open"
+        self._base = base
+        self._pvd = open(base + ".pvd", "w")
+        self._pvd.write(
+            '<?xml version="1.0"?>\n'
+            '<VTKFile type="Collection" version="0.1" byte_order="LittleEndian">\n'
+            "  <Collection>\n"
+        )
+        self._pvd.flush()
+
+    def update_pvd(
+        self,
+        point_fields,
+        t: int = 0,
+        cell_fields=(),
+        coords: Optional[np.ndarray] = None,
+        processor_id: Optional[np.ndarray] = None,
+    ) -> str:
+        assert self._pvd is not None, "open_pvd first"
+        vtu = f"{self._base}-{t}.vtu"
+        write_vtu(vtu, self.mesh, point_fields, cell_fields, coords, processor_id)
+        fname = os.path.basename(vtu)
+        self._pvd.write(
+            f'    <DataSet timestep="{t}" group="" part="0" file="{fname}"/>\n'
+        )
+        self._pvd.flush()
+        return vtu
+
+    def close_pvd(self) -> None:
+        if self._pvd is None:
+            return
+        self._pvd.write("  </Collection>\n</VTKFile>\n")
+        self._pvd.close()
+        self._pvd = None
+
+    def __del__(self):
+        try:
+            self.close_pvd()
+        except Exception:
+            pass

@@ -77,6 +77,7 @@ class TransientRDCSystem:
         method: str = "bicgstab",
         rtol: float = DEFAULT_RTOL,
         maxiter: int = DEFAULT_MAXITER,
+        moving_mesh: bool = False,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
@@ -85,6 +86,11 @@ class TransientRDCSystem:
         self.method = method
         self.rtol = rtol
         self.maxiter = maxiter
+        # moving_mesh: recompute geometry factors from the coords passed to
+        # step() — the coupled RDC<->solid path assembles on the CURRENT
+        # deformed configuration every step (src/coupled_hcc.C:114 via
+        # fe->reinit on the moved mesh)
+        self.moving_mesh = moving_mesh
 
         self.sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
         # device-resident static tables
@@ -97,30 +103,31 @@ class TransientRDCSystem:
             jnp.asarray(mesh.coords), self.conn, mesh.elem_type
         )
         self._step = jax.jit(self._step_impl)
+        self._step_moving = jax.jit(self._step_moving_impl)
 
     # ------------------------------------------------------------------
     def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
         u0 = jnp.asarray(u0, dtype=jnp.float64)
         assert u0.shape == (self.mesh.n_nodes, self.n_vars)
-        return {"u": u0, "u_old": u0, "u_older": u0}
+        # u_raw = the pre-clamp solver output (RIPF's finite-difference
+        # time-derivative bookkeeping uses it, src/ripf.C:770)
+        return {"u": u0, "u_old": u0, "u_older": u0, "u_raw": u0}
 
     # ------------------------------------------------------------------
-    def assemble(self, u_old: jnp.ndarray, fields: Dict, params: Dict):
+    def assemble(self, u_old: jnp.ndarray, fields: Dict, params: Dict,
+                 geom=None):
         """Assemble (block-CSR values, rhs) for one linearized-CN step."""
-        u_qp, grad_qp = interpolate_at_qp(u_old, self.conn, self.phi, self.dphi)
+        phi, JxW, dphi = geom if geom is not None else (self.phi, self.JxW, self.dphi)
+        u_qp, grad_qp = interpolate_at_qp(u_old, self.conn, phi, dphi)
         wf = self.physics(u_qp, grad_qp, fields, params)
-        Fe = element_vectors(wf, self.phi, self.JxW, self.dphi)
-        Ke = element_matrices(wf, self.phi, self.JxW, self.dphi)
+        Fe = element_vectors(wf, phi, JxW, dphi)
+        Ke = element_matrices(wf, phi, JxW, dphi)
         values = assemble_matrix(Ke, self.slots, self.sp.nnz)
         b = assemble_vector(Fe, self.conn, self.sp.n_nodes)
         return values, b
 
-    def _step_impl(self, state: Dict, fields: Dict, params: Dict):
-        u = state["u"]
-        # history rotation (src/pihna.C:77-78): the freshly rotated "old"
-        # solution drives the assembly
-        u_old = u
-        values, b = self.assemble(u_old, fields, params)
+    def _solve_clamped(self, state, values, b):
+        u_old = state["u"]
         matvec = partial(
             bcsr_matvec, values, self.rows, self.cols, n_nodes=self.sp.n_nodes
         )
@@ -129,11 +136,30 @@ class TransientRDCSystem:
         fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
         res = fn(matvec, b, x0=u_old, M=M, rtol=self.rtol, maxiter=self.maxiter)
         u_new = self.clamp(res.x)
-        new_state = {"u": u_new, "u_old": u_old, "u_older": state["u_old"]}
+        new_state = {"u": u_new, "u_old": u_old, "u_older": state["u_old"],
+                     "u_raw": res.x}
         return new_state, res.iters, res.residual
+
+    def _step_impl(self, state: Dict, fields: Dict, params: Dict):
+        # history rotation (src/pihna.C:77-78): the freshly rotated "old"
+        # solution (= the current one) drives the assembly
+        values, b = self.assemble(state["u"], fields, params)
+        return self._solve_clamped(state, values, b)
+
+    def _step_moving_impl(self, state: Dict, fields: Dict, params: Dict,
+                          coords: jnp.ndarray):
+        geom = geometry_factors(coords, self.conn, self.mesh.elem_type)
+        values, b = self.assemble(state["u"], fields, params, geom=geom)
+        return self._solve_clamped(state, values, b)
 
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
-             params: Optional[Dict] = None):
-        """Advance one time step. Returns (new_state, lin_iters, lin_residual)."""
+             params: Optional[Dict] = None, coords: Optional[jnp.ndarray] = None):
+        """Advance one time step. Returns (new_state, lin_iters, lin_residual).
+
+        `coords` (required when moving_mesh=True) are the current node
+        positions the geometry is evaluated on."""
+        if self.moving_mesh:
+            assert coords is not None, "moving_mesh system needs current coords"
+            return self._step_moving(state, fields or {}, params or {}, coords)
         return self._step(state, fields or {}, params or {})

@@ -1,0 +1,312 @@
+"""End-to-end driver tests: each reference case flow on small synthetic
+inputs, checking the full artifact contract (processed Gmsh copy, CSV
+metrics, VTU/PVD series, deck warnings)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rdcfes_tpu.mesh import box_hex_mesh, box_tet_mesh, gmsh
+
+
+def _write_case(tmp, mesh, deck_text, nodal=None, elemental=None,
+                nodal_name="input.nodal", elem_name="input.elemental"):
+    os.makedirs(tmp, exist_ok=True)
+    gmsh.write(mesh, os.path.join(tmp, "input.msh"))
+    if nodal is not None:
+        np.savetxt(os.path.join(tmp, nodal_name), nodal)
+    if elemental is not None:
+        np.savetxt(os.path.join(tmp, elem_name), elemental)
+    with open(os.path.join(tmp, "input.dat"), "w") as f:
+        f.write(deck_text)
+
+
+@pytest.fixture
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return str(tmp_path)
+
+
+def test_pihna_driver(in_tmp):
+    from rdcfes_tpu.drivers import pihna
+
+    mesh = box_tet_mesh(3, 3, 3)
+    rng = np.random.default_rng(0)
+    Kk = 2.39e5
+    u0 = np.zeros((mesh.n_nodes, 5))
+    u0[:, 1] = 0.1 * Kk * rng.random(mesh.n_nodes)
+    u0[:, 3] = 0.03 * Kk
+    u0[:, 4] = 1e-9
+    structure = np.zeros((mesh.n_elems, 2))
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nodal
+input_elemental = input.elemental
+time_step_number = 3
+time_step = 0.1
+output_step = 1
+cells_max_capacity = 2.39e+5
+cells_max_capacity/exponent = 3
+cells_min_capacity = 1.0
+cytokines_max_capacity = 1.0e-8
+necrosis/c = 500.0
+necrosis/h = 200.0
+necrosis/v = 300.0
+produce/c = -2.5
+switch/c/to/h = 1.0
+switch/h/to/c = 1.82
+switch/h/to/n = 0.5
+diffuse/v = 0.5
+produce/v = 10.0
+secrete/a/from/c = 2.77e-13
+secrete/a/from/h = 5.22e-10
+decay/a = 5678.4
+"""
+    _write_case(in_tmp, mesh, deck, u0, structure)
+    outdir = pihna.run("input.dat")
+    assert outdir == "out"
+    csv = open(os.path.join(outdir, "output.csv")).read().splitlines()
+    assert csv[0].startswith('"TIME","DEGREES_OF_FREEDOM"')
+    assert len(csv) == 1 + 4  # initial + 3 outputs
+    for t in (0, 1, 2, 3):
+        assert os.path.exists(os.path.join(outdir, f"output4paraview-{t}.vtu"))
+    assert os.path.exists(os.path.join(outdir, "output.msh"))
+    pvd = open(os.path.join(outdir, "output4paraview.pvd")).read()
+    assert pvd.count("<DataSet") == 4 and "</Collection>" in pvd
+    # processed mesh re-reads identically
+    m2 = gmsh.read(os.path.join(outdir, "output.msh"))
+    assert m2.n_nodes == mesh.n_nodes and m2.n_elems == mesh.n_elems
+
+
+def test_adpm_driver(in_tmp):
+    from rdcfes_tpu.drivers import adpm
+
+    mesh = box_tet_mesh(2, 2, 3)
+    mesh.subdomain_id[: mesh.n_elems // 2] = 4
+    mesh.subdomain_id[mesh.n_elems // 2:] = 9
+    rng = np.random.default_rng(1)
+    u0 = np.zeros((mesh.n_nodes, 3))
+    u0[:, 0] = 1.0
+    u0[:, 1] = 0.1 * rng.random(mesh.n_nodes)
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nodal
+input_elemental = input.elemental
+time_step_number = 2
+time_step = 0.05
+output_step = 1
+decay/PrP = 1.0e-4
+decay/PrP/pulse/0 = 0.01
+decay/PrP/pulse/1 = 10.0
+diffuse/A_b = 0.05
+diffuse/A_b/pulse/0 = 1e-5
+diffuse/A_b/pulse/1 = 10.0
+taxis/A_b = 999.0      # key mismatch on purpose: code reads taxis_1/A_b
+"""
+    _write_case(in_tmp, mesh, deck, u0, tracts)
+    outdir = adpm.run("input.dat")
+    csv = open(os.path.join(outdir, "output.csv")).read().splitlines()
+    # header carries both parcellation ids
+    assert "CONCENTRATION__A_b__4" in csv[0] and "VOLUME__Tau__9" in csv[0]
+    assert len(csv) == 1 + 3
+    # the mismatched key must be reported as unused
+    from rdcfes_tpu.io.getpot import Deck
+
+    d = Deck(os.path.join(in_tmp, "input.dat"))
+    d("taxis_1/A_b", 0.0)
+    assert "taxis/A_b" in d.keys()
+
+
+def test_ripf_driver(in_tmp):
+    from rdcfes_tpu.drivers import ripf as ripf_driver
+
+    mesh = box_tet_mesh(2, 2, 2)
+    rng = np.random.default_rng(2)
+    u0 = np.stack(
+        [
+            rng.uniform(-500, -100, mesh.n_nodes),
+            rng.uniform(0.1, 0.3, mesh.n_nodes),
+            rng.uniform(0.1, 0.3, mesh.n_nodes),
+        ],
+        axis=1,
+    )
+    rt = np.stack(
+        [np.full(mesh.n_nodes, 56.0), np.full(mesh.n_nodes, 16.0)], axis=1
+    )
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nodal
+input_nodal_RT = input.rt
+time_step_number = 2
+time_step = 0.1
+output_time_points = ' 1 2 '
+RT_dose/broad/fractions = 28
+RT_dose/focus/fractions = 8
+volume_fraction/stroma = 0.30
+volume_fraction/parenchyma = 0.20
+volume_fraction/exponent = 2.5
+volume_fraction/min_vacant = 1.e-5
+HU/phi/tolerance = 1.0e-3
+cc/delta = 0.0864
+cc/delta/RT/a = 0.3
+cc/delta/RT/b = 0.03
+fb/lambda = 0.01
+fb/lambda/RT/r = 1.0
+fb/omega = 0.1
+fb/diffusion = 1.0e-20
+fb/haptotaxis = 0.05
+"""
+    _write_case(in_tmp, mesh, deck, u0, rt, elem_name="input.rt")
+    outdir = ripf_driver.run("input.dat")
+    csv = open(os.path.join(outdir, "output.csv")).read().splitlines()
+    assert len(csv) == 3  # initial + 2 outputs, no header (reference parity)
+    assert all(len(line.split(",")) == 3 for line in csv)
+
+
+def test_ripf_validation_error(in_tmp):
+    from rdcfes_tpu.drivers.ripf import load_params
+    from rdcfes_tpu.io.getpot import Deck
+
+    d = Deck({"cc/kappa": "-1.0"})
+    with pytest.raises(ValueError, match="cc/kappa"):
+        load_params(d)
+
+
+def test_proteas_driver(in_tmp):
+    from rdcfes_tpu.drivers import proteas
+
+    mesh = box_tet_mesh(2, 2, 2)
+    rng = np.random.default_rng(3)
+    u0 = np.stack(
+        [
+            rng.uniform(0.2, 0.4, mesh.n_nodes),
+            rng.uniform(0.05, 0.2, mesh.n_nodes),
+            rng.uniform(0.0, 0.05, mesh.n_nodes),
+            rng.uniform(0.1, 0.2, mesh.n_nodes),
+            rng.uniform(0.0, 0.05, mesh.n_nodes),
+        ],
+        axis=1,
+    )
+    aux = np.stack(
+        [rng.uniform(-100, 100, mesh.n_nodes), rng.uniform(0, 30, mesh.n_nodes)],
+        axis=1,
+    )
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nd
+input_nodal_aux = input_aux.nd
+time_step_number = 2
+time_step = 0.01
+output_step = 1
+cells/total_capacity = 2.0
+radiotherapy/max_dosage = 60.0
+host/proliferation = 0.4
+host/vsc_threshold = 0.05
+tumour/diffusion = 0.1
+tumour/diffusion_host = 0.05
+tumour/proliferation = 0.5
+tumour/vsc_threshold = 0.05
+necrosis/slope = 2.0
+oedema/diffusion = 0.1
+"""
+    # tolerant parser gets comments + blank lines
+    nodal_text = "# header comment\n\n" + "\n".join(
+        " ".join(f"{v:.6g}" for v in row) for row in u0
+    )
+    aux_text = "\n".join(" ".join(f"{v:.6g}" for v in row) for row in aux)
+    _write_case(in_tmp, mesh, deck)
+    open(os.path.join(in_tmp, "input.nd"), "w").write(nodal_text)
+    open(os.path.join(in_tmp, "input_aux.nd"), "w").write(aux_text)
+    outdir = proteas.run("input.dat")
+    # vtu frames 0..2; csv exists but is empty (reference parity)
+    for t in (0, 1, 2):
+        assert os.path.exists(os.path.join(outdir, f"out-{t}.vtu"))
+    assert os.path.getsize(os.path.join(outdir, "out.csv")) == 0
+
+
+def test_solid_driver(in_tmp):
+    from rdcfes_tpu.drivers import solid as solid_driver
+
+    mesh = box_hex_mesh(3, 3, 3, bounds=((0, 1.5), (0, 1.5), (0, 1.5)))
+    deck = """
+directory = simulation
+input_GMSH = input.msh
+output_PARAVIEW = out
+loading_step = 0.5
+output_time_points = ' 1 2 '
+solver/nonlinear/max_nonlinear_iterations = 10
+BCs = ' 0 5 '
+BC/0/displacement/0 = +0.000
+BC/0/displacement/1 = +0.000
+BC/0/displacement/2 = +0.000
+BC/5/displacement/0 = NAN
+BC/5/displacement/1 = NAN
+BC/5/displacement/2 = -0.30
+BCs/displacement_penalty = 1.e+8
+materials = ' 0 '
+material/0/Hyperelastic/Young = 1.0e+4
+material/0/Hyperelastic/Poisson = 0.3
+"""
+    _write_case(in_tmp, mesh, deck)
+    outdir = solid_driver.run("input.dat")
+    assert os.path.exists(os.path.join(outdir, "out-2.vtu"))
+    vtu = open(os.path.join(outdir, "out-2.vtu")).read()
+    for name in ("u_z", "undeformed_x", "p", "VM", "fibre_current_x"):
+        assert f'Name="{name}"' in vtu
+
+
+def test_coupled_hcc_driver(in_tmp):
+    from rdcfes_tpu.drivers import coupled_hcc
+
+    mesh = box_hex_mesh(2, 2, 2)
+    mesh.subdomain_id[:] = 3000
+    rng = np.random.default_rng(5)
+    u0 = np.stack(
+        [
+            np.full(mesh.n_nodes, 0.4),
+            0.2 * np.exp(-10 * ((mesh.coords - 0.5) ** 2).sum(axis=1)),
+            np.full(mesh.n_nodes, 0.01),
+        ],
+        axis=1,
+    )
+    deck = """
+directory = simulation
+input_GMSH = input.msh
+input_nodal = input.nodal
+output_PARAVIEW = out
+time_step = 0.01
+number_of_time_steps = 4
+number_of_loading_steps = 2
+output_step = 2
+cells/min_capacity = 0.0
+cells/max_capacity = 1.0
+cells/max_capacity/exponent = 3
+produce/c = 0.5
+diffuse/c = 0.05
+necrosis/l = 0.1
+necrosis/c = 0.1
+BCs = ' 0 '
+BC/0/displacement/0 = +0.000
+BC/0/displacement/1 = +0.000
+BC/0/displacement/2 = +0.000
+BCs/displacement_penalty = 1.e+6
+materials = ' 3000 '
+material/3000/Hyperelastic/Young = 2.0e+3
+material/3000/Hyperelastic/Poisson = 0.4
+material/3000/Hyperelastic/VolumetricStretchRatio/rate_0 = 3.0e-1
+material/3000/Hyperelastic/VolumetricStretchRatio/rate_1 = 3.0e-1
+material/3000/Hyperelastic/VolumetricStretchRatio/rate_2 = 3.0e-1
+"""
+    _write_case(in_tmp, mesh, deck, u0)
+    outdir = coupled_hcc.run("input.dat")
+    for t in (0, 2, 4):
+        assert os.path.exists(os.path.join(outdir, f"out-{t}.vtu"))
+    # growth must have moved the mesh: final positions differ from initial
+    vtu = open(os.path.join(outdir, "out-4.vtu")).read()
+    assert 'Name="c"' in vtu and 'Name="u_x"' in vtu
