@@ -1,0 +1,92 @@
+"""Benchmark: PIHNA north-star case at reference scale on real hardware.
+
+Workload (BASELINE.md): the run/PIHNA configuration — ~25k nodes x 5 vars,
+~135k TET4 elements, dt=0.1, shipped deck parameters — on a synthetic
+brain-scale mesh standing in for the LFS-stripped patient mesh (same
+node/element counts, same IC structure: a Gaussian tumour seed over uniform
+vasculature).
+
+Metric: time steps/sec over a timed window after jit warmup; also reports
+elements assembled per second.  `vs_baseline` compares against an estimated
+0.5 steps/sec for the 8-rank MPI CPU reference (the reference publishes no
+numbers — BASELINE.md section 1; this estimate corresponds to ~2 s/step for
+assembly + Krylov of a 124k-dof 5-species system on 8 CPU ranks, and is
+recorded here so the comparison is reproducible when a measured baseline
+lands).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from rdcfes_tpu.mesh import box_tet_mesh
+    from rdcfes_tpu.models.pihna import default_params, pihna_physics
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    # ~25k nodes, ~135k tets: 28^3 grid -> 24,389 nodes, 131,712 tets
+    n = 28
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 0.18), (0, 0.21), (0, 0.18)))
+
+    Kk = 2.39e5
+    params = default_params()
+    params.update(
+        dt=0.1, cells_min_capacity=1.0, cells_max_capacity=Kk,
+        cells_max_capacity_exponent=3.0, cytokines_max_capacity=1.0e-8,
+        necrosis_c=500.0 / Kk, necrosis_h=200.0 / Kk, necrosis_v=300.0 / Kk,
+        produce_c=-2.5, switch_c2h=1.0, switch_h2c=1.82, switch_h2n=0.5,
+        diffuse_v=0.5, produce_v=10.0,
+        secrete_a_c=2.77e-13, secrete_a_h=5.22e-10, decay_a=5678.4,
+    )
+
+    rng = np.random.default_rng(0)
+    u0 = np.zeros((mesh.n_nodes, 5))
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0[:, 1] = 0.1 * Kk * np.exp(-r2 / (2 * 0.03**2))
+    u0[:, 2] = 0.02 * Kk * np.exp(-r2 / (2 * 0.04**2))
+    u0[:, 3] = 0.03 * Kk * (1.0 + 0.1 * rng.random(mesh.n_nodes))
+    u0[:, 4] = 1e-9
+
+    system = TransientRDCSystem(mesh, 5, pihna_physics)
+    state = system.initial_state(u0)
+
+    # warmup (compile + first steps)
+    for _ in range(3):
+        state, iters, res = system.step(state, params=params)
+    jax.block_until_ready(state["u"])
+
+    n_timed = 20
+    t0 = time.perf_counter()
+    for _ in range(n_timed):
+        state, iters, res = system.step(state, params=params)
+    jax.block_until_ready(state["u"])
+    dt_wall = time.perf_counter() - t0
+
+    steps_per_sec = n_timed / dt_wall
+    elems_per_sec = steps_per_sec * mesh.n_elems
+    baseline_steps_per_sec = 0.5  # estimated 8-rank MPI CPU reference
+    u = np.asarray(state["u"])
+    assert np.isfinite(u).all() and (u >= 0).all()
+
+    print(json.dumps({
+        "metric": "PIHNA brain-scale (24.4k nodes/131.7k TET4, 5 vars) time steps/sec",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 2),
+        "elements_assembled_per_sec": round(elems_per_sec, 0),
+        "krylov_iters_last_step": int(iters),
+        "linear_residual": float(res),
+        "n_nodes": mesh.n_nodes,
+        "n_elems": mesh.n_elems,
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

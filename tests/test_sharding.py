@@ -1,0 +1,83 @@
+"""Multi-device sharding correctness.
+
+The PIHNA system matrix is intrinsically very ill-conditioned (~1e21: the
+deck mixes Kappa_a = 1e-8 cytokine scales with Kappa_k = 2.4e5 cell
+densities), so different floating-point summation orders (8 shards vs 1)
+legitimately drift apart over steps — exactly as the reference's own results
+differ between MPI rank counts.  Correctness is therefore checked against a
+DENSE DIRECT solve of the same step at the parity bar (1e-8 relative per
+variable per step), not bitwise between device counts.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh as DeviceMesh
+
+from rdcfes_tpu.mesh import box_tet_mesh
+from rdcfes_tpu.models.pihna import pihna_physics
+from rdcfes_tpu.parallel import ShardedTransientSystem
+from rdcfes_tpu.systems import TransientRDCSystem
+
+from helpers import assemble_dense
+from test_pihna import run_deck_params
+
+
+def _setup():
+    mesh = box_tet_mesh(3, 3, 3)
+    params = run_deck_params()
+    rng = np.random.default_rng(123)
+    Kk = params["cells_max_capacity"]
+    u0 = np.zeros((mesh.n_nodes, 5))
+    u0[:, 1] = 0.1 * Kk * rng.random(mesh.n_nodes)
+    u0[:, 3] = 0.03 * Kk
+    u0[:, 4] = 1e-9
+    return mesh, params, u0
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 8])
+def test_sharded_step_matches_direct_solve(n_dev):
+    devices = np.array(jax.devices()[:n_dev])
+    assert devices.size == n_dev, "conftest must provide 8 virtual devices"
+    dmesh = DeviceMesh(devices, ("d",))
+    mesh, params, u0 = _setup()
+
+    # ground truth: one dense direct step (pre-clamp)
+    K, F, _, _ = assemble_dense(mesh, 5, pihna_physics, {}, params, u0)
+    x_direct = np.maximum(np.linalg.solve(K, F).reshape(-1, 5), 0.0)
+
+    sharded = ShardedTransientSystem(mesh, 5, pihna_physics, dmesh)
+    u = sharded.initial_state(u0)
+    u1, iters, res = sharded.step(u, params=params)
+    u1 = np.asarray(u1)
+
+    assert float(res) < 1e-10
+    for v in range(5):
+        scale = np.abs(x_direct[:, v]).max()
+        err = np.abs(u1[:, v] - x_direct[:, v]).max()
+        assert err <= 1e-8 * scale, f"var {v}: rel err {err / scale:.2e}"
+
+
+def test_sharded_multi_step_tracks_single_device():
+    """Trajectories agree to the conditioning-limited tolerance over steps."""
+    devices = np.array(jax.devices()[:8])
+    dmesh = DeviceMesh(devices, ("d",))
+    mesh, params, u0 = _setup()
+
+    ref = TransientRDCSystem(mesh, 5, pihna_physics)
+    state = ref.initial_state(u0)
+    for _ in range(3):
+        state, *_ = ref.step(state, params=params)
+    u_ref = np.asarray(state["u"])
+
+    sharded = ShardedTransientSystem(mesh, 5, pihna_physics, dmesh)
+    u = sharded.initial_state(u0)
+    for _ in range(3):
+        u, *_ = sharded.step(u, params=params)
+    u_sh = np.asarray(u)
+
+    for v in range(5):
+        scale = max(np.abs(u_ref[:, v]).max(), 1e-300)
+        err = np.abs(u_sh[:, v] - u_ref[:, v]).max()
+        assert err <= 1e-4 * scale, f"var {v}: rel drift {err / scale:.2e}"
