@@ -1,0 +1,102 @@
+"""Adaptive-mesh-refinement support: Kelly error indicator + flagging.
+
+The reference's AMR stack is libMesh's KellyErrorEstimator +
+`flag_elements_by_mean_stddev` + `refine_and_coarsen_elements`
+(src/pihna.C:805-840, src/solid.C:330-369, src/coupled_hcc.C:733-780).
+Every shipped deck either disables AMR or caps it at one step that never
+fires (SURVEY.md section 2.3), so this build provides:
+
+  * `kelly_error_indicator` — the face-flux-jump indicator as a batched
+    kernel: for P1 fields the gradient is element-wise constant, so the
+    Kelly side integral reduces to  (h_f / 24) * area_f * [[grad u . n]]^2
+    summed over interior faces and over the flagged variables (summed error
+    contributions match libMesh's shared ErrorVector accumulation when
+    several variables map to one vector)
+  * `flag_by_mean_stddev` — refine where eta > mean + refine_frac * std,
+    coarsen where eta < mean - coarsen_frac * std (libMesh semantics)
+
+The actual refine/coarsen topology change is a host-side remesh + re-shard
+and is deferred (documented deviation; the drivers warn when a deck would
+trigger it).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..mesh.core import ELEMENT_FACES, Mesh
+from .geometry import geometry_factors
+
+
+def _face_areas_normals_h(mesh: Mesh, elem: np.ndarray, side: np.ndarray):
+    """Area, outward unit normal, and element size h for given (elem, side)
+    pairs (host NumPy; topology is static)."""
+    faces_def = ELEMENT_FACES[mesh.elem_type]
+    fn = np.array([list(faces_def[s]) for s in side])  # (F, Kf)
+    nodes = mesh.connectivity[elem[:, None], fn]  # (F, Kf)
+    X = mesh.coords[nodes]  # (F, Kf, 3)
+    if X.shape[1] == 3:  # triangle
+        n = np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0])
+        area = 0.5 * np.linalg.norm(n, axis=1)
+    else:  # quad: split into two triangles
+        n1 = np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0])
+        n2 = np.cross(X[:, 2] - X[:, 0], X[:, 3] - X[:, 0])
+        n = n1 + n2
+        area = 0.5 * (np.linalg.norm(n1, axis=1) + np.linalg.norm(n2, axis=1))
+    normal = n / np.linalg.norm(n, axis=1, keepdims=True)
+    # element size h: cube root of volume (isotropic measure)
+    h = np.cbrt(np.abs(mesh.element_volumes()))[elem]
+    return area, normal, h
+
+
+def interior_face_table(mesh: Mesh):
+    """(elem_a, elem_b, area, normal, h_a) for every interior face, each
+    face listed once (host precompute)."""
+    from ..mesh.core import element_neighbors
+
+    nbr = element_neighbors(mesh.connectivity, mesh.elem_type)
+    E, S = nbr.shape
+    elems = np.repeat(np.arange(E), S)
+    sides = np.tile(np.arange(S), E)
+    other = nbr.reshape(-1)
+    keep = other > elems  # interior faces once
+    elems, sides, other = elems[keep], sides[keep], other[keep]
+    area, normal, h = _face_areas_normals_h(mesh, elems, sides)
+    return elems, other, area, normal, h
+
+
+def kelly_error_indicator(mesh: Mesh, u: jnp.ndarray,
+                          variables: Sequence[int]) -> np.ndarray:
+    """Per-element Kelly indicator eta (E,), accumulating the flagged
+    variables into one vector (matching the shared-ErrorVector pattern of
+    src/pihna.C:826-831)."""
+    conn = jnp.asarray(mesh.connectivity)
+    phi, JxW, dphi = geometry_factors(jnp.asarray(mesh.coords), conn,
+                                      mesh.elem_type)
+    ue = jnp.asarray(u)[conn]  # (E, K, V)
+    # P1: element-constant gradient = gradient at qp 0
+    grad = jnp.einsum("ekd,ekv->evd", dphi[:, 0], ue)  # (E, V, 3)
+    grad = np.asarray(grad)
+
+    ea, eb, area, normal, h = interior_face_table(mesh)
+    eta2 = np.zeros(mesh.n_elems)
+    for v in variables:
+        jump = np.einsum("fd,fd->f", grad[ea, v] - grad[eb, v], normal)
+        contrib = (h / 24.0) * area * jump**2
+        np.add.at(eta2, ea, contrib)
+        np.add.at(eta2, eb, contrib)
+    return np.sqrt(eta2)
+
+
+def flag_by_mean_stddev(eta: np.ndarray, refine_fraction: float,
+                        coarsen_fraction: float) -> Tuple[np.ndarray, np.ndarray]:
+    """libMesh flag_elements_by_mean_stddev semantics: refine above
+    mean + refine_fraction*std, coarsen below mean - coarsen_fraction*std."""
+    mean = eta.mean()
+    std = eta.std()
+    refine = eta > mean + refine_fraction * std
+    coarsen = eta < mean - coarsen_fraction * std
+    return refine, coarsen

@@ -1,0 +1,62 @@
+"""Aux subsystems: checkpoint/resume, IDA, Kelly indicator + flagging."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rdcfes_tpu.fem.amr import flag_by_mean_stddev, kelly_error_indicator
+from rdcfes_tpu.mesh import box_tet_mesh
+from rdcfes_tpu.utils import (
+    inverse_distance_interpolate,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ckpt.npz")
+    rng = np.random.default_rng(0)
+    state = {
+        "u": rng.random((10, 3)),
+        "u_old": rng.random((10, 3)),
+        "u_older": rng.random((10, 3)),
+        "u_raw": rng.random((10, 3)),
+    }
+    params = {"dt": 0.1, "alpha": 2.0}
+    save_checkpoint(path, state, step=42, time_value=4.2, params=params,
+                    rt_total=np.ones(10))
+    state2, step, t, extra = load_checkpoint(path, params)
+    assert step == 42 and t == 4.2
+    for k in state:
+        np.testing.assert_array_equal(state2[k], state[k])
+    np.testing.assert_array_equal(extra["rt_total"], np.ones(10))
+    # wrong params -> refuse
+    with pytest.raises(ValueError, match="different parameters"):
+        load_checkpoint(path, {"dt": 0.2, "alpha": 2.0})
+
+
+def test_inverse_distance():
+    nodes = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0]])
+    data = jnp.asarray([1.0, 3.0])
+    # midpoint with coeff 2: equal weights
+    v = inverse_distance_interpolate(jnp.asarray([0.5, 0.0, 0.0]), nodes, data)
+    np.testing.assert_allclose(float(v), 2.0)
+    # exact hit returns nodal value
+    v = inverse_distance_interpolate(jnp.asarray([1.0, 0.0, 0.0]), nodes, data)
+    np.testing.assert_allclose(float(v), 3.0)
+
+
+def test_kelly_indicator_flags_gradient_jumps():
+    """A field with a kink concentrates the indicator near the kink plane."""
+    mesh = box_tet_mesh(6, 2, 2)
+    x = mesh.coords[:, 0]
+    u = np.where(x < 0.5, x, 0.5 + 3.0 * (x - 0.5))[:, None]  # slope 1 -> 3
+    eta = kelly_error_indicator(mesh, jnp.asarray(u), [0])
+    centers = mesh.coords[mesh.connectivity].mean(axis=1)
+    near = np.abs(centers[:, 0] - 0.5) < 1.0 / 6.0
+    assert eta[near].max() > 0
+    assert eta[~near].max() < 1e-12, "smooth regions must have zero indicator"
+    refine, coarsen = flag_by_mean_stddev(eta, 0.5, 0.1)
+    assert refine.any() and refine.sum() < mesh.n_elems
+    # refined elements are exactly the kink neighborhood
+    assert set(np.nonzero(refine)[0]).issubset(set(np.nonzero(near)[0]))
