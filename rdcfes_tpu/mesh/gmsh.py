@@ -36,8 +36,23 @@ _GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 15: 1}
 
 
 def read(path_or_file: Union[str, TextIO]) -> Mesh:
-    """Read a Gmsh 2.x ASCII mesh into a Mesh."""
+    """Read a Gmsh 2.x ASCII mesh into a Mesh.
+
+    File paths go through the native meshkit parser when it is built
+    (identical output, much faster on large meshes); streams and the
+    fallback path use the pure-Python parser below."""
     if isinstance(path_or_file, str):
+        with open(path_or_file, "r") as f:
+            head = f.read(64)
+        if "$MeshFormat\n2" in head:  # well-formed 2.x header -> native path
+            try:
+                from ..native import read_gmsh_native
+
+                mesh = read_gmsh_native(path_or_file)
+                if mesh is not None:
+                    return mesh
+            except Exception:
+                pass  # fall through to the pure-Python parser
         with open(path_or_file, "r") as f:
             text = f.read()
     else:
