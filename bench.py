@@ -30,9 +30,12 @@ def main():
     from rdcfes_tpu.models.pihna import default_params, pihna_physics
     from rdcfes_tpu.systems import TransientRDCSystem
 
-    # ~25k nodes, ~135k tets: 28^3 grid -> 24,389 nodes, 131,712 tets
+    # ~25k nodes, ~135k tets: 28^3 grid -> 24,389 nodes, 131,712 tets.
+    # Brain-like physical extent (mm) so element sizes — and with them the
+    # conditioning / Krylov iteration counts of the implicit step — match
+    # the real run/PIHNA patient-mesh case (h ~ 5 mm, mass-dominated).
     n = 28
-    mesh = box_tet_mesh(n, n, n, bounds=((0, 0.18), (0, 0.21), (0, 0.18)))
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
 
     Kk = 2.39e5
     params = default_params()
@@ -48,8 +51,8 @@ def main():
     rng = np.random.default_rng(0)
     u0 = np.zeros((mesh.n_nodes, 5))
     r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
-    u0[:, 1] = 0.1 * Kk * np.exp(-r2 / (2 * 0.03**2))
-    u0[:, 2] = 0.02 * Kk * np.exp(-r2 / (2 * 0.04**2))
+    u0[:, 1] = 0.1 * Kk * np.exp(-r2 / (2 * 25.0**2))
+    u0[:, 2] = 0.02 * Kk * np.exp(-r2 / (2 * 30.0**2))
     u0[:, 3] = 0.03 * Kk * (1.0 + 0.1 * rng.random(mesh.n_nodes))
     u0[:, 4] = 1e-9
 

@@ -32,3 +32,22 @@ def extract_diagonal_blocks(values: jnp.ndarray,
                             diag_slots: jnp.ndarray) -> jnp.ndarray:
     """Gather the (n_nodes, V, V) diagonal blocks for block-Jacobi."""
     return values[diag_slots]
+
+
+def to_ell(values: jnp.ndarray, ell_slot: jnp.ndarray) -> jnp.ndarray:
+    """Re-layout block-CSR values (nnz, V, W) into ELLPACK (N, L, V, W);
+    padding slots (== nnz) map to an appended zero block."""
+    V, W = values.shape[-2:]
+    padded = jnp.concatenate(
+        [values, jnp.zeros((1, V, W), values.dtype)], axis=0
+    )
+    return padded[ell_slot]
+
+
+def ell_matvec(values_ell: jnp.ndarray, ell_cols: jnp.ndarray,
+               x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x with A in ELLPACK block layout — gather + batched einsum,
+    scatter-free (see fem.assembly.ell_structure for why this matters on
+    TPU)."""
+    xg = x[ell_cols]  # (N, L, W)
+    return jnp.einsum("nlvw,nlw->nv", values_ell, xg)

@@ -5,19 +5,21 @@ TPU-native replacement for the reference's MPI domain decomposition
 each rank assembles its local elements into a distributed PETSc matrix with
 VecScatter halo exchanges, here
 
-  * elements are partitioned into contiguous blocks (padded to equal size)
-    across a 1-D device mesh axis "d" — "owner-computes" assembly becomes a
-    `shard_map` over the element axis
+  * elements are partitioned into contiguous equal blocks across a 1-D
+    device mesh axis "d" — "owner-computes" assembly is a `shard_map` over
+    the element axis
   * each device scatter-adds its element contributions into a full-size
-    block-CSR value buffer; one `psum_scatter` then leaves every device with
-    its fully-summed shard of the nonzeros (the ICI-collective replacement
-    for PETSc's off-process row communication at matrix close)
-  * the Krylov solve runs INSIDE the same shard_map: the SpMV is
-    local-gather + batched block product + segment-sum + `psum`, Krylov
-    vectors and dot products stay replicated — reductions ride ICI, exactly
-    the "context parallelism over space" called for in SURVEY.md section 5
-  * the block-Jacobi preconditioner is built from a psum of the locally
-    owned diagonal blocks
+    row-major ELLPACK buffer; one `psum_scatter` over the row axis then
+    leaves every device with its fully-summed block of matrix ROWS (the
+    ICI-collective replacement for PETSc's off-process row communication)
+  * the Krylov solve runs INSIDE the same shard_map with the scatter-free
+    ELL SpMV: each device computes y for its rows (gather from the
+    replicated iterate + batched einsum) and an `all_gather` re-replicates
+    y — scatter ops never appear inside the `while_loop`, which matters
+    doubly on TPU (they are slow AND trigger a pathological compile path,
+    see fem.assembly.ell_structure)
+  * the block-Jacobi preconditioner is an all_gather of locally-owned
+    diagonal blocks
 
 Run under `jax.sharding.Mesh(devices, ("d",))`; on a single device the same
 program degenerates to the unsharded step.
@@ -25,7 +27,6 @@ program degenerates to the unsharded step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -34,12 +35,13 @@ import numpy as np
 from jax import lax
 from jax.sharding import Mesh as DeviceMesh
 from jax.sharding import NamedSharding, PartitionSpec as P
+
 try:
     from jax import shard_map
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..fem.assembly import build_sparsity
+from ..fem.assembly import build_sparsity, ell_structure
 from ..fem.geometry import geometry_factors
 from ..fem.weakform import element_matrices, element_vectors
 from ..mesh.core import Mesh
@@ -48,7 +50,7 @@ from ..systems.transient import clamp_nonnegative
 
 
 def partition_elements(n_elems: int, n_shards: int) -> Tuple[int, int]:
-    """Contiguous equal-size element blocks; returns (padded_E, block)."""
+    """Contiguous equal-size blocks; returns (padded_count, block)."""
     block = -(-n_elems // n_shards)
     return block * n_shards, block
 
@@ -64,9 +66,8 @@ def _pad_axis0(a: np.ndarray, target: int, fill=0):
 class ShardedTransientSystem:
     """Element-sharded linearized-CN transient system (multi-chip PIHNA et al.).
 
-    Same step() contract as TransientRDCSystem, but the whole step
-    (assembly + BiCGStab) executes as one shard_map program over the device
-    mesh axis "d"."""
+    Same step() contract as TransientRDCSystem; the whole step (assembly +
+    BiCGStab) executes as one shard_map program over the device mesh."""
 
     def __init__(
         self,
@@ -92,46 +93,63 @@ class ShardedTransientSystem:
         self.sp = sp
         N = mesh.n_nodes
 
+        # ---- row-major ELL structure, rows padded to D equal blocks ------
+        ell_cols, ell_slot = ell_structure(sp)  # (N, L)
+        L = ell_cols.shape[1]
+        self.L = L
+        self.Npad = partition_elements(N, D)[0]
+        ell_cols_p = _pad_axis0(ell_cols, self.Npad)
+        ell_slot_p = _pad_axis0(ell_slot, self.Npad, fill=sp.nnz)
+        # slot -> linear ELL position (row * L + pos); pad bin at the end
+        slot_to_lin = np.full(sp.nnz + 1, self.Npad * L, dtype=np.int64)
+        rr = np.repeat(np.arange(self.Npad), L)
+        slot_to_lin[ell_slot_p.reshape(-1)] = rr * L + np.tile(
+            np.arange(L), self.Npad
+        )
+        # per-row position of the diagonal block
+        diag_pos = np.zeros(self.Npad, dtype=np.int32)
+        rows_idx, pos_idx = np.nonzero(
+            ell_slot_p[:N] == sp.diag_slots[:, None]
+        )
+        diag_pos[rows_idx] = pos_idx
+
         # ---- element tables, padded to D equal blocks --------------------
         Epad, _ = partition_elements(mesh.n_elems, D)
         conn_p = _pad_axis0(mesh.connectivity.astype(np.int32), Epad)
-        slots_p = _pad_axis0(sp.slots, Epad)
-        # padding elements: weight them out by zeroing their JxW
+        # (e,i,j) -> linear ELL target
+        ell_lin = slot_to_lin[sp.slots]  # (E, K, K)
+        ell_lin_p = _pad_axis0(ell_lin, Epad, fill=self.Npad * L)
         phi, JxW, dphi = geometry_factors(
             jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
             mesh.elem_type,
         )
-        Q = JxW.shape[1]
-        JxW_p = _pad_axis0(np.asarray(JxW), Epad)
+        JxW_p = _pad_axis0(np.asarray(JxW), Epad)  # padded elems weigh zero
         dphi_p = _pad_axis0(np.asarray(dphi), Epad)
         self.phi = jnp.asarray(phi)
-
-        # ---- nnz tables, padded to D equal blocks ------------------------
-        Npad_nnz = partition_elements(sp.nnz, D)[0]
-        rows_p = _pad_axis0(sp.rows, Npad_nnz, fill=N)  # row N = dump row
-        cols_p = _pad_axis0(sp.cols, Npad_nnz, fill=0)
-        self.nnz_pad = Npad_nnz
 
         shard = NamedSharding(device_mesh, P("d"))
         repl = NamedSharding(device_mesh, P())
         self.conn_s = jax.device_put(conn_p, shard)
-        self.slots_s = jax.device_put(slots_p, shard)
+        self.ell_lin_s = jax.device_put(ell_lin_p, shard)
         self.JxW_s = jax.device_put(JxW_p, shard)
         self.dphi_s = jax.device_put(dphi_p, shard)
-        self.rows_s = jax.device_put(rows_p, shard)
-        self.cols_s = jax.device_put(cols_p, shard)
-        self.diag_slots_r = jax.device_put(sp.diag_slots.astype(np.int32), repl)
+        self.ell_cols_s = jax.device_put(ell_cols_p, shard)   # rows sharded
+        self.diag_pos_s = jax.device_put(diag_pos, shard)
         self._repl = repl
 
         fn = shard_map(
             self._step_shard,
             mesh=device_mesh,
             in_specs=(
-                P(), P(), P(),              # u, fields, params (replicated)
-                P("d"), P("d"), P("d"), P("d"),  # conn, slots, JxW, dphi
-                P("d"), P("d"), P(),        # rows, cols, diag_slots
+                P(), P(), P(),                   # u, fields, params
+                P("d"), P("d"), P("d"), P("d"),  # conn, ell_lin, JxW, dphi
+                P("d"), P("d"),                  # ell_cols, diag_pos
             ),
             out_specs=(P(), P(), P()),
+            # the solver keeps its iterates replicated by construction
+            # (identical math on identical inputs); vma inference cannot see
+            # that through the while_loop, so disable the static check
+            check_vma=False,
         )
         self._step = jax.jit(fn)
 
@@ -142,14 +160,13 @@ class ShardedTransientSystem:
         return jax.device_put(jnp.asarray(u0), self._repl)
 
     # ------------------------------------------------------------------
-    def _step_shard(self, u, fields, params, conn, slots, JxW, dphi,
-                    rows, cols, diag_slots):
+    def _step_shard(self, u, fields, params, conn, ell_lin, JxW, dphi,
+                    ell_cols, diag_pos):
         """Per-device program; collectives over mesh axis "d"."""
         N = self.sp.n_nodes
-        nnz = self.sp.nnz
-        D = self.n_shards
-        nnz_shard = self.nnz_pad // D
         V = self.n_vars
+        L = self.L
+        Nb = self.Npad // self.n_shards  # rows per device
 
         # ---- local gather + quadrature physics + element kernels --------
         ue = u[conn]  # (E_loc, K, V) — nodal state is replicated
@@ -167,38 +184,35 @@ class ShardedTransientSystem:
         )
         b = lax.psum(b_local, "d")
 
-        # ---- matrix: local scatter into full nnz, then psum_scatter ------
+        # ---- matrix: scatter into full row-ELL, psum_scatter rows --------
         contrib = jnp.transpose(Ke, (2, 3, 4, 0, 1)).reshape(E_loc * K * K, V, V)
-        vals_full = jax.ops.segment_sum(
-            contrib, slots.reshape(-1), num_segments=self.nnz_pad
-        )
-        vals_shard = lax.psum_scatter(
-            vals_full, "d", scatter_dimension=0, tiled=True
-        )  # (nnz_shard, V, V), fully summed
+        ell_full = jax.ops.segment_sum(
+            contrib, ell_lin.reshape(-1), num_segments=self.Npad * L + 1
+        )[: self.Npad * L].reshape(self.Npad, L, V, V)
+        vals_rows = lax.psum_scatter(
+            ell_full, "d", scatter_dimension=0, tiled=True
+        )  # (Nb, L, V, V), fully summed rows owned by this device
 
-        # ---- block-Jacobi from psum of locally-owned diagonal blocks -----
-        my_shard = lax.axis_index("d")
-        lo = my_shard * nnz_shard
-        local_slot_of = diag_slots - lo  # where my shard holds the diag block
-        in_mine = jnp.logical_and(local_slot_of >= 0, local_slot_of < nnz_shard)
-        safe_idx = jnp.clip(local_slot_of, 0, nnz_shard - 1)
-        diag_local = jnp.where(
-            in_mine[:, None, None], vals_shard[safe_idx], 0.0
+        # ---- block-Jacobi from all_gather of owned diagonal blocks -------
+        row_ids = jnp.arange(Nb)
+        diag_local = vals_rows[row_ids, diag_pos]  # (Nb, V, V)
+        diag = lax.all_gather(diag_local, "d", axis=0, tiled=True)[:N]
+        Dinv = small_block_inverse(
+            jnp.where(
+                (jnp.abs(diag).sum(axis=(1, 2)) == 0.0)[:, None, None],
+                jnp.broadcast_to(jnp.eye(V), diag.shape), diag,
+            )
         )
-        diag = lax.psum(diag_local, "d")  # (N, V, V) replicated
-        Dinv = small_block_inverse(diag)
 
         def matvec(x):
-            xg = x[cols]  # (nnz_shard, V)
-            prod = jnp.einsum("svw,sw->sv", vals_shard, xg)
-            # padded slots carry row id N -> dumped into an extra bin
-            y = jax.ops.segment_sum(prod, rows, num_segments=N + 1)[:N]
-            return lax.psum(y, "d")
+            xg = x[ell_cols]  # (Nb, L, V) gather from replicated x
+            y_loc = jnp.einsum("nlvw,nlw->nv", vals_rows, xg)
+            return lax.all_gather(y_loc, "d", axis=0, tiled=True)[:N]
 
         def precond(r):
             return jnp.einsum("nvw,nw->nv", Dinv, r)
 
-        # ---- replicated BiCGStab with sharded SpMV -----------------------
+        # ---- replicated BiCGStab with sharded, scatter-free SpMV ---------
         x, iters, res = _bicgstab(matvec, b, u, precond, self.rtol, self.maxiter)
         u_new = self.clamp(x)
         return u_new, iters, res
@@ -207,14 +221,14 @@ class ShardedTransientSystem:
     def step(self, u, fields: Optional[Dict] = None,
              params: Optional[Dict] = None):
         return self._step(u, fields or {}, params or {},
-                          self.conn_s, self.slots_s, self.JxW_s, self.dphi_s,
-                          self.rows_s, self.cols_s, self.diag_slots_r)
+                          self.conn_s, self.ell_lin_s, self.JxW_s, self.dphi_s,
+                          self.ell_cols_s, self.diag_pos_s)
 
 
 def _bicgstab(matvec, b, x0, M, rtol, maxiter):
     """Identical recurrence to solvers.krylov.bicgstab, restated here so the
     whole loop traces inside shard_map (dots on replicated arrays need no
-    collectives; only matvec psums)."""
+    collectives; only the matvec communicates)."""
     dot = lambda a, c: jnp.vdot(a, c)
     bnorm = jnp.sqrt(dot(b, b).real)
     safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
@@ -245,6 +259,17 @@ def _bicgstab(matvec, b, x0, M, rtol, maxiter):
 
     z = jnp.zeros_like(b)
     one = jnp.asarray(1.0, b.dtype)
-    init = (x0, r0, z, z, one, one, one, jnp.asarray(0, jnp.int32))
+    # mark replicated-initial carries as device-varying so the while_loop
+    # carry types match after the first iteration (shard_map vma tracking)
+    def vary(a):
+        try:
+            if "d" in jax.typeof(a).vma:
+                return a
+            return lax.pvary(a, ("d",))
+        except AttributeError:
+            return a
+
+    init = (vary(x0), vary(r0), vary(z), vary(z), vary(one), vary(one),
+            vary(one), jnp.asarray(0, jnp.int32))
     x, r, *_, k = lax.while_loop(cond, body, init)
     return x, k, jnp.sqrt(dot(r, r).real) / safe_b

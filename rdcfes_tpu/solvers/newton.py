@@ -7,10 +7,12 @@ relative_residual_tolerance, absolute_residual_tolerance, require_reduction}`
 and `solver/linear/{max_linear_iterations, initial_linear_tolerance}`
 (run/Solid/uniaxial_compression/input.dat).
 
-The loop is a `lax.while_loop` re-assembling residual + block-CSR tangent each
-iteration — with coordinates as plain inputs, the "moving mesh" of the
-reference (src/solid_system.C:103-123) is just re-tracing the same geometry
-code on the updated positions.
+Structure: a HOST-side Newton loop driving jitted device programs (assemble;
+ELL-layout Krylov solve).  Keeping the outer loop on the host is deliberate:
+scatter ops inside `lax.while_loop` hit a pathological XLA:TPU compile path
+(see fem.assembly.ell_structure), Newton iteration counts are tiny (3-10),
+and the host gets convergence diagnostics for free.  The inner Krylov loop
+is a device `while_loop` over the scatter-free ELL SpMV.
 """
 
 from __future__ import annotations
@@ -20,13 +22,14 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from ..fem.assembly import NodePairSparsity
-from ..fem.bcsr import bcsr_matvec
+from ..fem.assembly import NodePairSparsity, ell_structure
+from ..fem.bcsr import ell_matvec, to_ell
 from .krylov import (
     apply_block_jacobi,
-    block_jacobi_inverse,
     bicgstab,
+    block_jacobi_inverse,
     gmres,
 )
 
@@ -52,73 +55,78 @@ class NewtonResult(NamedTuple):
     initial_residual_norm: jnp.ndarray
 
 
-def newton_solve(
-    assemble: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
-    x0: jnp.ndarray,
-    sp: NodePairSparsity,
-    opts: NewtonOptions = NewtonOptions(),
-    rows=None, cols=None, diag_slots=None,
-) -> NewtonResult:
-    """Solve R(x) = 0 given `assemble(x) -> (R (N,V), K values (nnz,V,V))`."""
-    rows = jnp.asarray(sp.rows) if rows is None else rows
-    cols = jnp.asarray(sp.cols) if cols is None else cols
-    diag_slots = jnp.asarray(sp.diag_slots) if diag_slots is None else diag_slots
-    n = sp.n_nodes
-    lin = {"bicgstab": bicgstab, "gmres": gmres}[opts.linear_method]
+class NewtonSolver:
+    """Reusable Newton driver: jits the linear stage once per sparsity."""
 
-    def norm(v):
-        return jnp.sqrt(jnp.vdot(v, v).real)
+    def __init__(self, sp: NodePairSparsity, opts: NewtonOptions = NewtonOptions()):
+        self.sp = sp
+        self.opts = opts
+        ell_cols, ell_slot = ell_structure(sp)
+        self._ell_cols = jnp.asarray(ell_cols)
+        self._ell_slot = jnp.asarray(ell_slot)
+        self._diag_slots = jnp.asarray(sp.diag_slots)
+        lin = {"bicgstab": bicgstab, "gmres": gmres}[opts.linear_method]
 
-    R0, _ = assemble(x0)
-    r0norm = norm(R0)
-    safe_r0 = jnp.where(r0norm == 0.0, 1.0, r0norm)
+        def linear_solve(values, rhs, rtol):
+            values_ell = to_ell(values, self._ell_slot)
+            matvec = partial(ell_matvec, values_ell, self._ell_cols)
+            Dinv = block_jacobi_inverse(values, self._diag_slots)
+            M = partial(apply_block_jacobi, Dinv)
+            res = lin(matvec, rhs, M=M, rtol=rtol,
+                      maxiter=opts.max_linear_iterations)
+            return res.x, res.iters, res.residual
 
-    def cond(state):
-        x, rnorm, step_rel, k = state
-        not_conv = jnp.logical_and(
-            rnorm > opts.absolute_residual_tolerance,
-            rnorm / safe_r0 > opts.relative_residual_tolerance,
-        )
-        not_conv = jnp.logical_and(not_conv, step_rel > opts.relative_step_tolerance)
-        return jnp.logical_and(not_conv, k < opts.max_nonlinear_iterations)
+        self._linear_solve = jax.jit(linear_solve)
 
-    def body(state):
-        x, rnorm, _, k = state
+    def solve(self, assemble: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
+              x0: jnp.ndarray) -> NewtonResult:
+        """Solve R(x) = 0 given jit-compiled
+        `assemble(x) -> (R (N,V), K values (nnz,V,V))`."""
+        opts = self.opts
+        x = x0
         R, values = assemble(x)
-        matvec = partial(bcsr_matvec, values, rows, cols, n_nodes=n)
-        Dinv = block_jacobi_inverse(values, diag_slots)
-        M = partial(apply_block_jacobi, Dinv)
-        # libMesh NewtonSolver adapts the inner linear tolerance to the
-        # current nonlinear residual reduction
-        lin_rtol = jnp.minimum(opts.initial_linear_tolerance, rnorm / safe_r0)
-        lin_rtol = jnp.maximum(lin_rtol, 1e-14)
-        res = lin(matvec, -R, M=M, rtol=lin_rtol, maxiter=opts.max_linear_iterations)
-        dx = res.x
+        rnorm = float(jnp.linalg.norm(R))
+        r0 = rnorm if rnorm > 0 else 1.0
+        k = 0
+        while k < opts.max_nonlinear_iterations:
+            if rnorm <= opts.absolute_residual_tolerance:
+                break
+            if rnorm / r0 <= opts.relative_residual_tolerance:
+                break
+            # libMesh NewtonSolver adapts the inner linear tolerance to the
+            # current nonlinear residual reduction
+            lin_rtol = max(min(opts.initial_linear_tolerance, rnorm / r0), 1e-14)
+            dx, lin_iters, lin_res = self._linear_solve(values, -R, lin_rtol)
 
-        if opts.require_residual_reduction:
-            def ls_cond(c):
-                lam, rn, j = c
-                return jnp.logical_and(rn >= rnorm, j < opts.max_line_search_steps)
+            lam = 1.0
+            if opts.require_residual_reduction:
+                for _ in range(opts.max_line_search_steps):
+                    R_new, values_new = assemble(x + lam * dx)
+                    if float(jnp.linalg.norm(R_new)) < rnorm:
+                        break
+                    lam *= 0.5
+                else:
+                    R_new, values_new = assemble(x + lam * dx)
+            else:
+                R_new, values_new = assemble(x + lam * dx)
 
-            def ls_body(c):
-                lam, _, j = c
-                lam = lam * 0.5
-                Rn, _ = assemble(x + lam * dx)
-                return (lam, norm(Rn), j + 1)
+            x = x + lam * dx
+            R, values = R_new, values_new
+            rnorm = float(jnp.linalg.norm(R))
+            k += 1
 
-            Rfull, _ = assemble(x + dx)
-            lam, _, _ = jax.lax.while_loop(
-                ls_cond, ls_body, (jnp.asarray(1.0, x.dtype), norm(Rfull), 0)
-            )
-        else:
-            lam = jnp.asarray(1.0, x.dtype)
+            xnorm = float(jnp.linalg.norm(x))
+            step_rel = lam * float(jnp.linalg.norm(dx)) / (xnorm if xnorm else 1.0)
+            if step_rel <= opts.relative_step_tolerance:
+                break
+        return NewtonResult(
+            x=x, iters=jnp.asarray(k),
+            residual_norm=jnp.asarray(rnorm),
+            initial_residual_norm=jnp.asarray(r0),
+        )
 
-        x_new = x + lam * dx
-        R_new, _ = assemble(x_new)
-        xnorm = norm(x_new)
-        step_rel = norm(lam * dx) / jnp.where(xnorm == 0, 1.0, xnorm)
-        return (x_new, norm(R_new), step_rel, k + 1)
 
-    init = (x0, r0norm, jnp.asarray(jnp.inf, x0.dtype), jnp.asarray(0, jnp.int32))
-    x, rnorm, _, k = jax.lax.while_loop(cond, body, init)
-    return NewtonResult(x=x, iters=k, residual_norm=rnorm, initial_residual_norm=r0norm)
+def newton_solve(assemble, x0, sp, opts: NewtonOptions = NewtonOptions(),
+                 rows=None, cols=None, diag_slots=None) -> NewtonResult:
+    """One-shot convenience wrapper around NewtonSolver."""
+    return NewtonSolver(sp, opts).solve(assemble, x0)

@@ -38,7 +38,7 @@ from ..fem.geometry import face_geometry_factors, geometry_factors
 from ..mesh.core import FACE_TYPE, Mesh
 from ..models.eig3 import principal_stress_invariants
 from ..models.hyperelastic import stress_and_tangent
-from ..solvers.newton import NewtonOptions, NewtonResult, newton_solve
+from ..solvers.newton import NewtonOptions, NewtonResult, NewtonSolver
 
 # B-matrix slot table: (axis v, voigt a) -> gradient component, for the
 # Voigt ordering (00, 11, 22, 01, 12, 02)
@@ -136,7 +136,8 @@ class SolidSystem:
             self.bc_faces = None
 
         self.face_type = FACE_TYPE[mesh.elem_type]
-        self._solve = jax.jit(self._solve_impl)
+        self._newton = NewtonSolver(self.sp, newton)
+        self._assemble_jit = jax.jit(self.assemble)
         self._post = jax.jit(self._post_impl)
 
     # ------------------------------------------------------------------
@@ -207,17 +208,13 @@ class SolidSystem:
         return R, values
 
     # ------------------------------------------------------------------
-    def _solve_impl(self, x0: jnp.ndarray, pseudo_time) -> NewtonResult:
-        assemble = partial(self.assemble, pseudo_time=pseudo_time)
-        return newton_solve(
-            lambda x: assemble(x), x0, self.sp, self.newton,
-            rows=self.rows, cols=self.cols, diag_slots=self.diag_slots,
-        )
-
     def run_solver(self, x: jnp.ndarray, pseudo_time: float) -> NewtonResult:
         """One load step: Newton-solve equilibrium at the given pseudo-time
-        (reference run_solver, src/solid_system.C:373-392)."""
-        return self._solve(x, jnp.asarray(pseudo_time, jnp.float64))
+        (reference run_solver, src/solid_system.C:373-392).  The Newton loop
+        runs on the host over jitted assemble/linear-solve stages (see
+        solvers.newton for why)."""
+        pt = jnp.asarray(pseudo_time, jnp.float64)
+        return self._newton.solve(lambda y: self._assemble_jit(y, pt), x)
 
     # ------------------------------------------------------------------
     def _post_impl(self, x: jnp.ndarray, pseudo_time):

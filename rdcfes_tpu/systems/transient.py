@@ -33,8 +33,10 @@ from ..fem.assembly import (
     assemble_matrix,
     assemble_vector,
     build_sparsity,
+    ell_structure,
     interpolate_at_qp,
 )
+from ..fem.bcsr import ell_matvec, to_ell
 from ..fem.geometry import geometry_factors
 from ..fem.weakform import element_matrices, element_vectors
 from ..mesh.core import Mesh
@@ -102,6 +104,10 @@ class TransientRDCSystem:
         self.phi, self.JxW, self.dphi = geometry_factors(
             jnp.asarray(mesh.coords), self.conn, mesh.elem_type
         )
+        # ELLPACK tables: the scatter-free SpMV layout for the Krylov loop
+        ell_cols, ell_slot = ell_structure(self.sp)
+        self.ell_cols = jnp.asarray(ell_cols)
+        self.ell_slot = jnp.asarray(ell_slot)
         self._step = jax.jit(self._step_impl)
         self._step_moving = jax.jit(self._step_moving_impl)
 
@@ -128,9 +134,8 @@ class TransientRDCSystem:
 
     def _solve_clamped(self, state, values, b):
         u_old = state["u"]
-        matvec = partial(
-            bcsr_matvec, values, self.rows, self.cols, n_nodes=self.sp.n_nodes
-        )
+        values_ell = to_ell(values, self.ell_slot)
+        matvec = partial(ell_matvec, values_ell, self.ell_cols)
         Dinv = block_jacobi_inverse(values, self.diag_slots)
         M = partial(apply_block_jacobi, Dinv)
         fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
