@@ -114,9 +114,9 @@ def run(deck_path: str = "input.dat") -> str:
         """JxW-integrated (A_b, Tau) per element — the quadrature loop of
         save_solution (src/adpm.C:765-781)."""
         u_qp, _ = interpolate_at_qp(
-            jnp.asarray(u), system.conn, system.phi, system.dphi
+            jnp.asarray(u).T, system.conn_T, system.phi, system.dphi
         )
-        integ = jnp.einsum("veq,eq->ve", u_qp[1:3], system.JxW)
+        integ = jnp.einsum("vqe,qe->ve", u_qp[1:3], system.JxW)
         return np.asarray(integ).T  # (E, 2)
 
     def save(t: int, time_value: float):

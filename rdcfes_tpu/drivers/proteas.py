@@ -112,9 +112,10 @@ def run(deck_path: str = "input.dat") -> str:
     phi = np.asarray(system.phi)  # (Q, K)
     if sampling == "reference":
         # the reference's sampling quirk: phi_1(qp) * HU(local node 1)
-        RTD_qp = phi[None, :, 1] * aux[conn[:, 1], 0][:, None]
+        # channel-first (Q, E)
+        RTD_qp = phi[:, 1][:, None] * aux[conn[:, 1], 0][None, :]
     else:
-        RTD_qp = np.einsum("qk,ek->eq", phi, aux[conn, 1])
+        RTD_qp = np.einsum("qk,ek->qe", phi, aux[conn, 1])
     fields = {"RTD": jnp.asarray(RTD_qp)}
 
     paraview = ParaviewWriter(mesh)

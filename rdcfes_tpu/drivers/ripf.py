@@ -116,9 +116,11 @@ def run(deck_path: str = "input.dat") -> str:
         rt = dat.read_stream(input_rt, mesh.n_nodes, 2)  # broad, focus
 
     def clamp(u):
-        HU = jnp.clip(u[:, 0], HU_min, HU_max)
-        rest = jnp.maximum(u[:, 1:], 0.0)
-        return jnp.concatenate([HU[:, None], rest], axis=1)
+        # channel-first solver layout u (V, N): HU row clipped to the deck
+        # bounds, cc/fb rows nonnegative (src/ripf.C:718-721)
+        HU = jnp.clip(u[0], HU_min, HU_max)
+        rest = jnp.maximum(u[1:], 0.0)
+        return jnp.concatenate([HU[None, :], rest], axis=0)
 
     with plog.scope("system setup"):
         system = TransientRDCSystem(mesh, 3, ripf_physics, clamp=clamp)
@@ -147,12 +149,12 @@ def run(deck_path: str = "input.dat") -> str:
         params["omicro_RT_r"] = params["_fb_omicro_RT_r"] or float(int(rt_total_max))
 
     def qp_fields():
-        stacked = jnp.asarray(np.stack([td[:, 1], td[:, 2], rt_total], axis=1))
+        stacked = jnp.asarray(np.stack([td[:, 1], td[:, 2], rt_total], axis=0))
         vals_qp, grads_qp = interpolate_at_qp(
-            stacked, system.conn, system.phi, system.dphi
+            stacked, system.conn_T, system.phi, system.dphi
         )
-        g = grads_qp[2]
-        norm = jnp.linalg.norm(g, axis=-1, keepdims=True)
+        g = grads_qp[2]  # (Q, 3, E)
+        norm = jnp.linalg.norm(g, axis=-2, keepdims=True)
         return {
             "cc_dtime": vals_qp[0],
             "fb_dtime": vals_qp[1],

@@ -74,11 +74,12 @@ def kelly_error_indicator(mesh: Mesh, u: jnp.ndarray,
     variables into one vector (matching the shared-ErrorVector pattern of
     src/pihna.C:826-831)."""
     conn = jnp.asarray(mesh.connectivity)
+    conn_T = jnp.asarray(mesh.connectivity.T)
     phi, JxW, dphi = geometry_factors(jnp.asarray(mesh.coords), conn,
                                       mesh.elem_type)
-    ue = jnp.asarray(u)[conn]  # (E, K, V)
-    # P1: element-constant gradient = gradient at qp 0
-    grad = jnp.einsum("ekd,ekv->evd", dphi[:, 0], ue)  # (E, V, 3)
+    ue = jnp.asarray(u).T[:, conn_T]  # (V, K, E)
+    # P1: element-constant gradient = gradient at qp 0; dphi (Q, K, 3, E)
+    grad = jnp.einsum("kde,vke->evd", dphi[0], ue)  # (E, V, 3)
     grad = np.asarray(grad)
 
     ea, eb, area, normal, h = interior_face_table(mesh)

@@ -4,17 +4,18 @@ TPU-native replacement for the reference's PETSc matrix assembly
 (`system.get_system_matrix().add_matrix(Ke, dof_indices)`, src/pihna.C:754):
 
 * The sparsity pattern over node pairs is fixed by the mesh connectivity, so
-  it is computed ONCE on the host (`build_sparsity`) together with a slot
-  table mapping every (element, i, j) entry to its nonzero index.  Per time
-  step, assembly is then a pure static-shaped `segment_sum` — no atomics,
-  no dynamic sparsity, nothing the XLA scheduler can't pipeline.
-* The matrix is stored as block-CSR with V x V nodal blocks (V = number of
-  coupled variables), the natural unit for both the 25-block PIHNA Jacobian
-  (src/pihna.C:571-747) and block-Jacobi preconditioning.
+  it is computed ONCE on the host (`build_sparsity`, via the native meshkit
+  runtime when built) together with a slot table mapping every
+  (element, i, j) entry to its nonzero index.  Per time step, assembly is
+  then a pure static-shaped scatter-add — no atomics, no dynamic sparsity.
+* The matrix is stored as V x W nodal blocks in channel-first layout
+  (V, W, nnz) — the nnz axis last so TPU tiling pads ~1x instead of 25x
+  (see fem.geometry docstring).
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple, Tuple
 
 import jax
@@ -41,6 +42,13 @@ class NodePairSparsity(NamedTuple):
     slots: np.ndarray
     row_ptr: np.ndarray
     diag_slots: np.ndarray
+
+    def slots_flat_cf(self) -> np.ndarray:
+        """Slot ids flattened in (i, j, e) order — matches the flattening of
+        channel-first element matrices Ke (V, W, i, j, E)."""
+        return np.ascontiguousarray(
+            np.transpose(self.slots, (1, 2, 0))
+        ).reshape(-1)
 
 
 def build_sparsity(connectivity: np.ndarray, n_nodes: int) -> NodePairSparsity:
@@ -77,7 +85,6 @@ def build_sparsity(connectivity: np.ndarray, n_nodes: int) -> NodePairSparsity:
     nnz = uniq.shape[0]
     u_rows = (uniq // n_nodes).astype(np.int32)
     u_cols = (uniq % n_nodes).astype(np.int32)
-    # uniq is sorted by (row, col) already -> CSR row_ptr by counting
     row_ptr = np.zeros(n_nodes + 1, dtype=np.int64)
     np.add.at(row_ptr, u_rows + 1, 1)
     row_ptr = np.cumsum(row_ptr)
@@ -97,7 +104,7 @@ def build_sparsity(connectivity: np.ndarray, n_nodes: int) -> NodePairSparsity:
 
 def ell_structure(sp: NodePairSparsity) -> Tuple[np.ndarray, np.ndarray]:
     """ELLPACK view of the block-CSR sparsity: per-row padded column/slot
-    tables (host precompute).
+    tables in channel-first layout (host precompute).
 
     TPU rationale: scatter ops inside `lax.while_loop` trigger a pathological
     XLA:TPU compile path (observed 350-470 s for a 3k-dof Krylov loop), and
@@ -106,7 +113,7 @@ def ell_structure(sp: NodePairSparsity) -> Tuple[np.ndarray, np.ndarray]:
     einsum — no scatter anywhere in the solver loop, compile drops to
     seconds, and the inner product maps onto the VPU/MXU.
 
-    Returns (ell_cols [N, L] int32, ell_slot [N, L] int32); padding entries
+    Returns (ell_cols [L, N] int32, ell_slot [L, N] int32); padding entries
     carry slot == nnz (callers append one zero block at index nnz).
     """
     N = sp.n_nodes
@@ -114,45 +121,51 @@ def ell_structure(sp: NodePairSparsity) -> Tuple[np.ndarray, np.ndarray]:
     L = int(deg.max())
     ar = np.arange(sp.nnz, dtype=np.int64)
     pos = ar - sp.row_ptr[sp.rows]
-    ell_cols = np.zeros((N, L), dtype=np.int32)
-    ell_slot = np.full((N, L), sp.nnz, dtype=np.int32)
-    ell_cols[sp.rows, pos] = sp.cols
-    ell_slot[sp.rows, pos] = ar.astype(np.int32)
+    ell_cols = np.zeros((L, N), dtype=np.int32)
+    ell_slot = np.full((L, N), sp.nnz, dtype=np.int32)
+    ell_cols[pos, sp.rows] = sp.cols
+    ell_slot[pos, sp.rows] = ar.astype(np.int32)
     return ell_cols, ell_slot
 
 
-def assemble_matrix(Ke: jnp.ndarray, slots: jnp.ndarray, nnz: int) -> jnp.ndarray:
-    """Scatter-add element matrices into block-CSR values.
+def assemble_matrix(Ke: jnp.ndarray, slots_flat_cf: jnp.ndarray,
+                    nnz: int) -> jnp.ndarray:
+    """Scatter-add element matrices into channel-first block values.
 
-    Ke    : (V, W, E, K, K) element matrices from `element_matrices`
-    slots : (E, K, K) slot table from `build_sparsity`
-    Returns values (nnz, V, W).
+    Ke            : (V, W, K, K, E) element matrices from `element_matrices`
+    slots_flat_cf : (K*K*E,) slot table from sp.slots_flat_cf()
+    Returns values (V, W, nnz).
     """
-    V, W, E, K, _ = Ke.shape
-    contrib = jnp.transpose(Ke, (2, 3, 4, 0, 1)).reshape(E * K * K, V, W)
-    return jax.ops.segment_sum(contrib, slots.reshape(-1), num_segments=nnz)
+    V, W = Ke.shape[:2]
+    contrib = Ke.reshape(V, W, -1)  # (V, W, K*K*E) in (i, j, e) order
+    zeros = jnp.zeros((V, W, nnz), Ke.dtype)
+    return zeros.at[:, :, slots_flat_cf].add(contrib)
 
 
-def assemble_vector(Fe: jnp.ndarray, connectivity: jnp.ndarray,
+def assemble_vector(Fe: jnp.ndarray, conn_flat_cf: jnp.ndarray,
                     n_nodes: int) -> jnp.ndarray:
-    """Scatter-add element vectors Fe (V, E, K) into nodal rhs (n_nodes, V)."""
-    V, E, K = Fe.shape
-    contrib = jnp.transpose(Fe, (1, 2, 0)).reshape(E * K, V)
-    return jax.ops.segment_sum(
-        contrib, connectivity.reshape(-1), num_segments=n_nodes
-    )
+    """Scatter-add element vectors Fe (V, K, E) into nodal rhs (V, n_nodes).
+
+    conn_flat_cf: (K*E,) = connectivity.T.reshape(-1)."""
+    V = Fe.shape[0]
+    contrib = Fe.reshape(V, -1)
+    zeros = jnp.zeros((V, n_nodes), Fe.dtype)
+    return zeros.at[:, conn_flat_cf].add(contrib)
 
 
 def interpolate_at_qp(
-    u: jnp.ndarray, connectivity: jnp.ndarray, phi: jnp.ndarray,
+    u: jnp.ndarray, conn_T: jnp.ndarray, phi: jnp.ndarray,
     dphi: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Interpolate nodal fields and their gradients to quadrature points.
 
     Vectorized form of the reference's per-qp accumulation loops
-    (src/pihna.C:429-442): u (n_nodes, V) -> (u_qp [V,E,Q], grad_qp [V,E,Q,3]).
+    (src/pihna.C:429-442).
+
+    u (V, n_nodes); conn_T (K, E); phi (Q, K); dphi (Q, K, 3, E)
+    -> (u_qp (V, Q, E), grad_qp (V, Q, 3, E)).
     """
-    ue = u[connectivity]  # (E, K, V)
-    u_qp = jnp.einsum("qk,ekv->veq", phi, ue)
-    grad_qp = jnp.einsum("eqkd,ekv->veqd", dphi, ue)
+    ue = u[:, conn_T]  # (V, K, E)
+    u_qp = jnp.einsum("qk,vke->vqe", phi, ue)
+    grad_qp = jnp.einsum("qkde,vke->vqde", dphi, ue)
     return u_qp, grad_qp

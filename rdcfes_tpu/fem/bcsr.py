@@ -1,10 +1,15 @@
-"""Block-CSR sparse operator: matvec and diagonal extraction.
+"""Block-sparse operators in channel-first layout: CSR and ELLPACK matvecs.
 
 The distributed PETSc SpMV inside `model.solve()` (reference src/pihna.C:80)
-becomes an on-device gather -> batched small-matmul -> segment_sum.  On a
-device mesh the nonzero blocks are sharded along the nnz axis and each shard's
-partial row sums are combined with a `psum` (see rdcfes_tpu.parallel) — the
-ICI-native replacement for PETSc's VecScatter halo exchange.
+becomes an on-device gather -> batched block product.  Two layouts:
+
+* CSR (V, W, nnz): general-purpose; matvec scatter-adds per-slot products —
+  fine OUTSIDE solver loops.
+* ELLPACK (V, W, L, N): the production layout for Krylov loops — the SpMV
+  is gather + einsum with NO scatter (scatter inside `lax.while_loop`
+  triggers a pathological XLA:TPU compile path; see
+  fem.assembly.ell_structure) and the reduction vectorizes over the node
+  lane axis.
 """
 
 from __future__ import annotations
@@ -15,39 +20,37 @@ import jax.numpy as jnp
 
 def bcsr_matvec(values: jnp.ndarray, rows: jnp.ndarray, cols: jnp.ndarray,
                 x: jnp.ndarray, n_nodes: int) -> jnp.ndarray:
-    """y = A @ x with A in node-block CSR.
+    """y = A @ x with A in channel-first block CSR.
 
-    values : (nnz, V, W) nodal blocks
-    rows   : (nnz,) block row ids
-    cols   : (nnz,) block col ids
-    x      : (n_nodes, W)
-    Returns y (n_nodes, V).
+    values (V, W, nnz); rows/cols (nnz,); x (W, n_nodes) -> y (V, n_nodes).
     """
-    xg = x[cols]  # (nnz, W)
-    prod = jnp.einsum("svw,sw->sv", values, xg)
-    return jax.ops.segment_sum(prod, rows, num_segments=n_nodes)
+    xg = x[:, cols]  # (W, nnz)
+    prod = jnp.einsum("vws,ws->vs", values, xg)
+    V = values.shape[0]
+    return jnp.zeros((V, n_nodes), x.dtype).at[:, rows].add(prod)
 
 
 def extract_diagonal_blocks(values: jnp.ndarray,
                             diag_slots: jnp.ndarray) -> jnp.ndarray:
-    """Gather the (n_nodes, V, V) diagonal blocks for block-Jacobi."""
-    return values[diag_slots]
+    """Gather the (V, V, n_nodes) diagonal blocks for block-Jacobi."""
+    return values[:, :, diag_slots]
 
 
 def to_ell(values: jnp.ndarray, ell_slot: jnp.ndarray) -> jnp.ndarray:
-    """Re-layout block-CSR values (nnz, V, W) into ELLPACK (N, L, V, W);
+    """Re-layout block values (V, W, nnz) into ELLPACK (V, W, L, N);
     padding slots (== nnz) map to an appended zero block."""
-    V, W = values.shape[-2:]
+    V, W, nnz = values.shape
     padded = jnp.concatenate(
-        [values, jnp.zeros((1, V, W), values.dtype)], axis=0
+        [values, jnp.zeros((V, W, 1), values.dtype)], axis=-1
     )
-    return padded[ell_slot]
+    return padded[:, :, ell_slot]  # ell_slot (L, N) -> (V, W, L, N)
 
 
 def ell_matvec(values_ell: jnp.ndarray, ell_cols: jnp.ndarray,
                x: jnp.ndarray) -> jnp.ndarray:
     """y = A @ x with A in ELLPACK block layout — gather + batched einsum,
-    scatter-free (see fem.assembly.ell_structure for why this matters on
-    TPU)."""
-    xg = x[ell_cols]  # (N, L, W)
-    return jnp.einsum("nlvw,nlw->nv", values_ell, xg)
+    scatter-free.
+
+    values_ell (V, W, L, N); ell_cols (L, N); x (W, N) -> y (V, N)."""
+    xg = x[:, ell_cols]  # (W, L, N)
+    return jnp.einsum("vwln,wln->vn", values_ell, xg)

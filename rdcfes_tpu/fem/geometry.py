@@ -1,13 +1,18 @@
-"""Batched isoparametric geometry factors.
+"""Batched isoparametric geometry factors (channel-first layouts).
 
 Replaces the per-element `fe->reinit(elem)` call of the reference
 (src/pihna.C:420, src/solid_system.C:133-143): for every element at once we
 compute the Jacobian of the reference->physical map, `JxW`, and the physical
-shape-function gradients `dphi`.  The whole computation is a handful of
-batched einsums / 3x3 inversions, so it jits into dense MXU/VPU work — and
-because coordinates are an *input*, moving-mesh physics (solid/coupled paths,
-reference src/solid_system.C:103-123) just re-invokes it with the current
-node positions inside the Newton loop.
+shape-function gradients `dphi`.
+
+LAYOUT RULE (TPU): the element axis E is always LAST.  TPU memory is tiled
+(sublane, lane) over the two minor dimensions; arrays whose minor dims are
+the small physics dims (K=4..8 nodes, Q=5..8 qps, 3 directions) pad 25-35x
+and blow out HBM at production scale, while (small..., E) layouts pad ~1x
+and vectorize over lanes.  Everything downstream (weak-form kernels,
+assembly, solvers) follows the same rule.
+
+Shapes: phi (Q, K) constant; JxW (Q, E); dphi (Q, K, 3, E).
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ def _inv3x3(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Batched closed-form 3x3 inverse and determinant.
 
     Mirrors the adjugate formula of the reference's `inverse()` helper
-    (src/utils.h:332-347) but batched over leading axes.
+    (src/utils.h:332-347) but batched over leading axes: J[..., 3, 3].
     """
     a = J[..., 0, 0]; b = J[..., 0, 1]; c = J[..., 0, 2]
     d = J[..., 1, 0]; e = J[..., 1, 1]; f = J[..., 1, 2]
@@ -45,10 +50,26 @@ def _inv3x3(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return inv, det
 
 
+def _inv3x3_cf(J: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Channel-first 3x3 inverse: J (..., 3, 3, E) -> (inv, det (..., E))."""
+    a = J[..., 0, 0, :]; b = J[..., 0, 1, :]; c = J[..., 0, 2, :]
+    d = J[..., 1, 0, :]; e = J[..., 1, 1, :]; f = J[..., 1, 2, :]
+    g = J[..., 2, 0, :]; h = J[..., 2, 1, :]; i = J[..., 2, 2, :]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    det = a * A + b * B + c * C
+    r = 1.0 / det
+    row0 = jnp.stack([A * r, -(b * i - c * h) * r, (b * f - c * e) * r], axis=-2)
+    row1 = jnp.stack([B * r, (a * i - c * g) * r, -(a * f - c * d) * r], axis=-2)
+    row2 = jnp.stack([C * r, -(a * h - b * g) * r, (a * e - b * d) * r], axis=-2)
+    return jnp.stack([row0, row1, row2], axis=-3), det
+
+
 def geometry_factors(
     coords: jnp.ndarray, connectivity: jnp.ndarray, elem_type: str
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-element quadrature geometry.
+    """Per-element quadrature geometry, channel-first.
 
     Parameters
     ----------
@@ -58,35 +79,34 @@ def geometry_factors(
 
     Returns
     -------
-    phi  : (Q, K)      shape functions at quadrature points (constant table)
-    JxW  : (E, Q)      det(J) * w_q
-    dphi : (E, Q, K, 3) physical gradients of the shape functions
+    phi  : (Q, K)        shape functions at quadrature points (constant)
+    JxW  : (Q, E)        det(J) * w_q
+    dphi : (Q, K, 3, E)  physical gradients of the shape functions
     """
     phi_np, dN_np, w_np = elements.tabulate(elem_type)
     phi = jnp.asarray(phi_np)
     dN = jnp.asarray(dN_np)  # (Q, K, 3) reference gradients
     w = jnp.asarray(w_np)
 
-    X = coords[connectivity]  # (E, K, 3)
-    # J[e,q,d,r] = d x_d / d xi_r = sum_k X[e,k,d] dN[q,k,r]
-    J = jnp.einsum("ekd,qkr->eqdr", X, dN)
-    Jinv, detJ = _inv3x3(J)  # Jinv[e,q,r,d] = d xi_r / d x_d
-    JxW = detJ * w[None, :]
-    # dphi[e,q,k,d] = sum_r dN[q,k,r] Jinv[e,q,r,d]
-    dphi = jnp.einsum("qkr,eqrd->eqkd", dN, Jinv)
+    conn_T = connectivity.T  # (K, E)
+    X = coords.T[:, conn_T]  # (3, K, E)
+    # J[q, d, r, e] = d x_d / d xi_r = sum_k X[d, k, e] dN[q, k, r]
+    J = jnp.einsum("dke,qkr->qdre", X, dN)
+    Jinv, detJ = _inv3x3_cf(J)  # Jinv (Q, 3, 3, E): [q, r, d, e]
+    JxW = detJ * w[:, None]
+    # dphi[q, k, d, e] = sum_r dN[q, k, r] Jinv[q, r, d, e]
+    dphi = jnp.einsum("qkr,qrde->qkde", dN, Jinv)
     return phi, JxW, dphi
 
 
 def face_geometry_factors(
     coords: jnp.ndarray, faces: jnp.ndarray, face_type: str
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-boundary-face quadrature geometry.
+    """Per-boundary-face quadrature geometry (element-batch-leading layout;
+    boundary sets are small, so tile padding is immaterial here).
 
     Replaces `fe_face->reinit(elem, side)` (reference src/adpm.C:604,
-    src/solid_system.C:310-315): for each face we compute the surface
-    JxW, shape functions, physical quadrature-point positions, and unit
-    outward normals (faces are stored with outward orientation by
-    `extract_boundary_faces`).
+    src/solid_system.C:310-315).
 
     Returns (psi [Q,Kf], JxW [F,Q], xyz [F,Q,3], normals [F,Q,3]).
     """
@@ -96,8 +116,7 @@ def face_geometry_factors(
     w = jnp.asarray(w_np)
 
     X = coords[faces]  # (F, Kf, 3)
-    # tangents t_r[f,q,d] = sum_k X[f,k,d] dN[q,k,r]
-    T = jnp.einsum("fkd,qkr->fqdr", X, dN)  # (F, Q, 3, 2)
+    T = jnp.einsum("fkd,qkr->fqdr", X, dN)  # (F, Q, 3, 2) tangents
     t0 = T[..., 0]
     t1 = T[..., 1]
     n = jnp.cross(t0, t1)  # (F, Q, 3), length = surface Jacobian

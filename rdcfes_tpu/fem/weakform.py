@@ -16,6 +16,9 @@ reference's branchy scalar qp loops into batched einsums over all elements —
 dense, static-shaped MXU/VPU work — and makes every model share one assembly
 code path.  Jacobian blocks can also be cross-checked against autodiff of the
 RHS coefficients (tests do this).
+
+LAYOUT: element axis LAST (see fem.geometry docstring for the TPU tiling
+rationale).
 """
 
 from __future__ import annotations
@@ -29,11 +32,11 @@ class WeakForm(NamedTuple):
     """Per-quadrature-point weak-form coefficients.
 
     Shapes (V = number of variables, E = elements, Q = quadrature points):
-      A : (V, E, Q)       rhs mass-type coefficient
-      B : (V, E, Q, 3)    rhs flux-type coefficient (dotted with dphi_i)
-      C : (V, V, E, Q)    jacobian mass block  (phi_j phi_i)
-      D : (V, V, E, Q, 3) jacobian taxis block ((D . dphi_i) phi_j)
-      E : (V, V, E, Q)    jacobian diffusion block (dphi_j . dphi_i)
+      A : (V, Q, E)        rhs mass-type coefficient
+      B : (V, Q, 3, E)     rhs flux-type coefficient (dotted with dphi_i)
+      C : (V, V, Q, E)     jacobian mass block  (phi_j phi_i)
+      D : (V, V, Q, 3, E)  jacobian taxis block ((D . dphi_i) phi_j)
+      E : (V, V, Q, E)     jacobian diffusion block (dphi_j . dphi_i)
     Any field may be None meaning identically zero.
     """
 
@@ -46,12 +49,14 @@ class WeakForm(NamedTuple):
 
 def element_vectors(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
                     dphi: jnp.ndarray) -> jnp.ndarray:
-    """Fe [V, E, K] from the rhs coefficients."""
+    """Fe (V, K, E) from the rhs coefficients.
+
+    phi (Q, K); JxW (Q, E); dphi (Q, K, 3, E)."""
     out = None
     if wf.A is not None:
-        out = jnp.einsum("veq,eq,qk->vek", wf.A, JxW, phi)
+        out = jnp.einsum("vqe,qe,qk->vke", wf.A, JxW, phi)
     if wf.B is not None:
-        term = jnp.einsum("veqd,eq,eqkd->vek", wf.B, JxW, dphi)
+        term = jnp.einsum("vqde,qe,qkde->vke", wf.B, JxW, dphi)
         out = term if out is None else out + term
     if out is None:
         raise ValueError("empty weak form rhs")
@@ -60,15 +65,15 @@ def element_vectors(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
 
 def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
                      dphi: jnp.ndarray) -> jnp.ndarray:
-    """Ke [V, W, E, K, K] (i index = K axis 3, j index = K axis 4)."""
+    """Ke (V, W, K_i, K_j, E) — i = test (row) index, j = trial (column)."""
     out = None
     if wf.C is not None:
-        out = jnp.einsum("vweq,eq,qi,qj->vweij", wf.C, JxW, phi, phi)
+        out = jnp.einsum("vwqe,qe,qi,qj->vwije", wf.C, JxW, phi, phi)
     if wf.D is not None:
-        term = jnp.einsum("vweqd,eq,eqid,qj->vweij", wf.D, JxW, dphi, phi)
+        term = jnp.einsum("vwqde,qe,qide,qj->vwije", wf.D, JxW, dphi, phi)
         out = term if out is None else out + term
     if wf.E is not None:
-        term = jnp.einsum("vweq,eq,eqid,eqjd->vweij", wf.E, JxW, dphi, dphi)
+        term = jnp.einsum("vwqe,qe,qide,qjde->vwije", wf.E, JxW, dphi, dphi)
         out = term if out is None else out + term
     if out is None:
         raise ValueError("empty weak form matrix")

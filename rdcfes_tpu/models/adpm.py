@@ -57,10 +57,12 @@ def _trapezoid5(p, stem):
 
 def tract_gate(grad, tracts_qp, omega):
     """Gated taxis direction (src/adpm.C:477-492): +/- tract when the unit
-    gradient aligns within the tolerance cosine `omega`, else zero."""
-    norm = jnp.linalg.norm(grad, axis=-1, keepdims=True)
+    gradient aligns within the tolerance cosine `omega`, else zero.
+
+    Channel-first: grad (Q, 3, E); tracts_qp (Q, 3, E) -> (Q, 3, E)."""
+    norm = jnp.linalg.norm(grad, axis=-2, keepdims=True)  # (Q, 1, E)
     unit = grad / jnp.where(norm == 0.0, 1.0, norm)
-    d = jnp.sum(unit * tracts_qp, axis=-1, keepdims=True)
+    d = jnp.sum(unit * tracts_qp, axis=-2, keepdims=True)
     t = jnp.where(d > omega, tracts_qp, jnp.where(d < -omega, -tracts_qp, 0.0))
     return jnp.where(norm > 0.0, t, 0.0)
 
@@ -73,8 +75,9 @@ def adpm_physics(u_qp, grad_qp, fields, params):
 
     PrP, Ab, Ta = u_qp[0], u_qp[1], u_qp[2]
     GAb, GTa = grad_qp[1], grad_qp[2]
-    E, Q = PrP.shape
-    tracts_qp = jnp.broadcast_to(tracts[:, None, :], (E, Q, 3))
+    Q, E = PrP.shape
+    # tracts (E, 3) -> channel-first (Q, 3, E)
+    tracts_qp = jnp.broadcast_to(tracts.T[None, :, :], (Q, 3, E))
 
     # parameter tuples (src/adpm.C:368-411)
     gamma = p["decay_PrP_time_exponent"]
@@ -129,12 +132,12 @@ def adpm_physics(u_qp, grad_qp, fields, params):
     B = jnp.stack(
         [
             zero3,
-            dt2 * (-Pi_dif_Ab[..., None] * GAb
-                   - (Pi_tax1_Ab * Ab)[..., None] * tract_Ab
-                   + (Pi_tax2_Ab * Ab)[..., None] * tract_Ta),
-            dt2 * (-Pi_dif_Ta[..., None] * GTa
-                   - (Pi_tax1_Ta * Ta)[..., None] * tract_Ta
-                   + (Pi_tax2_Ta * Ta)[..., None] * tract_Ab),
+            dt2 * (-Pi_dif_Ab[..., None, :] * GAb
+                   - (Pi_tax1_Ab * Ab)[..., None, :] * tract_Ab
+                   + (Pi_tax2_Ab * Ab)[..., None, :] * tract_Ta),
+            dt2 * (-Pi_dif_Ta[..., None, :] * GTa
+                   - (Pi_tax1_Ta * Ta)[..., None, :] * tract_Ta
+                   + (Pi_tax2_Ta * Ta)[..., None, :] * tract_Ab),
         ]
     )
 
@@ -144,13 +147,13 @@ def adpm_physics(u_qp, grad_qp, fields, params):
     C02 = -dt2 * (-dTr_Ta * PrP)
     C10 = -dt2 * Tr_Ab
     C11 = one - dt2 * (SD_Ab + dSD_Ab * Ab + dTr_Ab * PrP - Pi_decay_Ab)
-    D11 = -dt2 * (-Pi_tax1_Ab[..., None] * tract_Ab
-                  + Pi_tax2_Ab[..., None] * tract_Ta)
+    D11 = -dt2 * (-Pi_tax1_Ab[..., None, :] * tract_Ab
+                  + Pi_tax2_Ab[..., None, :] * tract_Ta)
     E11 = dt2 * Pi_dif_Ab
     C20 = -dt2 * Tr_Ta
     C22 = one - dt2 * (SD_Ta + dSD_Ta * Ta + dTr_Ta * PrP - Pi_decay_Ta)
-    D22 = -dt2 * (-Pi_tax1_Ta[..., None] * tract_Ta
-                  + Pi_tax2_Ta[..., None] * tract_Ab)
+    D22 = -dt2 * (-Pi_tax1_Ta[..., None, :] * tract_Ta
+                  + Pi_tax2_Ta[..., None, :] * tract_Ab)
     E22 = dt2 * Pi_dif_Ta
 
     C = jnp.stack(

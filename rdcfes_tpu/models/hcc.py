@@ -75,8 +75,8 @@ def hcc_physics(u_qp, grad_qp, fields, params):
     B = jnp.stack(
         [
             zero3,
-            dt2 * (-(dif_c * tau)[..., None] * Gc
-                   - (mech_c * tau * c)[..., None] * Gsig),
+            dt2 * (-(dif_c * tau)[..., None, :] * Gc
+                   - (mech_c * tau * c)[..., None, :] * Gsig),
             zero3,
         ]
     )
@@ -86,16 +86,16 @@ def hcc_physics(u_qp, grad_qp, fields, params):
     C01 = one - dt2 * (prod_l * dtau * l)              # spurious capacity term
     C02 = one - dt2 * (prod_l * dtau * l - nec_l * l)  # spurious capacity term
 
-    Dtau_c = -dt2 * (-(dif_c * dtau)[..., None] * Gc
-                     - (mech_c * dtau * c)[..., None] * Gsig)
+    Dtau_c = -dt2 * (-(dif_c * dtau)[..., None, :] * Gc
+                     - (mech_c * dtau * c)[..., None, :] * Gsig)
     C10 = one - dt2 * (prod_c * dtau * c)              # spurious capacity term
     D10 = Dtau_c
     # Ke[1][1] = intended block + the misplaced "[1][2]" accumulation
     C11 = (one - dt2 * (prod_c * tau + prod_c * dtau * c - nec_c * n)) \
         + (one - dt2 * (prod_c * dtau * c - nec_c * c))
-    D11 = -dt2 * (-(dif_c * dtau)[..., None] * Gc
-                  - (mech_c * dtau * c)[..., None] * Gsig
-                  - (mech_c * tau)[..., None] * Gsig) + Dtau_c
+    D11 = -dt2 * (-(dif_c * dtau)[..., None, :] * Gc
+                  - (mech_c * dtau * c)[..., None, :] * Gsig
+                  - (mech_c * tau)[..., None, :] * Gsig) + Dtau_c
     E11 = dt2 * dif_c * tau
 
     C20 = -dt2 * (nec_l * n)

@@ -118,9 +118,9 @@ def pihna_physics(u_qp, grad_qp, fields, params):
     B = jnp.stack(
         [
             zero3,
-            dt2 * (-(dif_c * tau)[..., None] * Gc - (tax_c * tau * c)[..., None] * Gv),
-            dt2 * (-(dif_h * tau)[..., None] * Gh - (tax_h * tau * h)[..., None] * Gv),
-            dt2 * (-(dif_v * tau)[..., None] * Gv - (tax_v * tau * v)[..., None] * Ga),
+            dt2 * (-(dif_c * tau)[..., None, :] * Gc - (tax_c * tau * c)[..., None, :] * Gv),
+            dt2 * (-(dif_h * tau)[..., None, :] * Gh - (tax_h * tau * h)[..., None, :] * Gv),
+            dt2 * (-(dif_v * tau)[..., None, :] * Gv - (tax_v * tau * v)[..., None, :] * Ga),
             zero3,
         ]
     )
@@ -135,13 +135,13 @@ def pihna_physics(u_qp, grad_qp, fields, params):
     C03 = -dt2 * (nec_v * n + sw_h2n * (-Ve_dv) * h)
 
     C10 = -dt2 * (prod_c * dtau * c - nec_c * c)
-    D10 = -dt2 * (-(dif_c * dtau)[..., None] * Gc - (tax_c * dtau * c)[..., None] * Gv)
+    D10 = -dt2 * (-(dif_c * dtau)[..., None, :] * Gc - (tax_c * dtau * c)[..., None, :] * Gv)
     C11 = one - dt2 * (prod_c * tau + prod_c * dtau * c
                        - sw_c2h * (1.0 - Ve) - sw_c2h * (-Ve_dc) * c
                        + sw_h2c * Ve_dc * h - nec_c * n)
-    D11 = -dt2 * (-(dif_c * dtau)[..., None] * Gc
-                  - (tax_c * dtau * c)[..., None] * Gv
-                  - (tax_c * tau)[..., None] * Gv)
+    D11 = -dt2 * (-(dif_c * dtau)[..., None, :] * Gc
+                  - (tax_c * dtau * c)[..., None, :] * Gv
+                  - (tax_c * tau)[..., None, :] * Gv)
     E11 = dt2 * dif_c * tau
     C12 = -dt2 * (prod_c * dtau * c - sw_c2h * (-Ve_dh) * c
                   + sw_h2c * Ve_dh * h + sw_h2c * Ve)
@@ -151,30 +151,30 @@ def pihna_physics(u_qp, grad_qp, fields, params):
     E13 = dt2 * tax_c * tau * c
 
     C20 = -dt2 * (-nec_h * h)
-    D20 = -dt2 * (-(dif_h * dtau)[..., None] * Gh - (tax_h * dtau * h)[..., None] * Gv)
+    D20 = -dt2 * (-(dif_h * dtau)[..., None, :] * Gh - (tax_h * dtau * h)[..., None, :] * Gv)
     C21 = -dt2 * (sw_c2h * (1.0 - Ve) + sw_c2h * (-Ve_dc) * c
                   - sw_h2c * Ve_dc * h - sw_h2n * (-Ve_dc) * h)
     D21 = D20
     C22 = one - dt2 * (sw_c2h * (-Ve_dh) * c - sw_h2c * Ve_dh * h - sw_h2c * Ve
                        - nec_h * n - sw_h2n * (-Ve_dh) * h - sw_h2n * (1.0 - Ve))
-    D22 = -dt2 * (-(dif_h * dtau)[..., None] * Gh
-                  - (tax_h * dtau * h)[..., None] * Gv
-                  - (tax_h * tau)[..., None] * Gv)
+    D22 = -dt2 * (-(dif_h * dtau)[..., None, :] * Gh
+                  - (tax_h * dtau * h)[..., None, :] * Gv
+                  - (tax_h * tau)[..., None, :] * Gv)
     E22 = dt2 * dif_h * tau
     C23 = -dt2 * (sw_c2h * (-Ve_dv) * c - sw_h2c * Ve_dv * h - sw_h2n * (-Ve_dv) * h)
     D23 = D20
     E23 = dt2 * tax_h * tau * h
 
     C30 = -dt2 * (prod_v * dtau * Ua * v - nec_v * v)
-    D30 = -dt2 * (-(dif_v * dtau)[..., None] * Gv - (tax_v * dtau * v)[..., None] * Ga)
+    D30 = -dt2 * (-(dif_v * dtau)[..., None, :] * Gv - (tax_v * dtau * v)[..., None, :] * Ga)
     C31 = -dt2 * (prod_v * dtau * Ua * v)
     D31 = D30
     C32 = C31
     D32 = D30
     C33 = one - dt2 * (prod_v * dtau * Ua * v - nec_v * n)
-    D33 = -dt2 * (-(dif_v * dtau)[..., None] * Gv
-                  - (tax_v * dtau * v)[..., None] * Ga
-                  - (tax_v * tau)[..., None] * Ga)
+    D33 = -dt2 * (-(dif_v * dtau)[..., None, :] * Gv
+                  - (tax_v * dtau * v)[..., None, :] * Ga
+                  - (tax_v * tau)[..., None, :] * Ga)
     E33 = dt2 * dif_v * tau
     C34 = -dt2 * (prod_v * tau * Ua_da * v)
     E34 = dt2 * tax_v * tau * v

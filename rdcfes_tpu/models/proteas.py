@@ -116,8 +116,8 @@ def proteas_physics(u_qp, grad_qp, fields, params):
     B = jnp.stack(
         [
             zero3,
-            dt2 * (-(D_c * Kappa)[..., None] * Gtum
-                   - (D_c_h * Kappa * tum)[..., None] * Ghos),
+            dt2 * (-(D_c * Kappa)[..., None, :] * Gtum
+                   - (D_c_h * Kappa * tum)[..., None, :] * Ghos),
             zero3,
             zero3,
             dt2 * (-D_e) * Goed,
@@ -133,7 +133,7 @@ def proteas_physics(u_qp, grad_qp, fields, params):
     C03 = -dt2 * hh
 
     Dkap_tum = -dt2 * ((-D_c * dKappa) * Gtum
-                       + (-D_c_h * dKappa) * tum[..., None] * Ghos)
+                       + (-D_c_h * dKappa) * tum[..., None, :] * Ghos)
     C10 = -dt2 * (dtum_prol * tum)
     D10 = Dkap_tum
     E10 = dt2 * D_c_h * Kappa * tum

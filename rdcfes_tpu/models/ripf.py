@@ -124,9 +124,9 @@ def ripf_physics(u_qp, grad_qp, fields, params):
         [
             zero3,
             zero3,
-            dt2 * (-(dif * tau)[..., None] * Gfb
-                   - (hap * tau * fb)[..., None] * GHU
-                   - (rad * tau * fb)[..., None] * GRT),
+            dt2 * (-(dif * tau)[..., None, :] * Gfb
+                   - (hap * tau * fb)[..., None, :] * GHU
+                   - (rad * tau * fb)[..., None, :] * GRT),
         ]
     )
 
@@ -139,9 +139,9 @@ def ripf_physics(u_qp, grad_qp, fields, params):
     C12 = -dt2 * (kappa_RT * dtau * Koppa)
     C20 = -dt2 * (lam_RT * tau * L_dHU)
     E20 = dt2 * hap * tau * fb
-    Dtau_fb = -dt2 * (-(dif * dtau)[..., None] * Gfb
-                      - (hap * dtau * fb)[..., None] * GHU
-                      - (rad * dtau * fb)[..., None] * GRT)
+    Dtau_fb = -dt2 * (-(dif * dtau)[..., None, :] * Gfb
+                      - (hap * dtau * fb)[..., None, :] * GHU
+                      - (rad * dtau * fb)[..., None, :] * GRT)
     # Lombda__dcc and Omecro__dcc are identically zero in every reference
     # branch (src/ripf.C:536-552), so only the dtau parts survive here
     C21 = -dt2 * (lam_RT * dtau * Lombda + omi_RT * dtau * Omecro)
@@ -149,11 +149,11 @@ def ripf_physics(u_qp, grad_qp, fields, params):
     C22 = one - dt2 * (lam_RT * dtau * Lombda + lam_RT * tau * L_dfb
                        + omi_RT * dtau * Omecro + omi_RT * tau * O_dfb
                        - omega)
-    D22 = -dt2 * (-(dif * dtau)[..., None] * Gfb
-                  - (hap * dtau * fb)[..., None] * GHU
-                  - (hap * tau)[..., None] * GHU
-                  - (rad * dtau * fb)[..., None] * GRT
-                  - (rad * tau)[..., None] * GRT)
+    D22 = -dt2 * (-(dif * dtau)[..., None, :] * Gfb
+                  - (hap * dtau * fb)[..., None, :] * GHU
+                  - (hap * tau)[..., None, :] * GHU
+                  - (rad * dtau * fb)[..., None, :] * GRT
+                  - (rad * tau)[..., None, :] * GRT)
     E22 = dt2 * dif * tau
 
     C = jnp.stack(

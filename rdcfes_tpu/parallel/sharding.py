@@ -93,48 +93,55 @@ class ShardedTransientSystem:
         self.sp = sp
         N = mesh.n_nodes
 
-        # ---- row-major ELL structure, rows padded to D equal blocks ------
-        ell_cols, ell_slot = ell_structure(sp)  # (N, L)
-        L = ell_cols.shape[1]
+        # ---- channel-first ELL structure, rows padded to D blocks --------
+        ell_cols, ell_slot = ell_structure(sp)  # (L, N)
+        L = ell_cols.shape[0]
         self.L = L
         self.Npad = partition_elements(N, D)[0]
-        ell_cols_p = _pad_axis0(ell_cols, self.Npad)
-        ell_slot_p = _pad_axis0(ell_slot, self.Npad, fill=sp.nnz)
-        # slot -> linear ELL position (row * L + pos); pad bin at the end
+        pad_cols = self.Npad - N
+        ell_cols_p = np.pad(ell_cols, ((0, 0), (0, pad_cols)))
+        ell_slot_p = np.pad(ell_slot, ((0, 0), (0, pad_cols)),
+                            constant_values=sp.nnz)
+        # slot -> linear position into the (L, Npad) value layout
+        # (lin = pos * Npad + row); pad bin at the end
         slot_to_lin = np.full(sp.nnz + 1, self.Npad * L, dtype=np.int64)
-        rr = np.repeat(np.arange(self.Npad), L)
-        slot_to_lin[ell_slot_p.reshape(-1)] = rr * L + np.tile(
-            np.arange(L), self.Npad
-        )
+        pp, rr = np.nonzero(ell_slot_p < sp.nnz)
+        slot_to_lin[ell_slot_p[pp, rr]] = pp * self.Npad + rr
         # per-row position of the diagonal block
         diag_pos = np.zeros(self.Npad, dtype=np.int32)
-        rows_idx, pos_idx = np.nonzero(
-            ell_slot_p[:N] == sp.diag_slots[:, None]
-        )
+        pos_idx, rows_idx = np.nonzero(ell_slot_p[:, :N] == sp.diag_slots[None, :])
         diag_pos[rows_idx] = pos_idx
 
         # ---- element tables, padded to D equal blocks --------------------
         Epad, _ = partition_elements(mesh.n_elems, D)
         conn_p = _pad_axis0(mesh.connectivity.astype(np.int32), Epad)
-        # (e,i,j) -> linear ELL target
-        ell_lin = slot_to_lin[sp.slots]  # (E, K, K)
-        ell_lin_p = _pad_axis0(ell_lin, Epad, fill=self.Npad * L)
+        # (i, j, e)-ordered flat targets into the (L, Npad) layout
+        ell_lin = slot_to_lin[np.transpose(sp.slots, (1, 2, 0))]  # (K, K, E)
+        K = mesh.nodes_per_elem
+        ell_lin_p = np.full((K, K, Epad), self.Npad * L, dtype=np.int64)
+        ell_lin_p[:, :, : mesh.n_elems] = ell_lin
         phi, JxW, dphi = geometry_factors(
             jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
             mesh.elem_type,
-        )
-        JxW_p = _pad_axis0(np.asarray(JxW), Epad)  # padded elems weigh zero
-        dphi_p = _pad_axis0(np.asarray(dphi), Epad)
+        )  # phi (Q,K); JxW (Q,E); dphi (Q,K,3,E)
+        Q = np.asarray(JxW).shape[0]
+        JxW_p = np.zeros((Q, Epad))
+        JxW_p[:, : mesh.n_elems] = np.asarray(JxW)  # padded elems weigh zero
+        dphi_p = np.zeros((Q, K, 3, Epad))
+        dphi_p[..., : mesh.n_elems] = np.asarray(dphi)
         self.phi = jnp.asarray(phi)
 
-        shard = NamedSharding(device_mesh, P("d"))
+        eshard = NamedSharding(device_mesh, P("d"))           # element axis 0
+        lastshard4 = NamedSharding(device_mesh, P(None, None, None, "d"))
+        lastshard3 = NamedSharding(device_mesh, P(None, None, "d"))
+        lastshard2 = NamedSharding(device_mesh, P(None, "d"))
         repl = NamedSharding(device_mesh, P())
-        self.conn_s = jax.device_put(conn_p, shard)
-        self.ell_lin_s = jax.device_put(ell_lin_p, shard)
-        self.JxW_s = jax.device_put(JxW_p, shard)
-        self.dphi_s = jax.device_put(dphi_p, shard)
-        self.ell_cols_s = jax.device_put(ell_cols_p, shard)   # rows sharded
-        self.diag_pos_s = jax.device_put(diag_pos, shard)
+        self.conn_s = jax.device_put(conn_p, eshard)
+        self.ell_lin_s = jax.device_put(ell_lin_p, lastshard3)
+        self.JxW_s = jax.device_put(JxW_p, lastshard2)
+        self.dphi_s = jax.device_put(dphi_p, lastshard4)
+        self.ell_cols_s = jax.device_put(ell_cols_p, lastshard2)  # rows sharded
+        self.diag_pos_s = jax.device_put(diag_pos, eshard)
         self._repl = repl
 
         fn = shard_map(
@@ -142,8 +149,12 @@ class ShardedTransientSystem:
             mesh=device_mesh,
             in_specs=(
                 P(), P(), P(),                   # u, fields, params
-                P("d"), P("d"), P("d"), P("d"),  # conn, ell_lin, JxW, dphi
-                P("d"), P("d"),                  # ell_cols, diag_pos
+                P("d"),                          # conn (elements)
+                P(None, None, "d"),              # ell_lin (K, K, E)
+                P(None, "d"),                    # JxW (Q, E)
+                P(None, None, None, "d"),        # dphi (Q, K, 3, E)
+                P(None, "d"),                    # ell_cols (L, N)
+                P("d"),                          # diag_pos (N,)
             ),
             out_specs=(P(), P(), P()),
             # the solver keeps its iterates replicated by construction
@@ -162,60 +173,61 @@ class ShardedTransientSystem:
     # ------------------------------------------------------------------
     def _step_shard(self, u, fields, params, conn, ell_lin, JxW, dphi,
                     ell_cols, diag_pos):
-        """Per-device program; collectives over mesh axis "d"."""
+        """Per-device program; collectives over mesh axis "d".  All large
+        arrays are channel-first (node/element axis last)."""
         N = self.sp.n_nodes
         V = self.n_vars
         L = self.L
         Nb = self.Npad // self.n_shards  # rows per device
+        u_T = u.T  # (V, N) replicated
 
         # ---- local gather + quadrature physics + element kernels --------
-        ue = u[conn]  # (E_loc, K, V) — nodal state is replicated
-        u_qp = jnp.einsum("qk,ekv->veq", self.phi, ue)
-        grad_qp = jnp.einsum("eqkd,ekv->veqd", dphi, ue)
+        conn_T = conn.T  # (K, E_loc)
+        ue = u_T[:, conn_T]  # (V, K, E_loc)
+        u_qp = jnp.einsum("qk,vke->vqe", self.phi, ue)
+        grad_qp = jnp.einsum("qkde,vke->vqde", dphi, ue)
         wf = self.physics(u_qp, grad_qp, fields, params)
-        Fe = element_vectors(wf, self.phi, JxW, dphi)
-        Ke = element_matrices(wf, self.phi, JxW, dphi)
+        Fe = element_vectors(wf, self.phi, JxW, dphi)   # (V, K, E_loc)
+        Ke = element_matrices(wf, self.phi, JxW, dphi)  # (V, V, K, K, E_loc)
 
         # ---- rhs: local scatter-add + psum (allreduce over ICI) ----------
-        E_loc, K = conn.shape
-        b_local = jax.ops.segment_sum(
-            jnp.transpose(Fe, (1, 2, 0)).reshape(E_loc * K, V),
-            conn.reshape(-1), num_segments=N,
+        b_local = jnp.zeros((V, N)).at[:, conn_T.reshape(-1)].add(
+            Fe.reshape(V, -1)
         )
         b = lax.psum(b_local, "d")
 
-        # ---- matrix: scatter into full row-ELL, psum_scatter rows --------
-        contrib = jnp.transpose(Ke, (2, 3, 4, 0, 1)).reshape(E_loc * K * K, V, V)
-        ell_full = jax.ops.segment_sum(
-            contrib, ell_lin.reshape(-1), num_segments=self.Npad * L + 1
-        )[: self.Npad * L].reshape(self.Npad, L, V, V)
+        # ---- matrix: scatter into full (V,V,L,Npad), psum_scatter rows ---
+        ell_full = jnp.zeros((V, V, self.Npad * L + 1)).at[
+            :, :, ell_lin.reshape(-1)
+        ].add(Ke.reshape(V, V, -1))
+        ell_full = ell_full[:, :, : self.Npad * L].reshape(V, V, L, self.Npad)
         vals_rows = lax.psum_scatter(
-            ell_full, "d", scatter_dimension=0, tiled=True
-        )  # (Nb, L, V, V), fully summed rows owned by this device
+            ell_full, "d", scatter_dimension=3, tiled=True
+        )  # (V, V, L, Nb), fully summed rows owned by this device
 
         # ---- block-Jacobi from all_gather of owned diagonal blocks -------
-        row_ids = jnp.arange(Nb)
-        diag_local = vals_rows[row_ids, diag_pos]  # (Nb, V, V)
-        diag = lax.all_gather(diag_local, "d", axis=0, tiled=True)[:N]
-        Dinv = small_block_inverse(
-            jnp.where(
-                (jnp.abs(diag).sum(axis=(1, 2)) == 0.0)[:, None, None],
-                jnp.broadcast_to(jnp.eye(V), diag.shape), diag,
-            )
+        idx = jnp.broadcast_to(diag_pos[None, None, None, :], (V, V, 1, Nb))
+        diag_local = jnp.take_along_axis(vals_rows, idx, axis=2)[:, :, 0, :]
+        diag = lax.all_gather(diag_local, "d", axis=2, tiled=True)[:, :, :N]
+        empty = jnp.abs(diag).sum(axis=(0, 1)) == 0.0
+        diag = jnp.where(
+            empty[None, None, :],
+            jnp.broadcast_to(jnp.eye(V)[:, :, None], diag.shape), diag,
         )
+        Dinv = small_block_inverse(diag)
 
         def matvec(x):
-            xg = x[ell_cols]  # (Nb, L, V) gather from replicated x
-            y_loc = jnp.einsum("nlvw,nlw->nv", vals_rows, xg)
-            return lax.all_gather(y_loc, "d", axis=0, tiled=True)[:N]
+            xg = x[:, ell_cols]  # (V, L, Nb) gather from replicated x
+            y_loc = jnp.einsum("vwln,wln->vn", vals_rows, xg)
+            return lax.all_gather(y_loc, "d", axis=1, tiled=True)[:, :N]
 
         def precond(r):
-            return jnp.einsum("nvw,nw->nv", Dinv, r)
+            return jnp.einsum("vwn,wn->vn", Dinv, r)
 
         # ---- replicated BiCGStab with sharded, scatter-free SpMV ---------
-        x, iters, res = _bicgstab(matvec, b, u, precond, self.rtol, self.maxiter)
+        x, iters, res = _bicgstab(matvec, b, u_T, precond, self.rtol, self.maxiter)
         u_new = self.clamp(x)
-        return u_new, iters, res
+        return u_new.T, iters, res
 
     # ------------------------------------------------------------------
     def step(self, u, fields: Optional[Dict] = None,

@@ -39,54 +39,54 @@ class SolveResult(NamedTuple):
 # preconditioners
 # ----------------------------------------------------------------------
 def small_block_inverse(D: jnp.ndarray) -> jnp.ndarray:
-    """Batched inverse of small (.., V, V) blocks via Gauss-Jordan.
+    """Batched inverse of small channel-first blocks D (V, V, N) -> (V, V, N)
+    via Gauss-Jordan with partial pivoting.
 
-    TPU's f64 path has no LuDecomposition lowering, so `jnp.linalg.inv` does
-    not compile there; for the tiny nodal blocks (V <= 5) an unrolled
-    Gauss-Jordan with partial pivoting is exact, fully vectorized over the
-    batch, and compiles to plain VPU arithmetic.
+    TPU rationale: (a) the f64 path has no LuDecomposition lowering, so
+    `jnp.linalg.inv` does not compile there; (b) channel-first layout keeps
+    the big N axis on lanes (a (N, V, V) layout would tile-pad ~25x).  The
+    unrolled V<=5 elimination is exact and compiles to plain VPU arithmetic.
     """
-    V = D.shape[-1]
+    V = D.shape[0]
+    N = D.shape[-1]
     if V == 1:
         return 1.0 / D
     A = D
-    I = jnp.broadcast_to(jnp.eye(V, dtype=D.dtype), D.shape)
-    Inv = jnp.array(I)
+    Inv = jnp.broadcast_to(
+        jnp.eye(V, dtype=D.dtype)[:, :, None], (V, V, N)
+    ).copy() if hasattr(jnp.broadcast_to(jnp.zeros(1), (1,)), "copy") else None
+    Inv = jnp.tile(jnp.eye(V, dtype=D.dtype)[:, :, None], (1, 1, N))
+    row_ids = jnp.arange(V)[:, None]  # (V, 1)
     for k in range(V):
-        # partial pivot: pick the largest |A[:, j, k]| among rows j >= k
-        col = jnp.abs(A[..., :, k])
-        mask = jnp.arange(V) >= k
-        col = jnp.where(mask, col, -jnp.inf)
-        p = jnp.argmax(col, axis=-1)  # (..,)
-        # swap rows k and p in both A and Inv
-        batch_shape = A.shape[:-2]
-        row_ids = jnp.broadcast_to(jnp.arange(V), batch_shape + (V,))
-        k_arr = jnp.full(batch_shape + (1,), k)
-        p_arr = p[..., None]
-        perm = jnp.where(row_ids == k, p_arr, jnp.where(row_ids == p_arr, k_arr, row_ids))
-        A = jnp.take_along_axis(A, perm[..., None], axis=-2)
-        Inv = jnp.take_along_axis(Inv, perm[..., None], axis=-2)
-        # eliminate
-        pivot = A[..., k : k + 1, k : k + 1]
-        Ak = A[..., k : k + 1, :] / pivot
-        Ik = Inv[..., k : k + 1, :] / pivot
-        factor = A[..., :, k : k + 1]
-        A = A - factor * Ak
-        Inv = Inv - factor * Ik
-        onehot = (jnp.arange(V) == k)[..., None]
-        A = jnp.where(onehot, Ak, A)
-        Inv = jnp.where(onehot, Ik, Inv)
+        # partial pivot: largest |A[r, k, n]| among rows r >= k
+        col = jnp.abs(A[:, k, :])  # (V, N)
+        col = jnp.where(row_ids >= k, col, -jnp.inf)
+        p = jnp.argmax(col, axis=0)  # (N,)
+        perm = jnp.where(row_ids == k, p[None, :],
+                         jnp.where(row_ids == p[None, :], k, row_ids))  # (V, N)
+        A = jnp.take_along_axis(A, perm[:, None, :], axis=0)
+        Inv = jnp.take_along_axis(Inv, perm[:, None, :], axis=0)
+        pivot = A[k, k, :]  # (N,)
+        Ak = A[k] / pivot[None, :]      # (V, N) row k normalized
+        Ik = Inv[k] / pivot[None, :]
+        factor = A[:, k, :]             # (V, N)
+        A = A - factor[:, None, :] * Ak[None, :, :]
+        Inv = Inv - factor[:, None, :] * Ik[None, :, :]
+        onehot = (jnp.arange(V) == k)[:, None, None]
+        A = jnp.where(onehot, Ak[None, :, :], A)
+        Inv = jnp.where(onehot, Ik[None, :, :], Inv)
     return Inv
 
 
 def block_jacobi_inverse(values: jnp.ndarray, diag_slots: jnp.ndarray) -> jnp.ndarray:
-    """Invert the (n_nodes, V, V) diagonal blocks once per assembly."""
+    """Invert the (V, V, n_nodes) diagonal blocks once per assembly."""
     D = extract_diagonal_blocks(values, diag_slots)
     return small_block_inverse(D)
 
 
 def apply_block_jacobi(Dinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    return jnp.einsum("nvw,nw->nv", Dinv, r)
+    """Dinv (V, W, N) applied to r (W, N) -> (V, N)."""
+    return jnp.einsum("vwn,wn->vn", Dinv, r)
 
 
 def _identity(r):

@@ -74,9 +74,8 @@ class SolidSystem:
         self.penalty = float(penalty)
         self.sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
         self.conn = jnp.asarray(mesh.connectivity)
-        self.slots = jnp.asarray(self.sp.slots)
-        self.rows = jnp.asarray(self.sp.rows)
-        self.cols = jnp.asarray(self.sp.cols)
+        self.conn_flat_cf = jnp.asarray(mesh.connectivity.T.reshape(-1))
+        self.slots_flat_cf = jnp.asarray(self.sp.slots_flat_cf())
         self.diag_slots = jnp.asarray(self.sp.diag_slots)
         self.X0 = jnp.asarray(mesh.coords)  # undeformed configuration
 
@@ -145,15 +144,25 @@ class SolidSystem:
         return self.X0
 
     # ------------------------------------------------------------------
-    def assemble(self, x: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Residual (N, 3) and block-CSR tangent values (nnz, 3, 3) at
-        current positions x."""
+    def assemble(self, x_T: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Residual (3, N) and block tangent values (3, 3, nnz) at current
+        positions x_T (3, N) — channel-first at the solver boundary.
+
+        NOTE: the constitutive tensor algebra below keeps (E, Q, 3, 3)
+        layouts internally; on TPU those tile-pad ~8-25x, which is fine at
+        the shipped solid-case scales (<= O(10k) elements) but a
+        channel-first relayout of models/hyperelastic.py is the next step
+        for production-scale solid meshes."""
         mesh = self.mesh
+        x = x_T.T  # (N, 3)
         phi, JxW, dphi = geometry_factors(x, self.conn, mesh.elem_type)
+        # dphi (Q, K, 3, E) -> element-leading view for the tensor kernels
+        dphi_eq = jnp.transpose(dphi, (3, 0, 1, 2))  # (E, Q, K, 3)
+        JxW_eq = JxW.T  # (E, Q)
         X0e = self.X0[self.conn]  # (E, K, 3)
-        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi, X0e)
+        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi_eq, X0e)
         lam = 1.0 + pseudo_time * self.rates  # (E, 3)
-        EQ = JxW.shape
+        EQ = JxW_eq.shape
         sigma, tangent, _F = stress_and_tangent(
             grad_X,
             jnp.broadcast_to(lam[:, None, :], EQ + (3,)),
@@ -163,47 +172,48 @@ class SolidSystem:
             self.fibre_k[:, None],
             want_tangent=True,
         )
-        # residual: B_i^T sigma  == sigma . grad(phi_i)
-        Fe = jnp.einsum("eq,eqvd,eqid->vei", JxW, sigma, dphi)
+        # residual: B_i^T sigma  == sigma . grad(phi_i)  -> Fe (3, K, E)
+        Fe = jnp.einsum("eq,eqvd,eqid->vie", JxW_eq, sigma, dphi_eq)
         # geometric stiffness: (grad phi_i . sigma . grad phi_j) delta_vw
-        G = jnp.einsum("eq,eqic,eqcd,eqjd->eij", JxW, dphi, sigma, dphi)
-        Kgeo = jnp.einsum("vw,eij->vweij", jnp.eye(3), G)
+        G = jnp.einsum("eq,eqic,eqcd,eqjd->ije", JxW_eq, dphi_eq, sigma, dphi_eq)
+        Kgeo = jnp.einsum("vw,ije->vwije", jnp.eye(3), G)
         # material stiffness: B_i^T tangent B_j
-        E_, Q, K, _ = dphi.shape
+        E_, Q, K, _ = dphi_eq.shape
         B = jnp.zeros((E_, Q, K, 3, 6))
         for (v, a), comp in _B_SLOTS.items():
-            B = B.at[..., v, a].set(dphi[..., comp])
-        Kmat = jnp.einsum("eq,eqiva,eqab,eqjwb->vweij", JxW, B, tangent, B)
-        values = assemble_matrix(Kgeo + Kmat, self.slots, self.sp.nnz)
-        R = assemble_vector(Fe, self.conn, self.sp.n_nodes)
+            B = B.at[..., v, a].set(dphi_eq[..., comp])
+        Kmat = jnp.einsum("eq,eqiva,eqab,eqjwb->vwije", JxW_eq, B, tangent, B)
+        values = assemble_matrix(Kgeo + Kmat, self.slots_flat_cf, self.sp.nnz)
+        R = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
 
         if self.bc_faces is not None:
             R, values = self._apply_penalty_bcs(x, pseudo_time, R, values)
         return R, values
 
     def _apply_penalty_bcs(self, x, pseudo_time, R, values):
-        """Penalty Dirichlet contributions (src/solid_system.C:273-371)."""
+        """Penalty Dirichlet contributions (src/solid_system.C:273-371).
+
+        R (3, N); values (3, 3, nnz) — channel-first scatter targets."""
         ratio = pseudo_time * 1.000001
         psi, JxWf, xyz, _ = face_geometry_factors(x, self.bc_faces, self.face_type)
         orig = jnp.einsum("qk,fkd->fqd", psi, self.X0[self.bc_faces])
         target = ratio * self.bc_disp  # (F, 3)
         diff = xyz - orig - target[:, None, :]  # (F, Q, 3)
         masked = diff * self.bc_mask[:, None, :]
-        # residual: penalty * psi_i * diff
-        Rf = self.penalty * jnp.einsum("fq,qi,fqv->fiv", JxWf, psi, masked)
+        # residual: penalty * psi_i * diff  -> (3, F, Kf)
+        Rf = self.penalty * jnp.einsum("fq,qi,fqv->vfi", JxWf, psi, masked)
         Fn, Kf = self.bc_faces.shape
-        R = R + jax.ops.segment_sum(
-            Rf.reshape(Fn * Kf, 3), self.bc_faces.reshape(-1),
-            num_segments=self.sp.n_nodes,
-        )
+        R = R.at[:, self.bc_faces.reshape(-1)].add(Rf.reshape(3, Fn * Kf))
         # jacobian: penalty * psi_i psi_j on constrained axes (diagonal blocks)
         Kf_pen = self.penalty * jnp.einsum("fq,qi,qj->fij", JxWf, psi, psi)
-        Kblocks = Kf_pen[..., None] * self.bc_mask[:, None, None, :]  # (F,i,j,3)
-        Kblocks = Kblocks[..., None] * jnp.eye(3)  # (F,i,j,3,3)
-        values = values + jax.ops.segment_sum(
-            Kblocks.reshape(Fn * Kf * Kf, 3, 3),
-            self.bc_slots.reshape(-1),
-            num_segments=self.sp.nnz,
+        # (3, 3, F, i, j): delta_vw * mask[f, v] * Kf_pen[f, i, j]
+        Kblocks = (
+            jnp.eye(3)[:, :, None, None, None]
+            * self.bc_mask.T[:, None, :, None, None]
+            * Kf_pen[None, None, :, :, :]
+        )
+        values = values.at[:, :, self.bc_slots.reshape(-1)].add(
+            Kblocks.reshape(3, 3, Fn * Kf * Kf)
         )
         return R, values
 
@@ -212,19 +222,22 @@ class SolidSystem:
         """One load step: Newton-solve equilibrium at the given pseudo-time
         (reference run_solver, src/solid_system.C:373-392).  The Newton loop
         runs on the host over jitted assemble/linear-solve stages (see
-        solvers.newton for why)."""
+        solvers.newton for why).  Public x is (N, 3); the solver works
+        channel-first internally."""
         pt = jnp.asarray(pseudo_time, jnp.float64)
-        return self._newton.solve(lambda y: self._assemble_jit(y, pt), x)
+        res = self._newton.solve(lambda y: self._assemble_jit(y, pt), x.T)
+        return res._replace(x=res.x.T)
 
     # ------------------------------------------------------------------
     def _post_impl(self, x: jnp.ndarray, pseudo_time):
         """Per-element pressure, Von Mises, current fibre vector
         (reference post_process, src/solid_system.C:394-538)."""
         phi, JxW, dphi = geometry_factors(x, self.conn, self.mesh.elem_type)
+        dphi_eq = jnp.transpose(dphi, (3, 0, 1, 2))  # (E, Q, K, 3)
         X0e = self.X0[self.conn]
-        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi, X0e)
+        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi_eq, X0e)
         lam = 1.0 + pseudo_time * self.rates
-        EQ = JxW.shape
+        EQ = JxW.T.shape
         sigma, _, F = stress_and_tangent(
             grad_X,
             jnp.broadcast_to(lam[:, None, :], EQ + (3,)),

@@ -10,14 +10,17 @@ This is the TPU-native equivalent of libMesh's
      linearized Crank-Nicolson scheme common to every RDC driver
      (SURVEY.md section 2.4 "numerics common to all RDC drivers")
   3. Krylov-solve the sparse system (replaces PETSc KSP, src/pihna.C:80)
+     with the scatter-free ELLPACK SpMV
   4. clamp the solution pointwise to physical bounds
      (`check_solution`, src/pihna.C:760-803)
 
-The whole step is one jitted function: gather -> batched quadrature physics
--> segment-sum scatter into block-CSR -> BiCGStab.  The mesh is static here,
-so geometry factors are computed once at construction.  History depth is 2
-(u_old kept, u_older kept-but-unused — matching the reference, where `older`
-usage is commented out, src/ripf.C:461-466).
+The whole step is one jitted function; internally every large array is
+channel-first (element/node axis last — see fem.geometry for the TPU tiling
+rationale) while the public state keeps the conventional (n_nodes, V)
+shape.  The mesh is static here, so geometry factors are computed once at
+construction.  History depth is 2 (u_old kept, u_older kept-but-unused —
+matching the reference, where `older` usage is commented out,
+src/ripf.C:461-466).
 """
 
 from __future__ import annotations
@@ -48,11 +51,12 @@ from ..solvers.krylov import (
     block_jacobi_inverse,
     gmres,
 )
-from ..fem.bcsr import bcsr_matvec
 
 
 def clamp_nonnegative(u: jnp.ndarray) -> jnp.ndarray:
-    """Default post-solve clamp: every species >= 0 (src/pihna.C:786-790)."""
+    """Default post-solve clamp: every species >= 0 (src/pihna.C:786-790).
+
+    Operates on the channel-first solver layout u (V, N)."""
     return jnp.maximum(u, 0.0)
 
 
@@ -63,10 +67,10 @@ class TransientRDCSystem:
     ----------
     mesh     : host Mesh
     n_vars   : number of coupled nodal variables V
-    physics  : callable(u_qp [V,E,Q], grad_qp [V,E,Q,3], fields, params)
-               -> WeakForm.  `fields` is a dict of auxiliary arrays
-               (per-element or per-qp) plus scalars like "time".
-    clamp    : callable(u [N,V]) -> u, applied after each solve
+    physics  : callable(u_qp (V,Q,E), grad_qp (V,Q,3,E), fields, params)
+               -> WeakForm.  `fields` is a dict of auxiliary arrays in
+               channel-first layout plus scalars like "time".
+    clamp    : callable(u (V,N)) -> (V,N), applied after each solve
     method   : linear solver ("bicgstab" | "gmres")
     """
 
@@ -95,11 +99,11 @@ class TransientRDCSystem:
         self.moving_mesh = moving_mesh
 
         self.sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
-        # device-resident static tables
+        # device-resident static tables (channel-first)
         self.conn = jnp.asarray(mesh.connectivity)
-        self.slots = jnp.asarray(self.sp.slots)
-        self.rows = jnp.asarray(self.sp.rows)
-        self.cols = jnp.asarray(self.sp.cols)
+        self.conn_T = jnp.asarray(mesh.connectivity.T)
+        self.conn_flat_cf = jnp.asarray(mesh.connectivity.T.reshape(-1))
+        self.slots_flat_cf = jnp.asarray(self.sp.slots_flat_cf())
         self.diag_slots = jnp.asarray(self.sp.diag_slots)
         self.phi, self.JxW, self.dphi = geometry_factors(
             jnp.asarray(mesh.coords), self.conn, mesh.elem_type
@@ -120,41 +124,42 @@ class TransientRDCSystem:
         return {"u": u0, "u_old": u0, "u_older": u0, "u_raw": u0}
 
     # ------------------------------------------------------------------
-    def assemble(self, u_old: jnp.ndarray, fields: Dict, params: Dict,
+    def assemble(self, u_T: jnp.ndarray, fields: Dict, params: Dict,
                  geom=None):
-        """Assemble (block-CSR values, rhs) for one linearized-CN step."""
+        """Assemble (values (V,V,nnz), rhs (V,N)) for one linearized-CN step
+        from the channel-first old solution u_T (V, N)."""
         phi, JxW, dphi = geom if geom is not None else (self.phi, self.JxW, self.dphi)
-        u_qp, grad_qp = interpolate_at_qp(u_old, self.conn, phi, dphi)
+        u_qp, grad_qp = interpolate_at_qp(u_T, self.conn_T, phi, dphi)
         wf = self.physics(u_qp, grad_qp, fields, params)
         Fe = element_vectors(wf, phi, JxW, dphi)
         Ke = element_matrices(wf, phi, JxW, dphi)
-        values = assemble_matrix(Ke, self.slots, self.sp.nnz)
-        b = assemble_vector(Fe, self.conn, self.sp.n_nodes)
+        values = assemble_matrix(Ke, self.slots_flat_cf, self.sp.nnz)
+        b = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
         return values, b
 
     def _solve_clamped(self, state, values, b):
-        u_old = state["u"]
+        u_old_T = state["u"].T
         values_ell = to_ell(values, self.ell_slot)
         matvec = partial(ell_matvec, values_ell, self.ell_cols)
         Dinv = block_jacobi_inverse(values, self.diag_slots)
         M = partial(apply_block_jacobi, Dinv)
         fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
-        res = fn(matvec, b, x0=u_old, M=M, rtol=self.rtol, maxiter=self.maxiter)
+        res = fn(matvec, b, x0=u_old_T, M=M, rtol=self.rtol, maxiter=self.maxiter)
         u_new = self.clamp(res.x)
-        new_state = {"u": u_new, "u_old": u_old, "u_older": state["u_old"],
-                     "u_raw": res.x}
+        new_state = {"u": u_new.T, "u_old": state["u"],
+                     "u_older": state["u_old"], "u_raw": res.x.T}
         return new_state, res.iters, res.residual
 
     def _step_impl(self, state: Dict, fields: Dict, params: Dict):
         # history rotation (src/pihna.C:77-78): the freshly rotated "old"
         # solution (= the current one) drives the assembly
-        values, b = self.assemble(state["u"], fields, params)
+        values, b = self.assemble(state["u"].T, fields, params)
         return self._solve_clamped(state, values, b)
 
     def _step_moving_impl(self, state: Dict, fields: Dict, params: Dict,
                           coords: jnp.ndarray):
         geom = geometry_factors(coords, self.conn, self.mesh.elem_type)
-        values, b = self.assemble(state["u"], fields, params, geom=geom)
+        values, b = self.assemble(state["u"].T, fields, params, geom=geom)
         return self._solve_clamped(state, values, b)
 
     # ------------------------------------------------------------------

@@ -8,6 +8,10 @@ transcribed RHS:  K(u) == 2 M - d F(u) / d u,  where M is the mass matrix
 
 This catches any transcription error in either the RHS or the Jacobian,
 because the two sides are written from different expressions.
+
+Dense comparisons use node-major dof ordering (dof = node * V + var);
+the framework's channel-first device layouts are transposed at this
+boundary.
 """
 
 import jax
@@ -26,43 +30,49 @@ from rdcfes_tpu.fem import (
 
 
 def dense_from_bcsr(values, sp, V):
+    """values (V, W, nnz) -> dense (N*V, N*V), node-major."""
     A = np.zeros((sp.n_nodes * V, sp.n_nodes * V))
     vals = np.asarray(values)
     for s in range(sp.nnz):
         r, c = sp.rows[s], sp.cols[s]
-        A[r * V : (r + 1) * V, c * V : (c + 1) * V] = vals[s]
+        A[r * V : (r + 1) * V, c * V : (c + 1) * V] = vals[:, :, s]
     return A
 
 
 def assemble_dense(mesh, n_vars, physics, fields, params, u):
-    """Assemble (K_dense, F_flat) for a model at nodal state u (N, V)."""
+    """Assemble (K_dense, F_flat, M_dense, dF_dense) for a model at nodal
+    state u (N, V)."""
     sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
     conn = jnp.asarray(mesh.connectivity)
+    conn_T = jnp.asarray(mesh.connectivity.T)
+    conn_flat = jnp.asarray(mesh.connectivity.T.reshape(-1))
+    slots_flat = jnp.asarray(sp.slots_flat_cf())
     phi, JxW, dphi = geometry_factors(jnp.asarray(mesh.coords), conn, mesh.elem_type)
 
     from rdcfes_tpu.fem.assembly import interpolate_at_qp
 
     def rhs_flat(u_flat):
-        uu = u_flat.reshape(mesh.n_nodes, n_vars)
-        u_qp, g_qp = interpolate_at_qp(uu, conn, phi, dphi)
+        u_T = u_flat.reshape(mesh.n_nodes, n_vars).T
+        u_qp, g_qp = interpolate_at_qp(u_T, conn_T, phi, dphi)
         wf = physics(u_qp, g_qp, fields, params)
         Fe = element_vectors(wf, phi, JxW, dphi)
-        return assemble_vector(Fe, conn, mesh.n_nodes).reshape(-1)
+        return assemble_vector(Fe, conn_flat, mesh.n_nodes).T.reshape(-1)
 
-    u_qp, g_qp = interpolate_at_qp(jnp.asarray(u), conn, phi, dphi)
+    u_T = jnp.asarray(u).T
+    u_qp, g_qp = interpolate_at_qp(u_T, conn_T, phi, dphi)
     wf = physics(u_qp, g_qp, fields, params)
     Ke = element_matrices(wf, phi, JxW, dphi)
-    values = assemble_matrix(Ke, jnp.asarray(sp.slots), sp.nnz)
+    values = assemble_matrix(Ke, slots_flat, sp.nnz)
     K = dense_from_bcsr(values, sp, n_vars)
     F = np.asarray(rhs_flat(jnp.asarray(u).reshape(-1)))
 
     # mass matrix
-    E, Q = JxW.shape
+    Q, E = JxW.shape
     eyeC = jnp.broadcast_to(
-        jnp.eye(n_vars)[:, :, None, None], (n_vars, n_vars, E, Q)
+        jnp.eye(n_vars)[:, :, None, None], (n_vars, n_vars, Q, E)
     )
     KeM = element_matrices(WeakForm(C=eyeC), phi, JxW, dphi)
-    valsM = assemble_matrix(KeM, jnp.asarray(sp.slots), sp.nnz)
+    valsM = assemble_matrix(KeM, slots_flat, sp.nnz)
     M = dense_from_bcsr(valsM, sp, n_vars)
 
     jac = jax.jacfwd(rhs_flat)(jnp.asarray(u).reshape(-1))
@@ -76,11 +86,13 @@ def assemble_extra(mesh, n_vars, extra_wf_fn, fields, params, u):
 
     sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
     conn = jnp.asarray(mesh.connectivity)
+    conn_T = jnp.asarray(mesh.connectivity.T)
+    slots_flat = jnp.asarray(sp.slots_flat_cf())
     phi, JxW, dphi = geometry_factors(jnp.asarray(mesh.coords), conn, mesh.elem_type)
-    u_qp, g_qp = interpolate_at_qp(jnp.asarray(u), conn, phi, dphi)
+    u_qp, g_qp = interpolate_at_qp(jnp.asarray(u).T, conn_T, phi, dphi)
     wf = extra_wf_fn(u_qp, g_qp, fields, params)
     Ke = element_matrices(wf, phi, JxW, dphi)
-    values = assemble_matrix(Ke, jnp.asarray(sp.slots), sp.nnz)
+    values = assemble_matrix(Ke, slots_flat, sp.nnz)
     return dense_from_bcsr(values, sp, n_vars)
 
 

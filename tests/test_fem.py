@@ -68,19 +68,23 @@ def test_geometry_volume_and_gradients(mesh_fn):
     phi, JxW, dphi = geometry_factors(
         jnp.asarray(m.coords), jnp.asarray(m.connectivity), m.elem_type
     )
+    # channel-first shapes: JxW (Q, E), dphi (Q, K, 3, E)
+    assert JxW.shape[1] == m.n_elems and dphi.shape[-1] == m.n_elems
     np.testing.assert_allclose(float(JxW.sum()), 6.0, rtol=1e-12)
     # patch test: gradient of a linear field u = 1 + 2x - y + 3z is exact
     u = 1 + 2 * m.coords[:, 0] - m.coords[:, 1] + 3 * m.coords[:, 2]
-    ue = jnp.asarray(u)[jnp.asarray(m.connectivity)]  # (E, K)
-    grad = jnp.einsum("eqkd,ek->eqd", dphi, ue)
+    ue = jnp.asarray(u)[jnp.asarray(m.connectivity.T)]  # (K, E)
+    grad = jnp.einsum("qkde,ke->qde", dphi, ue)
     np.testing.assert_allclose(
-        np.asarray(grad), np.broadcast_to([2.0, -1.0, 3.0], grad.shape), atol=1e-10
+        np.asarray(grad),
+        np.broadcast_to(np.array([2.0, -1.0, 3.0])[None, :, None], grad.shape),
+        atol=1e-10,
     )
     # interpolation of the same field is exact at qps
-    X = m.coords[m.connectivity]  # (E,K,3)
-    xq = jnp.einsum("qk,ekd->eqd", phi, jnp.asarray(X))
-    uq = jnp.einsum("qk,ek->eq", phi, ue)
-    expect = 1 + 2 * xq[..., 0] - xq[..., 1] + 3 * xq[..., 2]
+    X = m.coords.T[:, m.connectivity.T]  # (3, K, E)
+    xq = jnp.einsum("qk,dke->qde", phi, jnp.asarray(X))
+    uq = jnp.einsum("qk,ke->qe", phi, ue)
+    expect = 1 + 2 * xq[:, 0] - xq[:, 1] + 3 * xq[:, 2]
     np.testing.assert_allclose(np.asarray(uq), np.asarray(expect), atol=1e-10)
 
 

@@ -76,7 +76,7 @@ def _proteas_extra(u_qp, grad_qp, fields, params):
     C = jnp.zeros((5, 5) + hos.shape)
     C = C.at[3, 1].set(dt2 * rho_v * Kappa * vsc)
     D = jnp.zeros((5, 5) + Ghos.shape)
-    D = D.at[1, 1].set(-dt2 * (D_c_h * (dKappa * tum + Kappa))[..., None] * Ghos)
+    D = D.at[1, 1].set(-dt2 * (D_c_h * (dKappa * tum + Kappa))[..., None, :] * Ghos)
     return WeakForm(C=C, D=D)
 
 
@@ -116,7 +116,7 @@ def test_proteas_jacobian(mesh):
     from rdcfes_tpu.fem import elements
 
     Q = elements.quadrature("TET4")[1].shape[0]
-    fields = {"RTD": jnp.asarray(rng.uniform(1.0, 10.0, (E, Q)))}
+    fields = {"RTD": jnp.asarray(rng.uniform(1.0, 10.0, (Q, E)))}
     extra = assemble_extra(mesh, 5, _proteas_extra, fields, p, u)
     check_jacobian_consistency(mesh, 5, proteas.proteas_physics, fields, p, u,
                                extra=extra)
@@ -154,12 +154,12 @@ def test_ripf_jacobian(mesh):
     from rdcfes_tpu.fem import elements
 
     Q = elements.quadrature("TET4")[1].shape[0]
-    g = rng.standard_normal((E, Q, 3))
-    g /= np.linalg.norm(g, axis=-1, keepdims=True)
+    g = rng.standard_normal((Q, 3, E))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
     fields = {
-        "cc_dtime": jnp.asarray(rng.uniform(0.01, 0.1, (E, Q))),
-        "fb_dtime": jnp.asarray(rng.uniform(-0.1, -0.01, (E, Q))),
-        "RT": jnp.asarray(rng.uniform(5.0, 30.0, (E, Q))),
+        "cc_dtime": jnp.asarray(rng.uniform(0.01, 0.1, (Q, E))),
+        "fb_dtime": jnp.asarray(rng.uniform(-0.1, -0.01, (Q, E))),
+        "RT": jnp.asarray(rng.uniform(5.0, 30.0, (Q, E))),
         "RT_grad_unit": jnp.asarray(g),
     }
     check_jacobian_consistency(mesh, 3, ripf.ripf_physics, fields, p, u)
@@ -205,8 +205,8 @@ def _hcc_extra(u_qp, grad_qp, fields, params):
     prod_c, nec_c = p["produce_c"], p["necrosis_c"]
     one = jnp.ones_like(l)
     misplaced_C = dt2 * (prod_c * dtau * c - nec_c * c)
-    Dtau_c = -dt2 * (-(dif_c * dtau)[..., None] * Gc
-                     - (mech_c * dtau * c)[..., None] * Gsig)
+    Dtau_c = -dt2 * (-(dif_c * dtau)[..., None, :] * Gc
+                     - (mech_c * dtau * c)[..., None, :] * Gsig)
     C = jnp.zeros((3, 3) + l.shape)
     C = C.at[0, 1].set(one)
     C = C.at[0, 2].set(one)

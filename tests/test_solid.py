@@ -141,8 +141,8 @@ def uniaxial_system():
 def test_uniaxial_first_load_steps(uniaxial_system):
     mesh, sys = uniaxial_system
     x = sys.initial_positions()
-    # residual is zero in the unloaded reference state
-    R0, _ = sys.assemble(x, jnp.asarray(0.0))
+    # residual is zero in the unloaded reference state (channel-first x)
+    R0, _ = sys.assemble(x.T, jnp.asarray(0.0))
     np.testing.assert_allclose(np.asarray(R0), 0.0, atol=1e-8)
 
     # two load steps of the deck schedule (loading_step = 0.1)

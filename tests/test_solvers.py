@@ -17,11 +17,12 @@ from rdcfes_tpu.solvers import bicgstab, cg, gmres, solve_bcsr
 
 
 def _dense_from_bcsr(values, sp, V):
+    """values (V, W, nnz) -> dense node-major."""
     A = np.zeros((sp.n_nodes * V, sp.n_nodes * V))
     vals = np.asarray(values)
     for s in range(sp.nnz):
         r, c = sp.rows[s], sp.cols[s]
-        A[r * V : (r + 1) * V, c * V : (c + 1) * V] = vals[s]
+        A[r * V : (r + 1) * V, c * V : (c + 1) * V] = vals[:, :, s]
     return A
 
 
@@ -32,20 +33,20 @@ def small_system():
     sp = build_sparsity(m.connectivity, m.n_nodes)
     conn = jnp.asarray(m.connectivity)
     phi, JxW, dphi = geometry_factors(jnp.asarray(m.coords), conn, m.elem_type)
-    E, Q = JxW.shape
-    one = jnp.ones((1, 1, E, Q))
+    Q, E = JxW.shape
+    one = jnp.ones((1, 1, Q, E))
     wf = WeakForm(C=one, E=0.1 * one)  # M + 0.1 L  (SPD)
     Ke = element_matrices(wf, phi, JxW, dphi)
-    values = assemble_matrix(Ke, jnp.asarray(sp.slots), sp.nnz)
+    values = assemble_matrix(Ke, jnp.asarray(sp.slots_flat_cf()), sp.nnz)
     return m, sp, values, phi, JxW, dphi, conn
 
 
 def test_mass_matrix_row_sums(small_system):
     """Row sums of the mass matrix = nodal lumped volumes; total = volume."""
     m, sp, values, phi, JxW, dphi, conn = small_system
-    wfM = WeakForm(C=jnp.ones((1, 1, JxW.shape[0], JxW.shape[1])))
+    wfM = WeakForm(C=jnp.ones((1, 1) + JxW.shape))
     KeM = element_matrices(wfM, phi, JxW, dphi)
-    valsM = assemble_matrix(KeM, jnp.asarray(sp.slots), sp.nnz)
+    valsM = assemble_matrix(KeM, jnp.asarray(sp.slots_flat_cf()), sp.nnz)
     A = _dense_from_bcsr(valsM, sp, 1)
     np.testing.assert_allclose(A.sum(), 1.0, rtol=1e-12)  # total volume
     assert np.allclose(A, A.T, atol=1e-14)
@@ -54,10 +55,10 @@ def test_mass_matrix_row_sums(small_system):
 def test_laplacian_annihilates_linear_fields(small_system):
     """Interior rows of the stiffness matrix applied to a linear field are 0."""
     m, sp, values, phi, JxW, dphi, conn = small_system
-    wfL = WeakForm(E=jnp.ones((1, 1, JxW.shape[0], JxW.shape[1])))
+    wfL = WeakForm(E=jnp.ones((1, 1) + JxW.shape))
     KeL = element_matrices(wfL, phi, JxW, dphi)
-    valsL = assemble_matrix(KeL, jnp.asarray(sp.slots), sp.nnz)
-    u = (1.0 + 2.0 * m.coords[:, 0] - 0.5 * m.coords[:, 1])[:, None]
+    valsL = assemble_matrix(KeL, jnp.asarray(sp.slots_flat_cf()), sp.nnz)
+    u = (1.0 + 2.0 * m.coords[:, 0] - 0.5 * m.coords[:, 1])[None, :]
     y = np.asarray(
         bcsr_matvec(valsL, jnp.asarray(sp.rows), jnp.asarray(sp.cols),
                     jnp.asarray(u), sp.n_nodes)
@@ -65,14 +66,14 @@ def test_laplacian_annihilates_linear_fields(small_system):
     boundary_nodes = set(np.asarray(m.boundary_faces).ravel().tolist())
     interior = np.array([n for n in range(m.n_nodes) if n not in boundary_nodes])
     assert len(interior) > 0
-    np.testing.assert_allclose(y[interior], 0.0, atol=1e-12)
+    np.testing.assert_allclose(y[0, interior], 0.0, atol=1e-12)
 
 
 @pytest.mark.parametrize("method", ["bicgstab", "cg", "gmres"])
 def test_krylov_matches_dense(small_system, method):
     m, sp, values, phi, JxW, dphi, conn = small_system
     rng = np.random.default_rng(42)
-    b = jnp.asarray(rng.standard_normal((sp.n_nodes, 1)))
+    b = jnp.asarray(rng.standard_normal((1, sp.n_nodes)))
     res = solve_bcsr(values, sp, b, method=method, rtol=1e-13, maxiter=2000)
     A = _dense_from_bcsr(values, sp, 1)
     x_dense = np.linalg.solve(A, np.asarray(b).ravel())
@@ -86,19 +87,19 @@ def test_block_system_5vars():
     sp = build_sparsity(m.connectivity, m.n_nodes)
     conn = jnp.asarray(m.connectivity)
     phi, JxW, dphi = geometry_factors(jnp.asarray(m.coords), conn, m.elem_type)
-    E, Q = JxW.shape
+    Q, E = JxW.shape
     rng = np.random.default_rng(3)
     V = 5
     # mass blocks on the diagonal + small random couplings: well conditioned
-    C = 0.05 * rng.standard_normal((V, V, 1, 1)) * np.ones((V, V, E, Q))
+    C = 0.05 * rng.standard_normal((V, V, 1, 1)) * np.ones((V, V, Q, E))
     C[np.arange(V), np.arange(V)] += 1.0
-    wf = WeakForm(C=jnp.asarray(C), E=0.01 * jnp.asarray(np.eye(V))[:, :, None, None] * jnp.ones((V, V, E, Q)))
+    wf = WeakForm(C=jnp.asarray(C), E=0.01 * jnp.asarray(np.eye(V))[:, :, None, None] * jnp.ones((V, V, Q, E)))
     Ke = element_matrices(wf, phi, JxW, dphi)
-    values = assemble_matrix(Ke, jnp.asarray(sp.slots), sp.nnz)
-    b = jnp.asarray(rng.standard_normal((sp.n_nodes, V)))
+    values = assemble_matrix(Ke, jnp.asarray(sp.slots_flat_cf()), sp.nnz)
+    b = jnp.asarray(rng.standard_normal((V, sp.n_nodes)))
     res = solve_bcsr(values, sp, b, method="bicgstab", rtol=1e-13)
     A = _dense_from_bcsr(values, sp, V)
-    x_dense = np.linalg.solve(A, np.asarray(b).ravel())
-    np.testing.assert_allclose(
-        np.asarray(res.x).ravel(), x_dense, rtol=1e-7, atol=1e-9
-    )
+    # dense node-major flatten of the channel-first solution
+    x_nm = np.asarray(res.x).T.ravel()
+    x_dense = np.linalg.solve(A, np.asarray(b).T.ravel())
+    np.testing.assert_allclose(x_nm, x_dense, rtol=1e-7, atol=1e-9)

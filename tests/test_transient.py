@@ -78,10 +78,10 @@ def test_diffusion_conserves_mass_and_decays():
     lumped = np.asarray(
         assemble_vector(
             element_vectors(onewf, sys.phi, sys.JxW, sys.dphi),
-            sys.conn,
+            sys.conn_flat_cf,
             m.n_nodes,
         )
-    )[:, 0]
+    )[0]
     mass0 = (lumped * u0).sum()
 
     dt = 0.01
