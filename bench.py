@@ -48,23 +48,29 @@ def main():
         secrete_a_c=2.77e-13, secrete_a_h=5.22e-10, decay_a=5678.4,
     )
 
+    # IC magnitudes follow the deck's own range thresholds
+    # (active_tumor/min = 500, vascularity/min = 7200): tumour seed of a few
+    # thousand cells/mm^3 over a ~7200 vasculature background — the regime
+    # the reference's linearized-CN scheme is stable in at dt = 0.1
     rng = np.random.default_rng(0)
     u0 = np.zeros((mesh.n_nodes, 5))
     r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
-    u0[:, 1] = 0.1 * Kk * np.exp(-r2 / (2 * 25.0**2))
-    u0[:, 2] = 0.02 * Kk * np.exp(-r2 / (2 * 30.0**2))
-    u0[:, 3] = 0.03 * Kk * (1.0 + 0.1 * rng.random(mesh.n_nodes))
-    u0[:, 4] = 1e-9
+    u0[:, 1] = 2000.0 * np.exp(-r2 / (2 * 25.0**2))
+    u0[:, 2] = 500.0 * np.exp(-r2 / (2 * 30.0**2))
+    u0[:, 3] = 7200.0 * (1.0 + 0.1 * rng.random(mesh.n_nodes))
+    u0[:, 4] = 1e-10
 
     system = TransientRDCSystem(mesh, 5, pihna_physics)
-    state = system.initial_state(u0)
 
-    # warmup (compile + first steps)
+    # warmup (compile)
+    state = system.initial_state(u0)
     for _ in range(3):
         state, iters, res = system.step(state, params=params)
     jax.block_until_ready(state["u"])
 
-    n_timed = 20
+    # timed: the full 120-step reference case from the initial state
+    n_timed = 120
+    state = system.initial_state(u0)
     t0 = time.perf_counter()
     for _ in range(n_timed):
         state, iters, res = system.step(state, params=params)

@@ -137,9 +137,19 @@ def assemble_matrix(Ke: jnp.ndarray, slots_flat_cf: jnp.ndarray,
     Returns values (V, W, nnz).
     """
     V, W = Ke.shape[:2]
-    contrib = Ke.reshape(V, W, -1)  # (V, W, K*K*E) in (i, j, e) order
-    zeros = jnp.zeros((V, W, nnz), Ke.dtype)
-    return zeros.at[:, :, slots_flat_cf].add(contrib)
+    # one 1-D scatter-add per (v, w) block: a single scatter with (V, W)
+    # window dims makes XLA lay both the updates and the target out with
+    # the tiny dims minor (41x tile padding, 8+ GB at brain scale)
+    rows = []
+    for v in range(V):
+        cols = []
+        for w in range(W):
+            cols.append(
+                jnp.zeros((nnz,), Ke.dtype)
+                .at[slots_flat_cf].add(Ke[v, w].reshape(-1))
+            )
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # (V, W, nnz)
 
 
 def assemble_vector(Fe: jnp.ndarray, conn_flat_cf: jnp.ndarray,
@@ -148,9 +158,11 @@ def assemble_vector(Fe: jnp.ndarray, conn_flat_cf: jnp.ndarray,
 
     conn_flat_cf: (K*E,) = connectivity.T.reshape(-1)."""
     V = Fe.shape[0]
-    contrib = Fe.reshape(V, -1)
-    zeros = jnp.zeros((V, n_nodes), Fe.dtype)
-    return zeros.at[:, conn_flat_cf].add(contrib)
+    # per-variable 1-D scatter-adds (see assemble_matrix on why)
+    return jnp.stack([
+        jnp.zeros((n_nodes,), Fe.dtype).at[conn_flat_cf].add(Fe[v].reshape(-1))
+        for v in range(V)
+    ])
 
 
 def interpolate_at_qp(
@@ -164,8 +176,27 @@ def interpolate_at_qp(
 
     u (V, n_nodes); conn_T (K, E); phi (Q, K); dphi (Q, K, 3, E)
     -> (u_qp (V, Q, E), grad_qp (V, Q, 3, E)).
+
+    Unrolled over the tiny q/k/d dims (see fem.geometry docstring on TPU
+    tile padding of small-dim contractions).
     """
     ue = u[:, conn_T]  # (V, K, E)
-    u_qp = jnp.einsum("qk,vke->vqe", phi, ue)
-    grad_qp = jnp.einsum("qkde,vke->vqde", dphi, ue)
-    return u_qp, grad_qp
+    Q, K = phi.shape
+    phi_host = phi if isinstance(phi, np.ndarray) else np.asarray(phi)
+    uq = []
+    gq = []
+    for q in range(Q):
+        acc = None
+        for k in range(K):
+            term = float(phi_host[q, k]) * ue[:, k, :]  # (V, E)
+            acc = term if acc is None else acc + term
+        uq.append(acc)
+        dirs = []
+        for d in range(3):
+            acc = None
+            for k in range(K):
+                term = dphi[q, k, d] * ue[:, k, :]  # (E,) * (V, E)
+                acc = term if acc is None else acc + term
+            dirs.append(acc)
+        gq.append(jnp.stack(dirs, axis=1))  # (V, 3, E)
+    return jnp.stack(uq, axis=1), jnp.stack(gq, axis=1)

@@ -48,9 +48,10 @@ def to_ell(values: jnp.ndarray, ell_slot: jnp.ndarray) -> jnp.ndarray:
 
 def ell_matvec(values_ell: jnp.ndarray, ell_cols: jnp.ndarray,
                x: jnp.ndarray) -> jnp.ndarray:
-    """y = A @ x with A in ELLPACK block layout — gather + batched einsum,
-    scatter-free.
+    """y = A @ x with A in ELLPACK block layout — gather, elementwise
+    product and an axis reduction; scatter-free and dot-free (a dot over
+    the tiny w/l dims would force tile-padded operand layouts).
 
     values_ell (V, W, L, N); ell_cols (L, N); x (W, N) -> y (V, N)."""
     xg = x[:, ell_cols]  # (W, L, N)
-    return jnp.einsum("vwln,wln->vn", values_ell, xg)
+    return jnp.sum(values_ell * xg[None], axis=(1, 2))

@@ -84,18 +84,49 @@ def geometry_factors(
     dphi : (Q, K, 3, E)  physical gradients of the shape functions
     """
     phi_np, dN_np, w_np = elements.tabulate(elem_type)
-    phi = jnp.asarray(phi_np)
-    dN = jnp.asarray(dN_np)  # (Q, K, 3) reference gradients
+    # phi is a compile-time constant table: keep it NumPy so downstream
+    # kernels can unroll with python scalars even under jit tracing
+    phi = phi_np
     w = jnp.asarray(w_np)
 
     conn_T = connectivity.T  # (K, E)
     X = coords.T[:, conn_T]  # (3, K, E)
-    # J[q, d, r, e] = d x_d / d xi_r = sum_k X[d, k, e] dN[q, k, r]
-    J = jnp.einsum("dke,qkr->qdre", X, dN)
+    Q, K = phi_np.shape
+    # J[q, d, r, e] = sum_k X[d, k, e] dN[q, k, r] — unrolled over the tiny
+    # k/r dims as scalar multiply-adds of (3, E) slices so XLA never assigns
+    # a small dim to the tiled lane axis (see module docstring)
+    dN_host = dN_np  # python scalars for the unroll
+    J_rows = []
+    for q in range(Q):
+        rows = []
+        for r in range(3):
+            acc = None
+            for k in range(K):
+                c = float(dN_host[q, k, r])
+                if c == 0.0:
+                    continue
+                term = c * X[:, k, :]  # (3, E)
+                acc = term if acc is None else acc + term
+            rows.append(acc if acc is not None else jnp.zeros_like(X[:, 0, :]))
+        J_rows.append(jnp.stack(rows, axis=1))  # (3, r, E)
+    J = jnp.stack(J_rows, axis=0)  # (Q, 3, 3, E): [q, d, r, e]
     Jinv, detJ = _inv3x3_cf(J)  # Jinv (Q, 3, 3, E): [q, r, d, e]
     JxW = detJ * w[:, None]
-    # dphi[q, k, d, e] = sum_r dN[q, k, r] Jinv[q, r, d, e]
-    dphi = jnp.einsum("qkr,qrde->qkde", dN, Jinv)
+    # dphi[q, k, d, e] = sum_r dN[q, k, r] Jinv[q, r, d, e] — same unroll
+    dphi_q = []
+    for q in range(Q):
+        ks = []
+        for k in range(K):
+            acc = None
+            for r in range(3):
+                c = float(dN_host[q, k, r])
+                if c == 0.0:
+                    continue
+                term = c * Jinv[q, r]  # (3, E)
+                acc = term if acc is None else acc + term
+            ks.append(acc if acc is not None else jnp.zeros_like(Jinv[q, 0]))
+        dphi_q.append(jnp.stack(ks, axis=0))  # (K, 3, E)
+    dphi = jnp.stack(dphi_q, axis=0)  # (Q, K, 3, E)
     return phi, JxW, dphi
 
 

@@ -51,30 +51,70 @@ def element_vectors(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
                     dphi: jnp.ndarray) -> jnp.ndarray:
     """Fe (V, K, E) from the rhs coefficients.
 
-    phi (Q, K); JxW (Q, E); dphi (Q, K, 3, E)."""
-    out = None
-    if wf.A is not None:
-        out = jnp.einsum("vqe,qe,qk->vke", wf.A, JxW, phi)
-    if wf.B is not None:
-        term = jnp.einsum("vqde,qe,qkde->vke", wf.B, JxW, dphi)
-        out = term if out is None else out + term
-    if out is None:
-        raise ValueError("empty weak form rhs")
-    return out
+    phi (Q, K); JxW (Q, E); dphi (Q, K, 3, E).
+
+    Statically unrolled over (q, k, d): contractions over the tiny
+    quadrature/node/direction dims are written as elementwise
+    multiply-accumulates so XLA:TPU never assigns a small dim to the tiled
+    lane axis (a dot over d=3 lays the 1.3 GB operands out with 34x tile
+    padding)."""
+    Q, K = phi.shape
+    cols = []
+    for k in range(K):
+        acc = None
+        for q in range(Q):
+            if wf.A is not None:
+                term = (JxW[q] * float(phi[q, k])) * wf.A[:, q]  # (V, E)
+                acc = term if acc is None else acc + term
+            if wf.B is not None:
+                for d in range(3):
+                    term = (JxW[q] * dphi[q, k, d]) * wf.B[:, q, d]
+                    acc = term if acc is None else acc + term
+        if acc is None:
+            raise ValueError("empty weak form rhs")
+        cols.append(acc)
+    return jnp.stack(cols, axis=1)  # (V, K, E)
 
 
 def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
                      dphi: jnp.ndarray) -> jnp.ndarray:
-    """Ke (V, W, K_i, K_j, E) — i = test (row) index, j = trial (column)."""
-    out = None
-    if wf.C is not None:
-        out = jnp.einsum("vwqe,qe,qi,qj->vwije", wf.C, JxW, phi, phi)
-    if wf.D is not None:
-        term = jnp.einsum("vwqde,qe,qide,qj->vwije", wf.D, JxW, dphi, phi)
-        out = term if out is None else out + term
-    if wf.E is not None:
-        term = jnp.einsum("vwqe,qe,qide,qjde->vwije", wf.E, JxW, dphi, dphi)
-        out = term if out is None else out + term
-    if out is None:
+    """Ke (V, W, K_i, K_j, E) — i = test (row) index, j = trial (column).
+
+    Fully unrolled over (q, i, j, d) with elementwise multiply-accumulates
+    on (V, W, E) arrays: a single fused einsum materializes the full
+    (Q, E, K, K, V, V) outer product before reducing (43 GB at brain scale),
+    and any dot contracting over the tiny q/d dims forces tile-padded
+    layouts on the big coefficient arrays.  Elementwise chains keep every
+    array (..., E)-minor and fuse on the VPU."""
+    if wf.C is None and wf.D is None and wf.E is None:
         raise ValueError("empty weak form matrix")
-    return out
+    Q, K = phi.shape
+    blocks = [[None] * K for _ in range(K)]
+    for q in range(Q):
+        cq = wf.C[:, :, q] * JxW[q] if wf.C is not None else None
+        eq = wf.E[:, :, q] * JxW[q] if wf.E is not None else None
+        if wf.D is not None:
+            Dq = wf.D[:, :, q] * JxW[q][None, None, None, :]  # (V, W, 3, E)
+        for i in range(K):
+            if wf.D is not None:
+                # (D . dphi_i): sum over the 3 directions, elementwise
+                t1 = (Dq[:, :, 0] * dphi[q, i, 0]
+                      + Dq[:, :, 1] * dphi[q, i, 1]
+                      + Dq[:, :, 2] * dphi[q, i, 2])  # (V, W, E)
+            for j in range(K):
+                acc = blocks[i][j]
+                if cq is not None:
+                    term = cq * float(phi[q, i] * phi[q, j])
+                    acc = term if acc is None else acc + term
+                if wf.D is not None:
+                    term = t1 * float(phi[q, j])
+                    acc = term if acc is None else acc + term
+                if eq is not None:
+                    gg = (dphi[q, i, 0] * dphi[q, j, 0]
+                          + dphi[q, i, 1] * dphi[q, j, 1]
+                          + dphi[q, i, 2] * dphi[q, j, 2])  # (E,)
+                    term = eq * gg
+                    acc = term if acc is None else acc + term
+                blocks[i][j] = acc
+    rows = [jnp.stack(row, axis=2) for row in blocks]  # (V, W, K_j, E)
+    return jnp.stack(rows, axis=2)  # (V, W, K_i, K_j, E)

@@ -129,7 +129,7 @@ class ShardedTransientSystem:
         JxW_p[:, : mesh.n_elems] = np.asarray(JxW)  # padded elems weigh zero
         dphi_p = np.zeros((Q, K, 3, Epad))
         dphi_p[..., : mesh.n_elems] = np.asarray(dphi)
-        self.phi = jnp.asarray(phi)
+        self.phi = phi  # NumPy constant table (see fem.geometry)
 
         eshard = NamedSharding(device_mesh, P("d"))           # element axis 0
         lastshard4 = NamedSharding(device_mesh, P(None, None, None, "d"))
@@ -183,23 +183,32 @@ class ShardedTransientSystem:
 
         # ---- local gather + quadrature physics + element kernels --------
         conn_T = conn.T  # (K, E_loc)
-        ue = u_T[:, conn_T]  # (V, K, E_loc)
-        u_qp = jnp.einsum("qk,vke->vqe", self.phi, ue)
-        grad_qp = jnp.einsum("qkde,vke->vqde", dphi, ue)
+        from ..fem.assembly import interpolate_at_qp as _interp
+        u_qp, grad_qp = _interp(u_T, conn_T, self.phi, dphi)
         wf = self.physics(u_qp, grad_qp, fields, params)
         Fe = element_vectors(wf, self.phi, JxW, dphi)   # (V, K, E_loc)
         Ke = element_matrices(wf, self.phi, JxW, dphi)  # (V, V, K, K, E_loc)
 
         # ---- rhs: local scatter-add + psum (allreduce over ICI) ----------
-        b_local = jnp.zeros((V, N)).at[:, conn_T.reshape(-1)].add(
-            Fe.reshape(V, -1)
-        )
+        # per-variable 1-D scatters (multi-window scatters force tiny-dim-
+        # minor tile-padded layouts; see fem.assembly.assemble_matrix)
+        conn_flat = conn_T.reshape(-1)
+        b_local = jnp.stack([
+            jnp.zeros((N,)).at[conn_flat].add(Fe[v].reshape(-1))
+            for v in range(V)
+        ])
         b = lax.psum(b_local, "d")
 
         # ---- matrix: scatter into full (V,V,L,Npad), psum_scatter rows ---
-        ell_full = jnp.zeros((V, V, self.Npad * L + 1)).at[
-            :, :, ell_lin.reshape(-1)
-        ].add(Ke.reshape(V, V, -1))
+        lin_flat = ell_lin.reshape(-1)
+        ell_full = jnp.stack([
+            jnp.stack([
+                jnp.zeros((self.Npad * L + 1,)).at[lin_flat].add(
+                    Ke[v, w].reshape(-1))
+                for w in range(V)
+            ])
+            for v in range(V)
+        ])
         ell_full = ell_full[:, :, : self.Npad * L].reshape(V, V, L, self.Npad)
         vals_rows = lax.psum_scatter(
             ell_full, "d", scatter_dimension=3, tiled=True
@@ -218,11 +227,11 @@ class ShardedTransientSystem:
 
         def matvec(x):
             xg = x[:, ell_cols]  # (V, L, Nb) gather from replicated x
-            y_loc = jnp.einsum("vwln,wln->vn", vals_rows, xg)
+            y_loc = jnp.sum(vals_rows * xg[None], axis=(1, 2))
             return lax.all_gather(y_loc, "d", axis=1, tiled=True)[:, :N]
 
         def precond(r):
-            return jnp.einsum("vwn,wn->vn", Dinv, r)
+            return jnp.sum(Dinv * r[None], axis=1)
 
         # ---- replicated BiCGStab with sharded, scatter-free SpMV ---------
         x, iters, res = _bicgstab(matvec, b, u_T, precond, self.rtol, self.maxiter)

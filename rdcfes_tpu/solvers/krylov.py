@@ -85,8 +85,9 @@ def block_jacobi_inverse(values: jnp.ndarray, diag_slots: jnp.ndarray) -> jnp.nd
 
 
 def apply_block_jacobi(Dinv: jnp.ndarray, r: jnp.ndarray) -> jnp.ndarray:
-    """Dinv (V, W, N) applied to r (W, N) -> (V, N)."""
-    return jnp.einsum("vwn,wn->vn", Dinv, r)
+    """Dinv (V, W, N) applied to r (W, N) -> (V, N) — elementwise + axis
+    reduction (dot-free; see fem.geometry on small-dim contractions)."""
+    return jnp.sum(Dinv * r[None], axis=1)
 
 
 def _identity(r):

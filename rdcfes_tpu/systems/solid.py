@@ -203,7 +203,10 @@ class SolidSystem:
         # residual: penalty * psi_i * diff  -> (3, F, Kf)
         Rf = self.penalty * jnp.einsum("fq,qi,fqv->vfi", JxWf, psi, masked)
         Fn, Kf = self.bc_faces.shape
-        R = R.at[:, self.bc_faces.reshape(-1)].add(Rf.reshape(3, Fn * Kf))
+        bcf = self.bc_faces.reshape(-1)
+        R = jnp.stack([
+            R[v].at[bcf].add(Rf[v].reshape(-1)) for v in range(3)
+        ])
         # jacobian: penalty * psi_i psi_j on constrained axes (diagonal blocks)
         Kf_pen = self.penalty * jnp.einsum("fq,qi,qj->fij", JxWf, psi, psi)
         # (3, 3, F, i, j): delta_vw * mask[f, v] * Kf_pen[f, i, j]
@@ -212,9 +215,14 @@ class SolidSystem:
             * self.bc_mask.T[:, None, :, None, None]
             * Kf_pen[None, None, :, :, :]
         )
-        values = values.at[:, :, self.bc_slots.reshape(-1)].add(
-            Kblocks.reshape(3, 3, Fn * Kf * Kf)
-        )
+        bcs_flat = self.bc_slots.reshape(-1)
+        values = jnp.stack([
+            jnp.stack([
+                values[v, w].at[bcs_flat].add(Kblocks[v, w].reshape(-1))
+                for w in range(3)
+            ])
+            for v in range(3)
+        ])
         return R, values
 
     # ------------------------------------------------------------------

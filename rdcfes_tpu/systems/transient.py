@@ -143,8 +143,17 @@ class TransientRDCSystem:
         matvec = partial(ell_matvec, values_ell, self.ell_cols)
         Dinv = block_jacobi_inverse(values, self.diag_slots)
         M = partial(apply_block_jacobi, Dinv)
+        # LEFT block-Jacobi preconditioning (solve M^-1 A x = M^-1 b) with
+        # the PRECONDITIONED residual as the convergence measure — PETSc's
+        # default, and essential here: the deck's variable scales span ~13
+        # orders (cells ~ Kappa_k = 2.4e5 vs cytokines ~ Kappa_a = 1e-8), so
+        # a raw-residual criterion leaves the small-scale species equations
+        # unresolved and their error feeds back into the dynamics
+        pre_matvec = lambda x: M(matvec(x))
+        pre_b = M(b)
         fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
-        res = fn(matvec, b, x0=u_old_T, M=M, rtol=self.rtol, maxiter=self.maxiter)
+        res = fn(pre_matvec, pre_b, x0=u_old_T, rtol=self.rtol,
+                 maxiter=self.maxiter)
         u_new = self.clamp(res.x)
         new_state = {"u": u_new.T, "u_old": state["u"],
                      "u_older": state["u_old"], "u_raw": res.x.T}
