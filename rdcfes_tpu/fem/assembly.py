@@ -128,6 +128,72 @@ def ell_structure(sp: NodePairSparsity) -> Tuple[np.ndarray, np.ndarray]:
     return ell_cols, ell_slot
 
 
+def gather_tables(sp: NodePairSparsity, connectivity: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Invert the scatter maps into padded gather tables (host precompute).
+
+    TPU scatter-adds are quasi-serial — 25 scatters over 2.1M element
+    contributions cost seconds per assembly at brain scale — so assembly
+    gathers instead: every nonzero slot pulls its (<= C) contributing
+    (i, j, e) entries from the flat element-matrix buffer, and every node
+    pulls its (<= C2) element-corner contributions for the rhs.
+
+    Returns
+    -------
+    slot_gather : (C, nnz) int32 indices into the flat (i, j, e)-ordered
+                  element-matrix buffer; padding = K*K*E (callers append one
+                  zero entry there)
+    node_gather : (C2, n_nodes) int32 indices into the flat (k, e)-ordered
+                  element-vector buffer; padding = K*E
+    """
+    conn = np.asarray(connectivity)
+    E, K = conn.shape
+
+    def invert(targets: np.ndarray, n_bins: int):
+        order = np.argsort(targets, kind="stable")
+        sorted_t = targets[order]
+        counts = np.bincount(sorted_t, minlength=n_bins)
+        C = int(counts.max())
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        table = np.full((C, n_bins), len(targets), dtype=np.int64)
+        pos = np.arange(len(targets)) - starts[sorted_t]
+        table[pos, sorted_t] = order
+        return table.astype(np.int32)
+
+    slot_gather = invert(sp.slots_flat_cf().astype(np.int64), sp.nnz)
+    node_gather = invert(conn.T.reshape(-1).astype(np.int64), sp.n_nodes)
+    return slot_gather, node_gather
+
+
+def assemble_matrix_gather(Ke: jnp.ndarray, slot_gather: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Gather-based matrix assembly: values (V, W, nnz) from element
+    matrices Ke (V, W, K, K, E), scatter-free."""
+    V, W = Ke.shape[:2]
+    flat = Ke.reshape(V, W, -1)
+    flat = jnp.concatenate(
+        [flat, jnp.zeros((V, W, 1), Ke.dtype)], axis=-1
+    )  # pad entry
+    C = slot_gather.shape[0]
+    acc = flat[:, :, slot_gather[0]]
+    for c in range(1, C):
+        acc = acc + flat[:, :, slot_gather[c]]
+    return acc
+
+
+def assemble_vector_gather(Fe: jnp.ndarray, node_gather: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Gather-based rhs assembly: (V, n_nodes) from Fe (V, K, E)."""
+    V = Fe.shape[0]
+    flat = Fe.reshape(V, -1)
+    flat = jnp.concatenate([flat, jnp.zeros((V, 1), Fe.dtype)], axis=-1)
+    C = node_gather.shape[0]
+    acc = flat[:, node_gather[0]]
+    for c in range(1, C):
+        acc = acc + flat[:, node_gather[c]]
+    return acc
+
+
 def assemble_matrix(Ke: jnp.ndarray, slots_flat_cf: jnp.ndarray,
                     nnz: int) -> jnp.ndarray:
     """Scatter-add element matrices into channel-first block values.

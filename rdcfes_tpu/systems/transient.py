@@ -33,13 +33,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fem.assembly import (
-    assemble_matrix,
-    assemble_vector,
+    assemble_matrix_gather,
+    assemble_vector_gather,
     build_sparsity,
     ell_structure,
+    gather_tables,
     interpolate_at_qp,
 )
-from ..fem.bcsr import ell_matvec, to_ell
+from ..fem.bcsr import ell_matvec, to_ell  # noqa: F401 (assembled path)
 from ..fem.geometry import geometry_factors
 from ..fem.weakform import element_matrices, element_vectors
 from ..mesh.core import Mesh
@@ -48,8 +49,9 @@ from ..solvers.krylov import (
     DEFAULT_RTOL,
     apply_block_jacobi,
     bicgstab,
-    block_jacobi_inverse,
+    block_jacobi_inverse,  # noqa: F401 (assembled path)
     gmres,
+    small_block_inverse,
 )
 
 
@@ -103,7 +105,9 @@ class TransientRDCSystem:
         self.conn = jnp.asarray(mesh.connectivity)
         self.conn_T = jnp.asarray(mesh.connectivity.T)
         self.conn_flat_cf = jnp.asarray(mesh.connectivity.T.reshape(-1))
-        self.slots_flat_cf = jnp.asarray(self.sp.slots_flat_cf())
+        slot_gather, node_gather = gather_tables(self.sp, mesh.connectivity)
+        self.slot_gather = jnp.asarray(slot_gather)
+        self.node_gather = jnp.asarray(node_gather)
         self.diag_slots = jnp.asarray(self.sp.diag_slots)
         self.phi, self.JxW, self.dphi = geometry_factors(
             jnp.asarray(mesh.coords), self.conn, mesh.elem_type
@@ -127,22 +131,68 @@ class TransientRDCSystem:
     def assemble(self, u_T: jnp.ndarray, fields: Dict, params: Dict,
                  geom=None):
         """Assemble (values (V,V,nnz), rhs (V,N)) for one linearized-CN step
-        from the channel-first old solution u_T (V, N)."""
+        from the channel-first old solution u_T (V, N).
+
+        This materialized block-CSR path is used by tests and by consumers
+        that need the explicit matrix; the production step is MATRIX-FREE
+        (see _element_kernels/_elem_matvec): the per-element matrices are
+        kept in their natural (V, W, K, K, E) layout and applied inside the
+        Krylov loop, because the slot-gather that builds the global sparse
+        matrix is all random 8-byte HBM reads (~1 s/step at brain scale)."""
+        Fe, Ke = self._element_kernels(u_T, fields, params, geom)
+        values = assemble_matrix_gather(Ke, self.slot_gather)
+        b = assemble_vector_gather(Fe, self.node_gather)
+        return values, b
+
+    # ------------------------------------------------------------------
+    def _element_kernels(self, u_T, fields, params, geom=None):
         phi, JxW, dphi = geom if geom is not None else (self.phi, self.JxW, self.dphi)
         u_qp, grad_qp = interpolate_at_qp(u_T, self.conn_T, phi, dphi)
         wf = self.physics(u_qp, grad_qp, fields, params)
         Fe = element_vectors(wf, phi, JxW, dphi)
         Ke = element_matrices(wf, phi, JxW, dphi)
-        values = assemble_matrix(Ke, self.slots_flat_cf, self.sp.nnz)
-        b = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
-        return values, b
+        return Fe, Ke
 
-    def _solve_clamped(self, state, values, b):
+    def _elem_matvec(self, Ke, x):
+        """Matrix-free SpMV: y = (sum_e P_e^T Ke P_e) x, as
+        gather -> per-element block apply (unrolled over the small trial
+        dims) -> gather-based restriction.  No scatter, no global sparse
+        matrix, Ke consumed in its natural layout."""
+        V = self.n_vars
+        ue = x[:, self.conn_T]  # (V, K, E)
+        # fused product + (w, j) reduction — single pass over Ke
+        ye = jnp.sum(Ke * ue[None, :, None, :, :], axis=(1, 3))  # (V, K, E)
+        flat = ye.reshape(V, -1)  # (V, K*E) in (i, e) order
+        flat = jnp.concatenate([flat, jnp.zeros((V, 1), flat.dtype)], axis=-1)
+        C = self.node_gather.shape[0]
+        acc = flat[:, self.node_gather[0]]
+        for c in range(1, C):
+            acc = acc + flat[:, self.node_gather[c]]
+        return acc
+
+    def _diag_blocks(self, Ke):
+        """Block-Jacobi diagonal (V, V, N) from the per-element matrices:
+        the (i, i) sub-blocks restricted per node via the node-gather
+        table."""
+        V = self.n_vars
+        K = self.mesh.nodes_per_elem
+        diag_e = jnp.stack([Ke[:, :, i, i, :] for i in range(K)], axis=2)
+        flat = diag_e.reshape(V, V, -1)  # (V, V, K*E) in (i, e) order
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((V, V, 1), flat.dtype)], axis=-1
+        )
+        C = self.node_gather.shape[0]
+        acc = flat[:, :, self.node_gather[0]]
+        for c in range(1, C):
+            acc = acc + flat[:, :, self.node_gather[c]]
+        return acc
+
+    def _solve_clamped(self, state, Fe, Ke):
         u_old_T = state["u"].T
-        values_ell = to_ell(values, self.ell_slot)
-        matvec = partial(ell_matvec, values_ell, self.ell_cols)
-        Dinv = block_jacobi_inverse(values, self.diag_slots)
+        b = assemble_vector_gather(Fe, self.node_gather)
+        Dinv = small_block_inverse(self._diag_blocks(Ke))
         M = partial(apply_block_jacobi, Dinv)
+        matvec = partial(self._elem_matvec, Ke)
         # LEFT block-Jacobi preconditioning (solve M^-1 A x = M^-1 b) with
         # the PRECONDITIONED residual as the convergence measure — PETSc's
         # default, and essential here: the deck's variable scales span ~13
@@ -162,14 +212,14 @@ class TransientRDCSystem:
     def _step_impl(self, state: Dict, fields: Dict, params: Dict):
         # history rotation (src/pihna.C:77-78): the freshly rotated "old"
         # solution (= the current one) drives the assembly
-        values, b = self.assemble(state["u"].T, fields, params)
-        return self._solve_clamped(state, values, b)
+        Fe, Ke = self._element_kernels(state["u"].T, fields, params)
+        return self._solve_clamped(state, Fe, Ke)
 
     def _step_moving_impl(self, state: Dict, fields: Dict, params: Dict,
                           coords: jnp.ndarray):
         geom = geometry_factors(coords, self.conn, self.mesh.elem_type)
-        values, b = self.assemble(state["u"].T, fields, params, geom=geom)
-        return self._solve_clamped(state, values, b)
+        Fe, Ke = self._element_kernels(state["u"].T, fields, params, geom=geom)
+        return self._solve_clamped(state, Fe, Ke)
 
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
