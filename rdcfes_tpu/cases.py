@@ -1,0 +1,236 @@
+"""Synthetic case generation.
+
+Four of the six reference case meshes are git-LFS-stripped
+(/root/reference/.MISSING_LARGE_BLOBS — only cube.msh and hydrogel_model.msh
+are vendored), so end-to-end runs of the patient cases need stand-ins.  This
+module writes complete, reference-format case directories — Gmsh mesh +
+nodal/elemental IC `.dat` files + `input.dat` deck — at the documented case
+sizes (BASELINE.md), runnable by BOTH this framework's CLI and the reference
+binary.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .mesh import box_tet_mesh, gmsh
+
+
+def _brain_mesh(n: int = 28):
+    """~24k nodes / ~132k TET4 over a 150x180x150 mm box (the run/PIHNA
+    patient mesh is 24,903 nodes / 134,646 elements)."""
+    return box_tet_mesh(n, n, n, bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
+
+
+def make_pihna_case(directory: str, n: int = 28, seed: int = 0,
+                    n_steps: int = 120) -> str:
+    """Synthetic PIHNA glioma case (deck values = run/PIHNA/input.dat)."""
+    os.makedirs(directory, exist_ok=True)
+    mesh = _brain_mesh(n)
+    gmsh.write(mesh, os.path.join(directory, "Brain_Model.msh"))
+
+    rng = np.random.default_rng(seed)
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0 = np.zeros((mesh.n_nodes, 5))
+    # magnitudes follow the deck's own range thresholds
+    # (active_tumor/min = 500, vascularity/min = 7200)
+    u0[:, 1] = 2000.0 * np.exp(-r2 / (2 * 25.0**2))          # normoxic seed
+    u0[:, 2] = 500.0 * np.exp(-r2 / (2 * 30.0**2))           # hypoxic rim
+    u0[:, 3] = 7200.0 * (1.0 + 0.1 * rng.random(mesh.n_nodes))  # vasculature
+    u0[:, 4] = 1e-10                                          # angiogenic
+    np.savetxt(os.path.join(directory, "Brain_Model_Initial_Nodal_Field.dat"), u0)
+    structure = np.zeros((mesh.n_elems, 2))
+    structure[:, 0] = 40.0 + 5.0 * rng.random(mesh.n_elems)   # HU
+    np.savetxt(
+        os.path.join(directory, "Brain_Model_Initial_Elemental_Field.dat"),
+        structure,
+    )
+
+    deck = f"""#
+directory = 'PIHNA_simulation'
+input_GMSH      = 'Brain_Model.msh'
+input_nodal     = 'Brain_Model_Initial_Nodal_Field.dat'
+input_elemental = 'Brain_Model_Initial_Elemental_Field.dat'
+output_GMSH     = 'Brain_Model~processed.msh'
+output_PARAVIEW = 'Brain_Model'
+#
+time_step_number = {n_steps}
+time_step = 0.1
+output_step = 10
+refinement_step = 10000
+#
+mesh/skip_renumber_nodes_and_elements = false
+mesh/AMR/max_steps = 1
+mesh/AMR/max_level = 3
+mesh/AMR/refine_percentage  = 0.5
+mesh/AMR/coarsen_percentage = 0.1
+#
+range/active_tumor/min = 500.0
+range/necrotic/min = 500.0
+range/vascularity/min = 7200.0
+#
+cells_min_capacity = 1.0
+cells_max_capacity = 2.39e+5
+cells_max_capacity/exponent = 3
+cytokines_max_capacity = 1.0e-8
+#
+necrosis/c = 500.0
+necrosis/h = 200.0
+necrosis/v = 300.0
+#
+diffuse/c = 0
+taxis/c = 0
+diffuse/h = 0
+taxis/h = 0
+produce/c = -2.5
+switch/c/to/h = 1.0
+switch/h/to/c = 1.82
+switch/h/to/n = 0.5
+#
+diffuse/v = 0.5
+taxis/v = 0
+produce/v = 10.0
+#
+secrete/a/from/c = 2.77e-13
+secrete/a/from/h = 5.22e-10
+uptake/a/from/v = 0.
+decay/a = 5678.4
+#
+"""
+    with open(os.path.join(directory, "input.dat"), "w") as f:
+        f.write(deck)
+    return directory
+
+
+def make_ripf_case(directory: str, n: int = 16, seed: int = 2,
+                   n_steps: int = 120) -> str:
+    """Synthetic RIPF lung-fibrosis case (deck values = run/RIPF133/input.dat;
+    the real case is 15,700 nodes)."""
+    os.makedirs(directory, exist_ok=True)
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 250.0), (0, 180.0), (0, 250.0)))
+    gmsh.write(mesh, os.path.join(directory, "Lung_Model.msh"))
+
+    rng = np.random.default_rng(seed)
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0 = np.stack(
+        [
+            -800.0 + 100.0 * rng.random(mesh.n_nodes),       # HU (aerated lung)
+            0.4 * np.exp(-r2 / (2 * 20.0**2)),               # tumour
+            0.05 * np.ones(mesh.n_nodes),                    # fibroblasts
+        ],
+        axis=1,
+    )
+    np.savetxt(os.path.join(directory, "Lung_Model_Initial_Nodal_Field.dat"), u0)
+    rt = np.stack(
+        [
+            50.0 * np.exp(-r2 / (2 * 40.0**2)),              # broad beam
+            16.0 * np.exp(-r2 / (2 * 25.0**2)),              # focus boost
+        ],
+        axis=1,
+    )
+    np.savetxt(
+        os.path.join(directory, "Lung_Model_Initial_Nodal_Field~RT.dat"), rt
+    )
+
+    deck = f"""#
+input_GMSH     = 'Lung_Model.msh'
+input_nodal    = 'Lung_Model_Initial_Nodal_Field.dat'
+input_nodal_RT = 'Lung_Model_Initial_Nodal_Field~RT.dat'
+output_GMSH    = 'Lung_Model~processed.msh'
+output_PARAVIEW= 'Lung_Model'
+#
+time_step_number = {n_steps}
+time_step = 0.1
+output_time_points = ' 10 30 60 90 120 '
+#
+RT_dose/broad/fractions=28
+RT_dose/focus/fractions=8
+volume_fraction/stroma    =0.30
+volume_fraction/parenchyma=0.20
+volume_fraction/exponent=2.5
+volume_fraction/min_vacant=1.e-5
+HU/min = -1000.
+HU/max = +1000.
+#
+HU/phi/cc/build=0.
+HU/phi/cc/decay=0.
+HU/phi/fb/build=0.
+HU/phi/fb/decay=0.
+HU/phi/tolerance=1.0e-3
+#
+cc/delta=0.0864
+cc/delta/RT/a=0.3
+cc/delta/RT/b=0.03
+#
+fb/lambda= 0.01
+fb/lambda/RT/r=1.0
+fb/omega= 0.1
+fb/diffusion =1.0e-20
+fb/haptotaxis=0.05
+#
+"""
+    with open(os.path.join(directory, "input.dat"), "w") as f:
+        f.write(deck)
+    return directory
+
+
+def make_adpm_case(directory: str, n: int = 28, seed: int = 1,
+                   n_steps: int = 400) -> str:
+    """Synthetic ADPM Alzheimer's case (deck values = run/HCP102513/input.dat;
+    the real case is 25,935 nodes / 125,702 elements)."""
+    os.makedirs(directory, exist_ok=True)
+    mesh = _brain_mesh(n)
+    # a couple of parcellation regions for the CSV surface
+    mid = mesh.coords[mesh.connectivity].mean(axis=1)
+    mesh.subdomain_id[:] = np.where(mid[:, 0] < 75.0, 10, 20)
+    gmsh.write(mesh, os.path.join(directory, "Brain_Model.msh"))
+
+    rng = np.random.default_rng(seed)
+    r2 = ((mesh.coords - np.array([75.0, 60.0, 75.0])) ** 2).sum(axis=1)
+    u0 = np.stack(
+        [
+            np.ones(mesh.n_nodes),                      # PrP
+            0.3 * np.exp(-r2 / (2 * 15.0**2)),          # A_b seed
+            0.05 * np.exp(-r2 / (2 * 10.0**2)),         # Tau seed
+        ],
+        axis=1,
+    )
+    np.savetxt(os.path.join(directory, "Brain_Model_Initial_Nodal_Field.dat"), u0)
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    tracts /= np.linalg.norm(tracts, axis=1, keepdims=True)
+    np.savetxt(
+        os.path.join(directory, "Brain_Model_Initial_Elemental_Field~symm.dat"),
+        tracts,
+    )
+
+    deck = f"""#
+input_GMSH      = 'Brain_Model.msh'
+input_nodal     = 'Brain_Model_Initial_Nodal_Field.dat'
+input_elemental = 'Brain_Model_Initial_Elemental_Field~symm.dat'
+output_GMSH     = 'Brain_Model~processed.msh'
+output_PARAVIEW = 'Brain_Model'
+#
+time_step_number = {n_steps}
+time_step = 0.05
+output_step = 20
+#
+decay/PrP = 1.000000e-4
+decay/PrP/pulse/0 = 0.01
+decay/PrP/pulse/1 = 10.0
+#
+taxis_1/A_b = 0.999999e+3
+taxis_1/A_b/pulse/0 = -1
+taxis_1/A_b/pulse/1 = 0.01
+#
+taxis_1/Tau = 0.999999e+3
+taxis_1/Tau/pulse/0 = -1
+taxis_1/Tau/pulse/1 = 0.01
+decay/Tau = 1.000000e+1
+decay/Tau/pulse/0 = 0.0005
+#
+"""
+    with open(os.path.join(directory, "input.dat"), "w") as f:
+        f.write(deck)
+    return directory

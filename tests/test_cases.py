@@ -1,0 +1,55 @@
+"""Synthetic case generation + end-to-end driver runs on the generated decks."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rdcfes_tpu import cases
+
+
+@pytest.fixture
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return str(tmp_path)
+
+
+def test_pihna_case_runs(in_tmp):
+    from rdcfes_tpu.drivers import pihna
+
+    cases.make_pihna_case(".", n=5, n_steps=4)
+    outdir = pihna.run("input.dat")
+    csv = open(os.path.join(outdir, "output.csv")).read().splitlines()
+    assert len(csv) >= 2
+    vals = np.array([line.split(",") for line in csv[1:]], dtype=float)
+    assert np.isfinite(vals).all()
+
+
+def test_ripf_case_runs(in_tmp):
+    from rdcfes_tpu.drivers import ripf
+
+    cases.make_ripf_case(".", n=4, n_steps=3)
+    # trim output schedule to the short run
+    deck = open("input.dat").read().replace(
+        "output_time_points = ' 10 30 60 90 120 '",
+        "output_time_points = ' 1 3 '",
+    )
+    open("input.dat", "w").write(deck)
+    outdir = ripf.run("input.dat")
+    csv = open(os.path.join(outdir, "output.csv")).read().splitlines()
+    assert len(csv) == 3  # initial + 2 scheduled outputs
+
+
+def test_adpm_case_runs(in_tmp):
+    from rdcfes_tpu.drivers import adpm
+
+    cases.make_adpm_case(".", n=4, n_steps=3)
+    deck = open("input.dat").read().replace("output_step = 20", "output_step = 1")
+    deck = deck.replace("time_step_number = 3", "time_step_number = 3")
+    open("input.dat", "w").write(deck)
+    outdir = adpm.run("input.dat")
+    csv = open(os.path.join(outdir, "output.csv")).read().splitlines()
+    # two parcellations in the header
+    assert "CONCENTRATION__A_b__10" in csv[0]
+    assert "CONCENTRATION__Tau__20" in csv[0]
+    assert len(csv) == 1 + 4
