@@ -88,6 +88,10 @@ def run(deck_path: str = "input.dat") -> str:
 
     n_steps = deck("time_step_number", 1)
     dt = deck("time_step", 1.0e-9)
+    # checkpoint/resume (capability upgrade over the reference, which can
+    # only restart from the ICs — SURVEY.md section 5)
+    ckpt_step = deck("checkpoint/step", 0)
+    ckpt_resume = deck("checkpoint/resume", "")
     refinement_step = deck("refinement_step", 1 + n_steps)
     amr_max_steps = deck("mesh/AMR/max_steps", 0)
     deck("mesh/AMR/max_level", 3)
@@ -129,10 +133,20 @@ def run(deck_path: str = "input.dat") -> str:
             fields += [("HU", hu_nodal), ("RT", rt_nodal)]
             paraview.update_pvd(fields, t)
 
-    save(0, 0.0)
-
+    start_step = 0
     time_value = 0.0
-    for t in range(1, n_steps + 1):
+    if ckpt_resume:
+        import jax.numpy as jnp
+
+        from ..utils import load_checkpoint
+
+        st, start_step, time_value, _ = load_checkpoint(ckpt_resume, params)
+        state = {k: jnp.asarray(v) for k, v in st.items()}
+        print(f"resumed from {ckpt_resume} at step {start_step}")
+    else:
+        save(0, 0.0)
+
+    for t in range(start_step + 1, n_steps + 1):
         time_value += dt
         step_banner(t, n_steps, time_value)
         with plog.scope("solve"):
@@ -143,6 +157,14 @@ def run(deck_path: str = "input.dat") -> str:
                 "this build (documented deviation; all shipped decks disable "
                 "or never reach it)", file=sys.stderr,
             )
+        if ckpt_step and t % ckpt_step == 0:
+            from ..utils import save_checkpoint
+
+            with plog.scope("checkpoint"):
+                save_checkpoint(
+                    os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
+                    params,
+                )
         if t in otp:
             save(t, time_value)
 

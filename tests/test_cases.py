@@ -53,3 +53,36 @@ def test_adpm_case_runs(in_tmp):
     assert "CONCENTRATION__A_b__10" in csv[0]
     assert "CONCENTRATION__Tau__20" in csv[0]
     assert len(csv) == 1 + 4
+
+
+def test_pihna_checkpoint_resume(in_tmp):
+    """Checkpoint every 2 steps; resume must reproduce the uninterrupted run."""
+    import jax.numpy as jnp
+
+    from rdcfes_tpu.drivers import pihna
+
+    cases.make_pihna_case(".", n=4, n_steps=4)
+    deck = open("input.dat").read().replace("output_step = 10", "output_step = 1")
+    deck = deck + "checkpoint/step = 2\n"
+    open("input.dat", "w").write(deck)
+    outdir = pihna.run("input.dat")
+    full_csv = open(os.path.join(outdir, "output.csv")).read()
+
+    # rerun the last 2 steps from the checkpoint
+    deck2 = deck + f"checkpoint/resume = {outdir}/checkpoint.npz\n"
+    # the checkpoint was overwritten at step 4; regenerate a step-2 one by
+    # rerunning with 2 steps
+    deck_short = deck.replace("time_step_number = 4", "time_step_number = 2")
+    open("input.dat", "w").write(deck_short)
+    import shutil
+    shutil.rmtree(outdir)
+    pihna.run("input.dat")
+    ck = os.path.join(outdir, "checkpoint.npz")
+    assert os.path.exists(ck)
+
+    open("input.dat", "w").write(deck2)
+    out2 = pihna.run("input.dat")
+    resumed_csv = open(os.path.join(out2, "output.csv")).read()
+    # resumed run writes only the post-resume output rows; final row must
+    # match the tail of the uninterrupted run
+    assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
