@@ -167,3 +167,38 @@ def test_uniaxial_first_load_steps(uniaxial_system):
     p, vm, _ = sys.post_process(x, 0.2)
     assert np.asarray(p).mean() < 0.0
     assert np.asarray(vm).min() > 0.0
+
+
+def test_hydrogel_tension_deck():
+    """The second vendored reference case: hydrogel_model.msh, one load step
+    of the run/Solid/hydrogel_tension deck (material falls back to defaults
+    because of the deck's Neohookean-vs-Hyperelastic key mismatch, exactly
+    as in the reference)."""
+    mesh = gmsh.read("/root/reference/run/Solid/hydrogel_tension/hydrogel_model.msh")
+    assert mesh.n_nodes == 1569
+    sys = SolidSystem(
+        mesh,
+        materials={0: {"young": 1.0e3, "poisson": 0.3}},  # reference defaults
+        bcs={
+            0: (0.0, np.nan, np.nan),
+            1: (np.nan, 0.0, np.nan),
+            2: (np.nan, np.nan, 0.0),
+            10: (-0.001, 0.0, 0.0),
+        },
+        penalty=1.0e8,
+        newton=NewtonOptions(max_nonlinear_iterations=10),
+    )
+    x = sys.initial_positions()
+    res = sys.run_solver(x, 0.1)
+    assert np.isfinite(np.asarray(res.x)).all()
+    u = np.asarray(sys.displacement(res.x))
+    # the loaded face (boundary id 10) is pulled along -x
+    sel = np.zeros(mesh.n_nodes, bool)
+    sel[np.unique(mesh.boundary_faces[mesh.boundary_id == 10])] = True
+    # corner nodes shared between penalty sets see competing constraints —
+    # the penalty method is soft there (same in the reference); ~5% spread
+    np.testing.assert_allclose(u[sel, 0], -0.001 * 0.1 * 1.000001, rtol=7e-2)
+    # face average is tight
+    np.testing.assert_allclose(
+        u[sel, 0].mean(), -0.001 * 0.1 * 1.000001, rtol=1e-2
+    )
