@@ -89,32 +89,40 @@ def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
     if wf.C is None and wf.D is None and wf.E is None:
         raise ValueError("empty weak form matrix")
     Q, K = phi.shape
-    blocks = [[None] * K for _ in range(K)]
-    for q in range(Q):
-        cq = wf.C[:, :, q] * JxW[q] if wf.C is not None else None
-        eq = wf.E[:, :, q] * JxW[q] if wf.E is not None else None
-        if wf.D is not None:
-            Dq = wf.D[:, :, q] * JxW[q][None, None, None, :]  # (V, W, 3, E)
-        for i in range(K):
-            if wf.D is not None:
-                # (D . dphi_i): sum over the 3 directions, elementwise
-                t1 = (Dq[:, :, 0] * dphi[q, i, 0]
-                      + Dq[:, :, 1] * dphi[q, i, 1]
-                      + Dq[:, :, 2] * dphi[q, i, 2])  # (V, W, E)
-            for j in range(K):
-                acc = blocks[i][j]
-                if cq is not None:
-                    term = cq * float(phi[q, i] * phi[q, j])
-                    acc = term if acc is None else acc + term
+    # JxW-premultiplied coefficient slices, shared across all (i, j) blocks
+    cqs = [wf.C[:, :, q] * JxW[q] for q in range(Q)] if wf.C is not None else None
+    eqs = [wf.E[:, :, q] * JxW[q] for q in range(Q)] if wf.E is not None else None
+    if wf.D is not None:
+        Dqs = [wf.D[:, :, q] * JxW[q][None, None, None, :] for q in range(Q)]
+        # (D . dphi_i) per (q, i): sum over the 3 directions, elementwise
+        t1s = [
+            [
+                Dqs[q][:, :, 0] * dphi[q, i, 0]
+                + Dqs[q][:, :, 1] * dphi[q, i, 1]
+                + Dqs[q][:, :, 2] * dphi[q, i, 2]
+                for i in range(K)
+            ]
+            for q in range(Q)
+        ]
+    blocks = []
+    for i in range(K):
+        row = []
+        for j in range(K):
+            terms = []
+            for q in range(Q):
+                acc = None
+                if cqs is not None:
+                    acc = cqs[q] * float(phi[q, i] * phi[q, j])
                 if wf.D is not None:
-                    term = t1 * float(phi[q, j])
-                    acc = term if acc is None else acc + term
-                if eq is not None:
+                    t = t1s[q][i] * float(phi[q, j])
+                    acc = t if acc is None else acc + t
+                if eqs is not None:
                     gg = (dphi[q, i, 0] * dphi[q, j, 0]
                           + dphi[q, i, 1] * dphi[q, j, 1]
                           + dphi[q, i, 2] * dphi[q, j, 2])  # (E,)
-                    term = eq * gg
-                    acc = term if acc is None else acc + term
-                blocks[i][j] = acc
-    rows = [jnp.stack(row, axis=2) for row in blocks]  # (V, W, K_j, E)
-    return jnp.stack(rows, axis=2)  # (V, W, K_i, K_j, E)
+                    t = eqs[q] * gg
+                    acc = t if acc is None else acc + t
+                terms.append(acc)
+            row.append(sum(terms[1:], terms[0]))
+        blocks.append(jnp.stack(row, axis=2))  # (V, W, K_j, E)
+    return jnp.stack(blocks, axis=2)  # (V, W, K_i, K_j, E)
