@@ -20,7 +20,7 @@ from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
 from ..models.adpm import ADPM_VARS, adpm_physics
 from ..systems import TransientRDCSystem
-from .common import PerfLog, output_time_points, step_banner
+from .common import PerfLog, maybe_profile, output_time_points, step_banner
 
 
 def load_params(deck: Deck) -> dict:
@@ -130,6 +130,8 @@ def run(deck_path: str = "input.dat") -> str:
 
     save(0, 0.0)
 
+    _profile_cm = maybe_profile()
+    _profile_cm.__enter__()
     time_value = 0.0
     for t in range(1, n_steps + 1):
         time_value += dt
@@ -144,6 +146,7 @@ def run(deck_path: str = "input.dat") -> str:
 
     csv.close()
     paraview.close_pvd()
+    _profile_cm.__exit__(None, None, None)
     deck.warn_unused()
     plog.report()
     return DIR

@@ -1,12 +1,34 @@
-"""Shared driver plumbing: output schedules, step banners, perf log."""
+"""Shared driver plumbing: output schedules, step banners, perf log,
+optional XLA-level profiling."""
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from collections import defaultdict
 from contextlib import contextmanager
 from typing import List, Set
+
+
+@contextmanager
+def maybe_profile():
+    """XLA-level trace when RDCFES_PROFILE=<dir> is set — the deeper
+    companion to the PerfLog phase timers (SURVEY.md section 5: the
+    reference's only tracing is libMesh's PerfLog; jax.profiler gives the
+    per-kernel view).  View with TensorBoard or xprof."""
+    trace_dir = os.environ.get("RDCFES_PROFILE")
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(trace_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {trace_dir}", file=sys.stderr)
 
 
 def output_time_points(deck, n_steps: int, key: str = "output_time_points",

@@ -25,7 +25,7 @@ from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
 from ..models.pihna import PIHNA_VARS, pihna_physics
 from ..systems import TransientRDCSystem
-from .common import PerfLog, output_time_points, step_banner
+from .common import PerfLog, maybe_profile, output_time_points, step_banner
 
 
 def load_params(deck: Deck) -> dict:
@@ -146,6 +146,8 @@ def run(deck_path: str = "input.dat") -> str:
     else:
         save(0, 0.0)
 
+    _profile_cm = maybe_profile()
+    _profile_cm.__enter__()
     for t in range(start_step + 1, n_steps + 1):
         time_value += dt
         step_banner(t, n_steps, time_value)
@@ -170,6 +172,7 @@ def run(deck_path: str = "input.dat") -> str:
 
     csv.close()
     paraview.close_pvd()
+    _profile_cm.__exit__(None, None, None)
     deck.warn_unused()
     plog.report()
     return DIR

@@ -27,7 +27,7 @@ from ..io.vtu import ParaviewWriter
 from ..mesh import gmsh
 from ..models.proteas import PROTEAS_VARS, proteas_physics
 from ..systems import TransientRDCSystem
-from .common import PerfLog, output_time_points, step_banner
+from .common import PerfLog, maybe_profile, output_time_points, step_banner
 
 _PARAM_KEYS = [
     ("cells/total_capacity", "cells_total_capacity"),
@@ -131,6 +131,8 @@ def run(deck_path: str = "input.dat") -> str:
 
     save(0)
 
+    _profile_cm = maybe_profile()
+    _profile_cm.__enter__()
     time_value = 0.0
     for t in range(1, n_steps + 1):
         time_value += dt
@@ -142,6 +144,7 @@ def run(deck_path: str = "input.dat") -> str:
 
     csv.close()
     paraview.close_pvd()
+    _profile_cm.__exit__(None, None, None)
     deck.warn_unused()
     plog.report()
     return DIR

@@ -30,7 +30,7 @@ from ..io.vtu import ParaviewWriter
 from ..mesh import gmsh
 from ..models.ripf import RIPF_VARS, ripf_physics, rt_dose_schedule
 from ..systems import TransientRDCSystem
-from .common import PerfLog, output_time_points, step_banner
+from .common import PerfLog, maybe_profile, output_time_points, step_banner
 
 
 def load_params(deck: Deck) -> dict:
@@ -189,6 +189,8 @@ def run(deck_path: str = "input.dat") -> str:
 
     # the params dict carries resolved lambda_RT_r before the first step
     _ = params.pop("_fb_lambda_RT_r_unused", None)
+    _profile_cm = maybe_profile()
+    _profile_cm.__enter__()
     time_value = 0.0
     for t in range(1, n_steps + 1):
         time_value += dt
@@ -203,6 +205,7 @@ def run(deck_path: str = "input.dat") -> str:
 
     csv.close()
     paraview.close_pvd()
+    _profile_cm.__exit__(None, None, None)
     deck.warn_unused()
     plog.report()
     return DIR

@@ -310,3 +310,44 @@ material/3000/Hyperelastic/VolumetricStretchRatio/rate_2 = 3.0e-1
     # growth must have moved the mesh: final positions differ from initial
     vtu = open(os.path.join(outdir, "out-4.vtu")).read()
     assert 'Name="c"' in vtu and 'Name="u_x"' in vtu
+
+
+def test_proteas_reference_aux_sampling(in_tmp):
+    """The `proteas/aux_sampling = reference` switch reproduces the
+    reference's AUX quirk (phi_1(qp) * HU at local node 1,
+    src/proteas.C:479-482) instead of the correct full interpolation."""
+    from rdcfes_tpu.drivers import proteas
+
+    mesh = box_tet_mesh(2, 2, 2)
+    rng = np.random.default_rng(7)
+    u0 = np.abs(rng.random((mesh.n_nodes, 5))) * 0.2
+    aux = np.stack(
+        [rng.uniform(-100, 100, mesh.n_nodes), rng.uniform(0, 30, mesh.n_nodes)],
+        axis=1,
+    )
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nd
+input_nodal_aux = input_aux.nd
+time_step_number = 1
+time_step = 0.01
+proteas/aux_sampling = reference
+"""
+    _write_case(in_tmp, mesh, deck)
+    np.savetxt(os.path.join(in_tmp, "input.nd"), u0)
+    np.savetxt(os.path.join(in_tmp, "input_aux.nd"), aux)
+    out_q = proteas.run("input.dat")
+    import glob
+    u_quirk = open(sorted(glob.glob(os.path.join(out_q, "*-1.vtu")))[0]).read()
+
+    # same run with the default (correct) sampling in a fresh directory
+    deck2 = deck.replace("proteas/aux_sampling = reference", "").replace(
+        "'out'", "'out2'"
+    )
+    open(os.path.join(in_tmp, "input.dat"), "w").write(deck2)
+    out_f = proteas.run("input.dat")
+    u_full = open(sorted(glob.glob(os.path.join(out_f, "*-1.vtu")))[0]).read()
+    # RTD enters the dynamics (all params default 1.0), so the two sampling
+    # modes must produce different fields
+    assert u_quirk != u_full

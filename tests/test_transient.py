@@ -116,3 +116,25 @@ def test_clamp_negative_solutions():
     u = np.asarray(state["u"])
     assert np.all(u >= 0.0)
     assert np.all(u == 0.0)  # the sink pushes everything below zero
+
+
+def test_float32_mode_tracks_f64():
+    """dtype=float32 fast mode: trajectories track the f64 reference run to
+    single-precision accuracy over several steps."""
+    import jax.numpy as jnp
+
+    m = box_tet_mesh(3, 3, 3)
+    phys = logistic_rd_physics(D=0.2, rho=1.5)
+    s64 = TransientRDCSystem(m, 1, phys)
+    s32 = TransientRDCSystem(m, 1, phys, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    u0 = 0.2 * rng.random((m.n_nodes, 1))
+    st64 = s64.initial_state(u0)
+    st32 = s32.initial_state(u0.astype(np.float32))
+    for _ in range(5):
+        st64, *_ = s64.step(st64, params={"dt": 0.05})
+        st32, *_ = s32.step(st32, params={"dt": np.float32(0.05)})
+    a = np.asarray(st64["u"])
+    b = np.asarray(st32["u"])
+    assert b.dtype == np.float32
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
