@@ -2,10 +2,8 @@
 
 Prompts for a Gmsh input file, scale / translation / rotation, then re-emits
 the transformed mesh as Gmsh 2.2 ASCII (boundary side elements first, with
-their boundary-condition ids) plus a `.config` provenance file.  The
-reference also writes an ExodusII `.ex2` copy; without a NetCDF stack in
-this environment that export is skipped with a notice (VTU/Gmsh are the
-primary formats consumed downstream).
+their boundary-condition ids), an ExodusII `.ex2` copy (src/process_mesh.C:169;
+via io/exodus.py), and a `.config` provenance file.
 """
 
 from __future__ import annotations
@@ -48,6 +46,12 @@ def run() -> None:
     out = _ask("Give name of the output files: ")
     print("Mesh and configuration data is now saving... ", end="", flush=True)
     gmsh.write(mesh, out + ".msh")
+    try:
+        from ..io.exodus import write_exodus
+
+        write_exodus(out + ".ex2", mesh)
+    except Exception as e:  # pragma: no cover
+        print(f"NOTE: ExodusII export skipped ({e})", file=sys.stderr)
     with open(out + ".config", "w") as f:
         f.write(f"Gmsh input: {input_file}\n")
         f.write(f"mesh scaling: {scale:g}\n")
@@ -59,5 +63,3 @@ def run() -> None:
         f.write(f"rotation (Z-axis) in degrees: {rz:g}\n")
         f.write(f"output file name: {out}\n")
     print(" ok")
-    print("NOTE: ExodusII (.ex2) export skipped (no NetCDF stack available); "
-          "Gmsh + VTU outputs are written instead.", file=sys.stderr)

@@ -60,3 +60,24 @@ def test_kelly_indicator_flags_gradient_jumps():
     assert refine.any() and refine.sum() < mesh.n_elems
     # refined elements are exactly the kink neighborhood
     assert set(np.nonzero(refine)[0]).issubset(set(np.nonzero(near)[0]))
+
+
+def test_exodus_writer_roundtrip(tmp_path):
+    """ExodusII export (reference surface: ExodusII_IO write,
+    src/process_mesh.C:169): dims/coords/connectivity re-read via NetCDF."""
+    from scipy.io import netcdf_file
+
+    from rdcfes_tpu.io.exodus import write_exodus
+
+    m = box_tet_mesh(2, 2, 2)
+    path = str(tmp_path / "m.ex2")
+    write_exodus(path, m, nodal_fields=[("u", np.arange(m.n_nodes) * 1.0)])
+    f = netcdf_file(path, "r")
+    assert f.variables["coord"].shape == (3, m.n_nodes)
+    assert f.variables["connect1"].shape == (m.n_elems, 4)
+    assert f.variables["connect1"].elem_type == b"TETRA4"
+    np.testing.assert_allclose(f.variables["coord"][:].T, m.coords)
+    np.testing.assert_allclose(
+        f.variables["vals_nod_var1"][0], np.arange(m.n_nodes) * 1.0
+    )
+    f.close()
