@@ -1,5 +1,6 @@
 from .core import Mesh, ELEMENT_FACES, extract_boundary_faces
 from .generators import box_hex_mesh, box_tet_mesh
+from .refine import refine_uniform, refine_flagged, Refinement
 from . import gmsh
 from . import transform
 
@@ -9,6 +10,9 @@ __all__ = [
     "extract_boundary_faces",
     "box_hex_mesh",
     "box_tet_mesh",
+    "refine_uniform",
+    "refine_flagged",
+    "Refinement",
     "gmsh",
     "transform",
 ]

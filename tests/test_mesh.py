@@ -100,3 +100,68 @@ def test_transform_mesh():
     m2 = transform.transform_mesh(m, scale=2.0, translate=(1, 0, 0))
     np.testing.assert_allclose(m2.element_volumes().sum(), 8.0, rtol=1e-12)
     np.testing.assert_allclose(m2.coords.min(axis=0), [1, 0, 0], atol=1e-12)
+
+
+def test_refine_uniform_tet():
+    """TET4 1:8 refinement: volume conserved, positive children, boundary
+    ids propagated, P1 prolongation exact for linear fields."""
+    from rdcfes_tpu.mesh import box_tet_mesh, refine_uniform
+
+    m = box_tet_mesh(3, 2, 2)
+    r = refine_uniform(m)
+    m2 = r.mesh
+    assert m2.n_elems == 8 * m.n_elems
+    v1, v2 = m.element_volumes(), m2.element_volumes()
+    assert (v2 > 0).all()
+    np.testing.assert_allclose(v2.sum(), v1.sum(), rtol=1e-12)
+    # children of one parent fill exactly the parent volume
+    np.testing.assert_allclose(v2.reshape(-1, 8).sum(axis=1), v1, rtol=1e-12)
+    # boundary: same total area per boundary id
+    for bid in np.unique(m.boundary_id):
+        def area(mm):
+            f = mm.boundary_faces[mm.boundary_id == bid]
+            X = mm.coords[f]
+            return (0.5 * np.linalg.norm(
+                np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]), axis=1)).sum()
+        np.testing.assert_allclose(area(m2), area(m), rtol=1e-12)
+    # prolongation reproduces linear fields exactly
+    u = 2.0 * m.coords[:, 0] - 3.0 * m.coords[:, 1] + 0.5 * m.coords[:, 2]
+    u2 = r.prolong(u)
+    ref = 2.0 * m2.coords[:, 0] - 3.0 * m2.coords[:, 1] + 0.5 * m2.coords[:, 2]
+    np.testing.assert_allclose(u2, ref, atol=1e-13)
+    assert r.restrict_elemental(m.subdomain_id).shape == (m2.n_elems,)
+
+
+def test_refine_uniform_hex():
+    from rdcfes_tpu.mesh import box_hex_mesh, refine_uniform
+
+    m = box_hex_mesh(2, 2, 3)
+    r = refine_uniform(m)
+    m2 = r.mesh
+    assert m2.n_elems == 8 * m.n_elems
+    v1, v2 = m.element_volumes(), m2.element_volumes()
+    assert (v2 > 0).all()
+    np.testing.assert_allclose(v2.reshape(-1, 8).sum(axis=1), v1, rtol=1e-12)
+    assert len(m2.boundary_faces) == 4 * len(m.boundary_faces)
+    assert set(np.unique(m2.boundary_id)) == set(np.unique(m.boundary_id))
+    u = m.coords @ np.array([1.0, -2.0, 4.0])
+    np.testing.assert_allclose(
+        r.prolong(u), m2.coords @ np.array([1.0, -2.0, 4.0]), atol=1e-12)
+
+
+def test_refined_mesh_solves():
+    """A refined mesh drops straight into the transient system and the
+    prolonged solution converges with h (sanity of the AMR restart path)."""
+    from rdcfes_tpu.mesh import box_tet_mesh, refine_uniform
+    from rdcfes_tpu.systems import TransientRDCSystem
+    from tests.test_transient import logistic_rd_physics
+
+    m = box_tet_mesh(2, 2, 2)
+    r = refine_uniform(m)
+    phys = logistic_rd_physics(D=0.1, rho=1.0)
+    sys2 = TransientRDCSystem(r.mesh, 1, phys)
+    u0 = 0.3 + 0.1 * np.cos(np.pi * m.coords[:, 0:1])
+    st = sys2.initial_state(r.prolong(u0))
+    st, it, res = sys2.step(st, params={"dt": 0.02})
+    u = np.asarray(st["u"])
+    assert np.isfinite(u).all() and float(res) < 1e-10

@@ -138,3 +138,26 @@ def test_float32_mode_tracks_f64():
     b = np.asarray(st32["u"])
     assert b.dtype == np.float32
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-6)
+
+
+def test_mixed_precision_matches_f64():
+    """precision="mixed" (f32 inner Krylov + f64 iterative refinement) must
+    reproduce the pure-f64 trajectory to refinement tolerance — far below
+    the 1e-8 reference-parity bar."""
+    m = box_tet_mesh(3, 3, 3)
+    phys = logistic_rd_physics(D=0.2, rho=1.5)
+    s64 = TransientRDCSystem(m, 1, phys)
+    smx = TransientRDCSystem(m, 1, phys, precision="mixed")
+    rng = np.random.default_rng(1)
+    u0 = 0.2 * rng.random((m.n_nodes, 1))
+    st64 = smx_st = None
+    st64 = s64.initial_state(u0)
+    smx_st = smx.initial_state(u0)
+    for _ in range(5):
+        st64, *_ = s64.step(st64, params={"dt": 0.05})
+        smx_st, it, res = smx.step(smx_st, params={"dt": 0.05})
+    a = np.asarray(st64["u"])
+    b = np.asarray(smx_st["u"])
+    assert b.dtype == np.float64
+    assert float(res) <= 1e-10
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-10 * np.abs(a).max())
