@@ -5,16 +5,20 @@ Flow: deck -> results dir -> Gmsh read + processed copy -> nodal ICs
 (rotate history, linearized-CN solve, clamp >= 0) -> CSV volumes + VTU/PVD
 at the output time points.
 
-AMR: the deck's mesh/AMR/* knobs are parsed for compatibility but adaptive
-refinement is deferred (every shipped deck effectively disables it:
-run/PIHNA/input.dat refinement_step=10000 > 120 steps); a warning is printed
-if a deck would actually trigger it.
+AMR (reference src/pihna.C:805-840: KellyErrorEstimator +
+flag_elements_by_mean_stddev + refine_and_coarsen + reinit): at every
+`refinement_step`, up to `mesh/AMR/max_steps` times, the Kelly face-jump
+indicator is computed over all five species, elements are flagged by the
+mean-stddev rule, and — when anything is flagged — the mesh is refined with
+the conforming uniform 1:8 policy (mesh/refine.py; selective hanging-node
+refinement is a documented deviation).  The solution history is P1-prolonged
+onto the new mesh and the device system is rebuilt, the TPU analogue of
+libMesh's `es.reinit()`.
 """
 
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 
@@ -95,8 +99,8 @@ def run(deck_path: str = "input.dat") -> str:
     refinement_step = deck("refinement_step", 1 + n_steps)
     amr_max_steps = deck("mesh/AMR/max_steps", 0)
     deck("mesh/AMR/max_level", 3)
-    deck("mesh/AMR/refine_percentage", 0.5)
-    deck("mesh/AMR/coarsen_percentage", 0.5)
+    amr_refine_frac = deck("mesh/AMR/refine_percentage", 0.5)
+    amr_coarsen_frac = deck("mesh/AMR/coarsen_percentage", 0.5)
     deck("mesh/skip_renumber_nodes_and_elements", True)
     otp = output_time_points(deck, n_steps)
 
@@ -135,12 +139,26 @@ def run(deck_path: str = "input.dat") -> str:
 
     start_step = 0
     time_value = 0.0
+    amr_done = 0
     if ckpt_resume:
         import jax.numpy as jnp
 
         from ..utils import load_checkpoint
 
-        st, start_step, time_value, _ = load_checkpoint(ckpt_resume, params)
+        st, start_step, time_value, extra = load_checkpoint(ckpt_resume, params)
+        ck_mesh = os.path.join(os.path.dirname(ckpt_resume),
+                               "checkpoint_mesh.msh")
+        if "amr_done" in extra and os.path.exists(ck_mesh):
+            # the checkpoint was written after AMR: the state lives on the
+            # refined mesh saved alongside it, not the deck's input mesh
+            mesh = gmsh.read(ck_mesh)
+            amr_done = int(extra["amr_done"])
+            structure = extra["structure"]
+            hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
+            rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
+            system = TransientRDCSystem(mesh, 5, pihna_physics)
+            paraview.mesh = mesh
+            print(f"resumed on AMR mesh ({mesh.n_elems} elements)")
         state = {k: jnp.asarray(v) for k, v in st.items()}
         print(f"resumed from {ckpt_resume} at step {start_step}")
     else:
@@ -153,19 +171,47 @@ def run(deck_path: str = "input.dat") -> str:
         step_banner(t, n_steps, time_value)
         with plog.scope("solve"):
             state, iters, res = system.step(state, params=params)
-        if refinement_step > 0 and t % refinement_step == 0 and amr_max_steps > 0:
-            print(
-                "WARNING: adaptive mesh refinement requested but deferred in "
-                "this build (documented deviation; all shipped decks disable "
-                "or never reach it)", file=sys.stderr,
-            )
+        if (refinement_step > 0 and t % refinement_step == 0
+                and amr_done < amr_max_steps):
+            amr_done += 1
+            with plog.scope("amr"):
+                import jax.numpy as jnp
+
+                from ..fem.amr import flag_by_mean_stddev, kelly_error_indicator
+                from ..mesh import refine_flagged
+
+                eta = kelly_error_indicator(
+                    mesh, jnp.asarray(state["u"]), list(range(5))
+                )
+                flags, _ = flag_by_mean_stddev(
+                    np.asarray(eta), amr_refine_frac, amr_coarsen_frac
+                )
+                r = refine_flagged(mesh, flags)
+                if r is None:
+                    print(f"AMR step {t}: nothing flagged, mesh unchanged")
+                else:
+                    mesh = r.mesh
+                    print(f"AMR step {t}: refined to {mesh.n_elems} elements")
+                    structure = r.restrict_elemental(structure)
+                    hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
+                    rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
+                    system = TransientRDCSystem(mesh, 5, pihna_physics)
+                    state = {k: jnp.asarray(r.prolong(np.asarray(v)))
+                             for k, v in state.items()}
+                    paraview.mesh = mesh
         if ckpt_step and t % ckpt_step == 0:
             from ..utils import save_checkpoint
 
             with plog.scope("checkpoint"):
+                ck_extras = {}
+                if amr_done:
+                    gmsh.write(mesh,
+                               os.path.join(DIR, "checkpoint_mesh.msh"))
+                    ck_extras = {"structure": structure,
+                                 "amr_done": np.asarray(amr_done)}
                 save_checkpoint(
                     os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
-                    params,
+                    params, **ck_extras,
                 )
         if t in otp:
             save(t, time_value)

@@ -351,3 +351,47 @@ proteas/aux_sampling = reference
     # RTD enters the dynamics (all params default 1.0), so the two sampling
     # modes must produce different fields
     assert u_quirk != u_full
+
+
+def test_pihna_driver_amr(in_tmp):
+    """AMR path (reference src/pihna.C:805-840): at refinement_step the driver
+    computes the Kelly indicator, flags by mean-stddev, refines 1:8, prolongs
+    the state, and keeps time-stepping on the finer mesh."""
+    from rdcfes_tpu.drivers import pihna
+
+    mesh = box_tet_mesh(3, 3, 3)
+    rng = np.random.default_rng(0)
+    Kk = 2.39e5
+    u0 = np.zeros((mesh.n_nodes, 5))
+    r2 = ((mesh.coords - 0.5) ** 2).sum(axis=1)
+    u0[:, 1] = 0.05 * Kk * np.exp(-r2 / 0.05)  # localized seed -> jumps
+    u0[:, 3] = 0.03 * Kk
+    u0[:, 4] = 1e-9
+    structure = np.zeros((mesh.n_elems, 2))
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nodal
+input_elemental = input.elemental
+time_step_number = 3
+time_step = 0.05
+output_step = 3
+refinement_step = 2
+mesh/AMR/max_steps = 1
+cells_max_capacity = 2.39e+5
+cells_max_capacity/exponent = 3
+cells_min_capacity = 1.0
+cytokines_max_capacity = 1.0e-8
+produce/c = -2.5
+diffuse/v = 0.1
+"""
+    _write_case(in_tmp, mesh, deck, u0, structure)
+    outdir = pihna.run("input.dat")
+    # final VTU is on the refined mesh: 8x elements
+    txt = open(os.path.join(outdir, "output4paraview-3.vtu")).read()
+    assert f'NumberOfCells="{8 * mesh.n_elems}"' in txt
+    # prolonged fields stayed finite/non-negative through the post-AMR steps
+    import re
+    m = re.search(r'Name="c"[^>]*>(.*?)</DataArray>', txt, re.S)
+    vals = np.array(m.group(1).split(), dtype=float)
+    assert np.isfinite(vals).all() and (vals >= 0).all() and vals.max() > 0
