@@ -112,10 +112,10 @@ def run(deck_path: str = "input.dat") -> str:
         deck("output_step", 0)
     rtp = schedule(deck, n_load_steps, "remeshing_step", True)
     deck("mesh/skip_renumber_nodes_and_elements", True)
-    for k, d in [("mesh/AMR/max_steps", 0), ("mesh/AMR/max_level", 3)]:
-        deck(k, d)
-    deck("mesh/AMR/refine_percentage", 0.5)
-    deck("mesh/AMR/coarsen_percentage", 0.5)
+    amr_max_steps = deck("mesh/AMR/max_steps", 0)
+    deck("mesh/AMR/max_level", 3)
+    amr_refine_frac = deck("mesh/AMR/refine_percentage", 0.5)
+    amr_coarsen_frac = deck("mesh/AMR/coarsen_percentage", 0.5)
 
     with plog.scope("mesh io"):
         mesh = gmsh.read(input_gmsh)
@@ -166,6 +166,7 @@ def run(deck_path: str = "input.dat") -> str:
     save(0)
 
     pseudo_time = 0.0
+    amr_done = 0
     for l in range(1, n_load_steps + 1):
         pseudo_time += loading_step
         step_banner(l, n_load_steps, pseudo_time, label="pseudo-time")
@@ -179,9 +180,51 @@ def run(deck_path: str = "input.dat") -> str:
             p_elem, vm_elem, fibre_cur = (
                 np.asarray(p_j), np.asarray(vm_j), np.asarray(fc_j)
             )
-        if l in rtp:
-            print("WARNING: adaptive remeshing requested but deferred in this "
-                  "build (documented deviation)", file=sys.stderr)
+        if l in rtp and amr_done < amr_max_steps:
+            # adaptive remeshing (src/solid.C:330-369): Kelly on the
+            # pressure + Von Mises fields, mean-stddev flagging, conforming
+            # 1:8 refinement; positions are P1-prolonged (the undeformed
+            # configuration refines exactly, the deformed one by midpoint
+            # interpolation) and the system is rebuilt
+            amr_done += 1
+            with plog.scope("remeshing"):
+                import jax.numpy as jnp
+
+                from ..fem.amr import (flag_by_mean_stddev,
+                                       kelly_error_indicator)
+                from ..mesh import refine_flagged
+
+                ind = np.stack([elemental_to_nodal(mesh, p_elem),
+                                elemental_to_nodal(mesh, vm_elem)], axis=1)
+                eta = kelly_error_indicator(mesh, jnp.asarray(ind), [0, 1])
+                flags, _ = flag_by_mean_stddev(
+                    np.asarray(eta), amr_refine_frac, amr_coarsen_frac
+                )
+                r = refine_flagged(mesh, flags)
+                if r is None:
+                    print(f"remeshing step {l}: nothing flagged")
+                else:
+                    mesh = r.mesh
+                    print(f"remeshing step {l}: refined to "
+                          f"{mesh.n_elems} elements")
+                    x_new = r.prolong(np.asarray(x))
+                    fibres = r.restrict_elemental(fibres)
+                    p_elem = r.restrict_elemental(p_elem)
+                    vm_elem = r.restrict_elemental(vm_elem)
+                    fibre_cur = r.restrict_elemental(fibre_cur)
+                    system = SolidSystem(
+                        mesh,
+                        materials=load_materials(deck),
+                        bcs=load_bcs(deck),
+                        penalty=deck("BCs/displacement_penalty", 1.0e5),
+                        fibres=fibres,
+                        newton=load_newton_options(deck),
+                    )
+                    x = jnp.asarray(x_new)
+                    paraview.mesh = mesh
+        elif l in rtp and amr_max_steps == 0:
+            print("NOTE: remeshing step reached but mesh/AMR/max_steps = 0",
+                  file=sys.stderr)
         if l in otp:
             save(l)
 

@@ -77,7 +77,8 @@ def element_vectors(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
 
 
 def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
-                     dphi: jnp.ndarray) -> jnp.ndarray:
+                     dphi: jnp.ndarray, grad_const: bool = False,
+                     return_diag: bool = False):
     """Ke (V, W, K_i, K_j, E) — i = test (row) index, j = trial (column).
 
     Fully unrolled over (q, i, j, d) with elementwise multiply-accumulates
@@ -85,7 +86,18 @@ def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
     (Q, E, K, K, V, V) outer product before reducing (43 GB at brain scale),
     and any dot contracting over the tiny q/d dims forces tile-padded
     layouts on the big coefficient arrays.  Elementwise chains keep every
-    array (..., E)-minor and fuse on the VPU."""
+    array (..., E)-minor and fuse on the VPU.
+
+    grad_const=True enables the affine-element (TET4) fast path: shape
+    gradients are identical at every quadrature point, so the diffusion
+    term collapses to (sum_q JxW*E_q) * (dphi_i . dphi_j) — one multiply
+    per (i, j) instead of Q — and the taxis term pre-contracts D over q
+    per trial function before dotting with the constant gradients.  Pure
+    reassociation of the q-sum: same value to f64 round-off.
+
+    return_diag=True additionally returns diag_e (V, W, K, E), the (i, i)
+    sub-blocks, sliced before the big stack so the block-Jacobi
+    preconditioner setup does not re-read the full Ke from HBM."""
     if wf.C is None and wf.D is None and wf.E is None:
         raise ValueError("empty weak form matrix")
     Q, K = phi.shape
@@ -94,6 +106,18 @@ def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
     eqs = [wf.E[:, :, q] * JxW[q] for q in range(Q)] if wf.E is not None else None
     if wf.D is not None:
         Dqs = [wf.D[:, :, q] * JxW[q][None, None, None, :] for q in range(Q)]
+    if grad_const:
+        dphi0 = dphi[0]  # (K, 3, E): q-invariant for affine elements
+        esum = sum(eqs[1:], eqs[0]) if eqs is not None else None
+        if wf.D is not None:
+            # pre-contract over q per trial index: (V, W, E) per (j, d)
+            Dphi = [
+                [sum((Dqs[q][:, :, d] * float(phi[q, j]) for q in range(1, Q)),
+                     Dqs[0][:, :, d] * float(phi[0, j]))
+                 for d in range(3)]
+                for j in range(K)
+            ]
+    elif wf.D is not None:
         # (D . dphi_i) per (q, i): sum over the 3 directions, elementwise
         t1s = [
             [
@@ -105,24 +129,50 @@ def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
             for q in range(Q)
         ]
     blocks = []
+    diag = []
     for i in range(K):
         row = []
         for j in range(K):
-            terms = []
-            for q in range(Q):
+            if grad_const:
                 acc = None
                 if cqs is not None:
-                    acc = cqs[q] * float(phi[q, i] * phi[q, j])
+                    acc = sum(
+                        (cqs[q] * float(phi[q, i] * phi[q, j])
+                         for q in range(1, Q)),
+                        cqs[0] * float(phi[0, i] * phi[0, j]),
+                    )
                 if wf.D is not None:
-                    t = t1s[q][i] * float(phi[q, j])
+                    t = (Dphi[j][0] * dphi0[i, 0]
+                         + Dphi[j][1] * dphi0[i, 1]
+                         + Dphi[j][2] * dphi0[i, 2])
                     acc = t if acc is None else acc + t
-                if eqs is not None:
-                    gg = (dphi[q, i, 0] * dphi[q, j, 0]
-                          + dphi[q, i, 1] * dphi[q, j, 1]
-                          + dphi[q, i, 2] * dphi[q, j, 2])  # (E,)
-                    t = eqs[q] * gg
+                if esum is not None:
+                    gg = (dphi0[i, 0] * dphi0[j, 0]
+                          + dphi0[i, 1] * dphi0[j, 1]
+                          + dphi0[i, 2] * dphi0[j, 2])  # (E,)
+                    t = esum * gg
                     acc = t if acc is None else acc + t
-                terms.append(acc)
-            row.append(sum(terms[1:], terms[0]))
+                row.append(acc)
+            else:
+                terms = []
+                for q in range(Q):
+                    acc = None
+                    if cqs is not None:
+                        acc = cqs[q] * float(phi[q, i] * phi[q, j])
+                    if wf.D is not None:
+                        t = t1s[q][i] * float(phi[q, j])
+                        acc = t if acc is None else acc + t
+                    if eqs is not None:
+                        gg = (dphi[q, i, 0] * dphi[q, j, 0]
+                              + dphi[q, i, 1] * dphi[q, j, 1]
+                              + dphi[q, i, 2] * dphi[q, j, 2])  # (E,)
+                        t = eqs[q] * gg
+                        acc = t if acc is None else acc + t
+                    terms.append(acc)
+                row.append(sum(terms[1:], terms[0]))
+        diag.append(row[i])
         blocks.append(jnp.stack(row, axis=2))  # (V, W, K_j, E)
-    return jnp.stack(blocks, axis=2)  # (V, W, K_i, K_j, E)
+    Ke = jnp.stack(blocks, axis=2)  # (V, W, K_i, K_j, E)
+    if return_diag:
+        return Ke, jnp.stack(diag, axis=2)  # (V, W, K, E)
+    return Ke

@@ -179,13 +179,14 @@ class ShardedTransientSystem:
         u_qp, grad_qp = interpolate_at_qp(u_T, conn_T, self.phi, dphi)
         wf = self.physics(u_qp, grad_qp, fields, params)
         Fe = element_vectors(wf, self.phi, JxW, dphi)   # (V, K, E_loc)
-        Ke = element_matrices(wf, self.phi, JxW, dphi)  # (V, V, K, K, E_loc)
+        Ke, diag_e = element_matrices(
+            wf, self.phi, JxW, dphi,
+            grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
+        )  # (V, V, K, K, E_loc), (V, V, K, E_loc)
 
         b = lax.psum(restrict(Fe.reshape(V, -1)), "d")
 
         # ---- block-Jacobi from psum of locally restricted diagonals ------
-        K = conn_T.shape[0]
-        diag_e = jnp.stack([Ke[:, :, i, i, :] for i in range(K)], axis=2)
         diag = lax.psum(restrict(diag_e.reshape(V, V, -1)), "d")
         empty = jnp.abs(diag).sum(axis=(0, 1)) == 0.0
         diag = jnp.where(

@@ -154,7 +154,7 @@ class TransientRDCSystem:
         kept in their natural (V, W, K, K, E) layout and applied inside the
         Krylov loop, because the slot-gather that builds the global sparse
         matrix is all random 8-byte HBM reads (~1 s/step at brain scale)."""
-        Fe, Ke = self._element_kernels(u_T, fields, params, geom)
+        Fe, Ke, _ = self._element_kernels(u_T, fields, params, geom)
         values = assemble_matrix_gather(Ke, self.slot_gather)
         b = assemble_vector_gather(Fe, self.node_gather)
         return values, b
@@ -165,11 +165,18 @@ class TransientRDCSystem:
         u_qp, grad_qp = interpolate_at_qp(u_T, self.conn_T, phi, dphi)
         wf = self.physics(u_qp, grad_qp, fields, params)
         Fe = element_vectors(wf, phi, JxW, dphi)
-        Ke = element_matrices(wf, phi, JxW, dphi)
+        # grad_const: TET4 is affine, shape gradients are q-invariant —
+        # enables the pre-contracted fast path; diag_e comes out of the same
+        # pass so the preconditioner never re-reads the full Ke
+        Ke, diag_e = element_matrices(
+            wf, phi, JxW, dphi,
+            grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
+        )
         # physics callbacks that build constants with jnp.ones/zeros default
         # to f64 under x64; without this cast a dtype=float32 system would
         # fail deep inside the Krylov while_loop with a carry-type mismatch
-        return Fe.astype(self.dtype), Ke.astype(self.dtype)
+        return (Fe.astype(self.dtype), Ke.astype(self.dtype),
+                diag_e.astype(self.dtype))
 
     def _elem_matvec(self, Ke, x):
         """Matrix-free SpMV: y = (sum_e P_e^T Ke P_e) x, as
@@ -188,13 +195,11 @@ class TransientRDCSystem:
             acc = acc + flat[:, self.node_gather[c]]
         return acc
 
-    def _diag_blocks(self, Ke):
-        """Block-Jacobi diagonal (V, V, N) from the per-element matrices:
-        the (i, i) sub-blocks restricted per node via the node-gather
+    def _diag_blocks(self, diag_e):
+        """Block-Jacobi diagonal (V, V, N): the per-element (i, i)
+        sub-blocks (V, V, K, E) restricted per node via the node-gather
         table."""
         V = self.n_vars
-        K = self.mesh.nodes_per_elem
-        diag_e = jnp.stack([Ke[:, :, i, i, :] for i in range(K)], axis=2)
         flat = diag_e.reshape(V, V, -1)  # (V, V, K*E) in (i, e) order
         flat = jnp.concatenate(
             [flat, jnp.zeros((V, V, 1), flat.dtype)], axis=-1
@@ -205,9 +210,9 @@ class TransientRDCSystem:
             acc = acc + flat[:, :, self.node_gather[c]]
         return acc
 
-    def _solve_clamped(self, state, Fe, Ke):
+    def _solve_clamped(self, state, Fe, Ke, diag_e):
         b = assemble_vector_gather(Fe, self.node_gather)
-        Dinv = small_block_inverse(self._diag_blocks(Ke))
+        Dinv = small_block_inverse(self._diag_blocks(diag_e))
         M = partial(apply_block_jacobi, Dinv)
         matvec = partial(self._elem_matvec, Ke)
         # LEFT block-Jacobi preconditioning (solve M^-1 A x = M^-1 b) with
@@ -274,14 +279,15 @@ class TransientRDCSystem:
     def _step_impl(self, state: Dict, fields: Dict, params: Dict):
         # history rotation (src/pihna.C:77-78): the freshly rotated "old"
         # solution (= the current one) drives the assembly
-        Fe, Ke = self._element_kernels(state["u"].T, fields, params)
-        return self._solve_clamped(state, Fe, Ke)
+        Fe, Ke, diag_e = self._element_kernels(state["u"].T, fields, params)
+        return self._solve_clamped(state, Fe, Ke, diag_e)
 
     def _step_moving_impl(self, state: Dict, fields: Dict, params: Dict,
                           coords: jnp.ndarray):
         geom = geometry_factors(coords, self.conn, self.mesh.elem_type)
-        Fe, Ke = self._element_kernels(state["u"].T, fields, params, geom=geom)
-        return self._solve_clamped(state, Fe, Ke)
+        Fe, Ke, diag_e = self._element_kernels(state["u"].T, fields, params,
+                                               geom=geom)
+        return self._solve_clamped(state, Fe, Ke, diag_e)
 
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
