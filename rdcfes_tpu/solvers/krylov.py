@@ -120,19 +120,28 @@ def bicgstab(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     def body(state):
         x, r, p, v, rho, alpha, omega, k = state
         rho1 = _dot(rhat, r)
-        beta = (rho1 / rho) * (alpha / omega)
-        p = r + beta * (p - omega * v)
-        phat = M(p)
-        v = matvec(phat)
-        alpha = rho1 / _dot(rhat, v)
-        s = r - alpha * v
+        # breakdown guards: rho/omega/(rhat.v) hitting exact zero would put
+        # inf/NaN into the carry; freeze the iterate and exit instead
+        safe = lambda d: jnp.where(d == 0.0, 1.0, d)
+        beta = (rho1 / safe(rho)) * (alpha / safe(omega))
+        p_new = r + beta * (p - omega * v)
+        phat = M(p_new)
+        v_new = matvec(phat)
+        rtv = _dot(rhat, v_new)
+        alpha_new = rho1 / safe(rtv)
+        s = r - alpha_new * v_new
         shat = M(s)
         t = matvec(shat)
         tt = _dot(t, t)
-        omega = jnp.where(tt == 0.0, 0.0, _dot(t, s) / jnp.where(tt == 0.0, 1.0, tt))
-        x = x + alpha * phat + omega * shat
-        r = s - omega * t
-        return (x, r, p, v, rho1, alpha, omega, k + 1)
+        omega_new = jnp.where(tt == 0.0, 0.0, _dot(t, s) / safe(tt))
+        breakdown = (rho1 == 0.0) | (rtv == 0.0) | (omega == 0.0)
+        x_new = x + alpha_new * phat + omega_new * shat
+        r_new = s - omega_new * t
+        x_new = jnp.where(breakdown, x, x_new)
+        r_new = jnp.where(breakdown, r, r_new)
+        k_new = jnp.where(breakdown, maxiter, k + 1)
+        return (x_new, r_new, p_new, v_new, rho1, alpha_new, omega_new,
+                k_new)
 
     init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
             jnp.asarray(1.0, b.dtype), jnp.asarray(1.0, b.dtype),

@@ -72,7 +72,14 @@ class NewtonSolver:
             matvec = partial(ell_matvec, values_ell, self._ell_cols)
             Dinv = block_jacobi_inverse(values, self._diag_slots)
             M = partial(apply_block_jacobi, Dinv)
-            res = lin(matvec, rhs, M=M, rtol=rtol,
+            # LEFT preconditioning with the preconditioned residual as the
+            # convergence measure (PETSc's default, same rationale as the
+            # transient path): penalty-BC rows dwarf interior rows by the
+            # penalty factor (~1e8), so a raw-residual criterion stalls on
+            # fine meshes — observed as BiCGStab hitting max_linear_iterations
+            # and returning a diverged step on a 16^3 hex cube
+            pre_matvec = lambda y: M(matvec(y))
+            res = lin(pre_matvec, M(rhs), rtol=rtol,
                       maxiter=opts.max_linear_iterations)
             return res.x, res.iters, res.residual
 
@@ -99,6 +106,28 @@ class NewtonSolver:
             dx, lin_iters, lin_res = self._linear_solve(values, -R, lin_rtol)
 
             lam = 1.0
+            if not bool(jnp.isfinite(dx).all()):
+                # hard linear breakdown: stop with the current iterate rather
+                # than poisoning x (the reference's PETSc KSP would abort the
+                # run here)
+                break
+            if float(lin_res) > 1.0 and not opts.require_residual_reduction:
+                # the linear solve diverged (residual grew): a full step is
+                # garbage.  Safeguard with a residual-reduction bisection even
+                # when the deck does not require one — PETSc would have
+                # reported KSP_DIVERGED instead of handing back this step.
+                for _ in range(opts.max_line_search_steps):
+                    R_new, values_new = assemble(x + lam * dx)
+                    if float(jnp.linalg.norm(R_new)) < rnorm:
+                        break
+                    lam *= 0.5
+                else:
+                    break  # no usable step in this direction
+                x = x + lam * dx
+                R, values = R_new, values_new
+                rnorm = float(jnp.linalg.norm(R))
+                k += 1
+                continue
             if opts.require_residual_reduction:
                 for _ in range(opts.max_line_search_steps):
                     R_new, values_new = assemble(x + lam * dx)

@@ -103,3 +103,47 @@ def test_block_system_5vars():
     x_nm = np.asarray(res.x).T.ravel()
     x_dense = np.linalg.solve(A, np.asarray(b).T.ravel())
     np.testing.assert_allclose(x_nm, x_dense, rtol=1e-7, atol=1e-9)
+
+
+def test_left_preconditioned_solve_penalty_scaled_rows():
+    """Regression for the solid Newton stall on fine meshes: with penalty-BC
+    rows ~1e8x larger than interior rows, a raw-residual criterion stalls;
+    the left-preconditioned iteration (solvers/newton.py linear stage)
+    converges.  Verified against a dense solve."""
+    import jax.numpy as jnp
+
+    from rdcfes_tpu.fem.assembly import build_sparsity
+    from rdcfes_tpu.fem.bcsr import bcsr_matvec
+    from rdcfes_tpu.mesh import box_tet_mesh
+    from rdcfes_tpu.solvers.krylov import (
+        apply_block_jacobi, bicgstab, block_jacobi_inverse)
+
+    mesh = box_tet_mesh(4, 4, 4)
+    sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
+    rng = np.random.default_rng(3)
+    n = sp.n_nodes
+    # SPD-ish graph Laplacian + diagonal dominance, then penalty-scale the
+    # rows of the boundary nodes by 1e8 (what penalty Dirichlet BCs do)
+    values = np.zeros((1, 1, sp.nnz))
+    values[0, 0] = rng.random(sp.nnz) * 0.1
+    deg = np.zeros(n)
+    np.add.at(deg, sp.rows, values[0, 0])
+    values[0, 0, sp.diag_slots] = deg[0:n] + 1.0
+    bnodes = np.unique(mesh.boundary_faces)
+    scale = np.ones(n)
+    scale[bnodes] = 1e8
+    values[0, 0] *= scale[sp.rows]
+    values = jnp.asarray(values)
+    b = jnp.asarray(rng.standard_normal((1, n)))
+
+    rows = jnp.asarray(sp.rows)
+    cols = jnp.asarray(sp.cols)
+    matvec = lambda x: bcsr_matvec(values, rows, cols, x, n_nodes=n)
+    Dinv = block_jacobi_inverse(values, jnp.asarray(sp.diag_slots))
+    M = lambda r: apply_block_jacobi(Dinv, r)
+    res = bicgstab(lambda y: M(matvec(y)), M(b), rtol=1e-12, maxiter=2000)
+    A = np.zeros((n, n))
+    A[sp.rows, sp.cols] = np.asarray(values)[0, 0]
+    x_ref = np.linalg.solve(A, np.asarray(b).ravel())
+    np.testing.assert_allclose(np.asarray(res.x).ravel(), x_ref,
+                               rtol=1e-8, atol=1e-12 * np.abs(x_ref).max())
