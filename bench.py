@@ -63,7 +63,11 @@ def main():
     # mixed precision = f32 inner Krylov + f64 iterative refinement: same
     # converged f64 answer (final preconditioned residual ~1e-13, far below
     # the 1e-8 parity bar) at ~1.3x the solve throughput on TPU
-    system = TransientRDCSystem(mesh, 5, pihna_physics, precision="mixed")
+    # precond_refresh: the block-Jacobi inverse is only a preconditioner —
+    # the converged answer is tolerance-identical; recomputing every 10
+    # steps drops its diag-restrict + inverse cost from most steps
+    system = TransientRDCSystem(mesh, 5, pihna_physics, precision="mixed",
+                                precond_refresh=10)
 
     # warmup (compile)
     state = system.initial_state(u0)

@@ -14,7 +14,6 @@ RDC -> solid only through the shared pseudo-time growth schedule.
 from __future__ import annotations
 
 import os
-import sys
 
 import numpy as np
 
@@ -76,10 +75,10 @@ def run(deck_path: str = "input.dat") -> str:
     rem_step = deck("remeshing_step", 0)
     rtp = set(range(rem_step, n_steps + 1, rem_step)) if rem_step else set()
     deck("mesh/skip_renumber_nodes_and_elements", True)
-    for k, d in [("mesh/AMR/max_steps", 0), ("mesh/AMR/max_level", 3)]:
-        deck(k, d)
-    deck("mesh/AMR/refine_percentage", 0.5)
-    deck("mesh/AMR/coarsen_percentage", 0.5)
+    amr_max_steps = deck("mesh/AMR/max_steps", 0)
+    deck("mesh/AMR/max_level", 3)
+    amr_refine_frac = deck("mesh/AMR/refine_percentage", 0.5)
+    amr_coarsen_frac = deck("mesh/AMR/coarsen_percentage", 0.5)
 
     with plog.scope("mesh io"):
         mesh = gmsh.read(input_gmsh)
@@ -139,6 +138,7 @@ def run(deck_path: str = "input.dat") -> str:
 
     time_value = 0.0
     pseudo_time = 0.0
+    amr_done = 0
     for t in range(1, n_steps + 1):
         time_value += dt
         if t in ltp:
@@ -161,9 +161,52 @@ def run(deck_path: str = "input.dat") -> str:
                 p_elem, vm_elem, fibre_cur = (
                     np.asarray(p_j), np.asarray(vm_j), np.asarray(fc_j)
                 )
-        if t in rtp:
-            print("WARNING: adaptive remeshing requested but deferred in this "
-                  "build (documented deviation)", file=sys.stderr)
+        if t in rtp and amr_done < amr_max_steps:
+            # adaptive remeshing (src/coupled_hcc.C:733-780): Kelly on
+            # hydrostatic pressure + tumor concentration, mean-stddev
+            # flagging, conforming 1:8 refinement; both the RDC state and
+            # the solid positions are P1-prolonged and BOTH systems rebuilt
+            amr_done += 1
+            with plog.scope("remeshing"):
+                import jax.numpy as jnp
+
+                from ..fem.amr import (flag_by_mean_stddev,
+                                       kelly_error_indicator)
+                from ..mesh import refine_flagged
+
+                u_np = np.asarray(state["u"])
+                ind = np.stack([elemental_to_nodal(mesh, p_elem),
+                                u_np[:, 1]], axis=1)
+                eta = kelly_error_indicator(mesh, jnp.asarray(ind), [0, 1])
+                flags, _ = flag_by_mean_stddev(
+                    np.asarray(eta), amr_refine_frac, amr_coarsen_frac
+                )
+                r = refine_flagged(mesh, flags)
+                if r is None:
+                    print(f"remeshing step {t}: nothing flagged")
+                else:
+                    mesh = r.mesh
+                    print(f"remeshing step {t}: refined to "
+                          f"{mesh.n_elems} elements")
+                    fibres = r.restrict_elemental(fibres)
+                    p_elem = r.restrict_elemental(p_elem)
+                    vm_elem = r.restrict_elemental(vm_elem)
+                    fibre_cur = r.restrict_elemental(fibre_cur)
+                    x_new = r.prolong(np.asarray(x))
+                    rds = TransientRDCSystem(mesh, 3, hcc_physics,
+                                             moving_mesh=True)
+                    solid = SolidSystem(
+                        mesh,
+                        materials=load_materials(deck),
+                        bcs=load_bcs(deck),
+                        penalty=deck("BCs/displacement_penalty", 1.0e5),
+                        fibres=fibres,
+                        newton=load_newton_options(deck),
+                    )
+                    state = {k: jnp.asarray(r.prolong(np.asarray(v)))
+                             for k, v in state.items()}
+                    x = jnp.asarray(x_new)
+                    paraview.mesh = mesh
         if t in otp:
             save(t)
 

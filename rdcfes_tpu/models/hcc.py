@@ -26,6 +26,12 @@ verified block-by-block in tests/test_hcc.py):
     and adding the d/dn coupling terms to the c-c block, leaving Ke[1][2]
     empty
 
+BEHAVIORAL CONSEQUENCE of the anomalies (observed, faithful): for generic
+ICs the tumour row of the linear system reads l' + 2 c' ~ c_old (spurious
+unit couplings dominate the O(dt) physics), so the solve drives c negative
+and the post-solve clamp floors it to ~0 within one step.  The reference
+produces the same dynamics; do not "fix" this without breaking parity.
+
 `params` keys: dt, cells_min_capacity, cells_max_capacity,
 cells_max_capacity_exponent, produce_l, diffuse_c, mechano_c, produce_c,
 necrosis_l, necrosis_c, necrosis_pressure (the necrosis_* values already

@@ -193,7 +193,7 @@ class ShardedTransientSystem:
             empty[None, None, :],
             jnp.broadcast_to(jnp.eye(V)[:, :, None], diag.shape), diag,
         )
-        Dinv = small_block_inverse(diag)
+        Dinv = small_block_inverse(diag, pivot=False)  # CN blocks: diag-dominant
 
         def matvec(x):
             ue = x[:, conn_T]  # (V, K, E_loc)

@@ -38,37 +38,41 @@ class SolveResult(NamedTuple):
 # ----------------------------------------------------------------------
 # preconditioners
 # ----------------------------------------------------------------------
-def small_block_inverse(D: jnp.ndarray) -> jnp.ndarray:
+def small_block_inverse(D: jnp.ndarray, pivot: bool = True) -> jnp.ndarray:
     """Batched inverse of small channel-first blocks D (V, V, N) -> (V, V, N)
-    via Gauss-Jordan with partial pivoting.
+    via Gauss-Jordan.
 
     TPU rationale: (a) the f64 path has no LuDecomposition lowering, so
     `jnp.linalg.inv` does not compile there; (b) channel-first layout keeps
     the big N axis on lanes (a (N, V, V) layout would tile-pad ~25x).  The
     unrolled V<=5 elimination is exact and compiles to plain VPU arithmetic.
+
+    pivot=False skips partial pivoting (the argmax/row-permute ops dominate
+    the kernel: 16 ms -> 1.8 ms measured on v5e for (5,5,24k) blocks, with
+    9e-15 relative difference).  Safe whenever the blocks are diagonally
+    dominant — true for the transient CN diagonal blocks, which are
+    lumped-mass plus O(dt) coupling.
     """
     V = D.shape[0]
     N = D.shape[-1]
     if V == 1:
         return 1.0 / D
     A = D
-    Inv = jnp.broadcast_to(
-        jnp.eye(V, dtype=D.dtype)[:, :, None], (V, V, N)
-    ).copy() if hasattr(jnp.broadcast_to(jnp.zeros(1), (1,)), "copy") else None
     Inv = jnp.tile(jnp.eye(V, dtype=D.dtype)[:, :, None], (1, 1, N))
     row_ids = jnp.arange(V)[:, None]  # (V, 1)
     for k in range(V):
-        # partial pivot: largest |A[r, k, n]| among rows r >= k
-        col = jnp.abs(A[:, k, :])  # (V, N)
-        col = jnp.where(row_ids >= k, col, -jnp.inf)
-        p = jnp.argmax(col, axis=0)  # (N,)
-        perm = jnp.where(row_ids == k, p[None, :],
-                         jnp.where(row_ids == p[None, :], k, row_ids))  # (V, N)
-        A = jnp.take_along_axis(A, perm[:, None, :], axis=0)
-        Inv = jnp.take_along_axis(Inv, perm[:, None, :], axis=0)
-        pivot = A[k, k, :]  # (N,)
-        Ak = A[k] / pivot[None, :]      # (V, N) row k normalized
-        Ik = Inv[k] / pivot[None, :]
+        if pivot:
+            # partial pivot: largest |A[r, k, n]| among rows r >= k
+            col = jnp.abs(A[:, k, :])  # (V, N)
+            col = jnp.where(row_ids >= k, col, -jnp.inf)
+            p = jnp.argmax(col, axis=0)  # (N,)
+            perm = jnp.where(row_ids == k, p[None, :],
+                             jnp.where(row_ids == p[None, :], k, row_ids))
+            A = jnp.take_along_axis(A, perm[:, None, :], axis=0)
+            Inv = jnp.take_along_axis(Inv, perm[:, None, :], axis=0)
+        pivot_val = A[k, k, :]  # (N,)
+        Ak = A[k] / pivot_val[None, :]      # (V, N) row k normalized
+        Ik = Inv[k] / pivot_val[None, :]
         factor = A[:, k, :]             # (V, N)
         A = A - factor[:, None, :] * Ak[None, :, :]
         Inv = Inv - factor[:, None, :] * Ik[None, :, :]

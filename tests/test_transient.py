@@ -161,3 +161,22 @@ def test_mixed_precision_matches_f64():
     assert b.dtype == np.float64
     assert float(res) <= 1e-10
     np.testing.assert_allclose(a, b, rtol=0, atol=1e-10 * np.abs(a).max())
+
+
+def test_precond_refresh_matches_every_step():
+    """Stale block-Jacobi (precond_refresh>1) must converge to the same
+    trajectory as per-step refresh: the preconditioner only steers the
+    iteration, the converged answer satisfies the same tolerance."""
+    m = box_tet_mesh(3, 3, 3)
+    phys = logistic_rd_physics(D=0.2, rho=1.5)
+    s1 = TransientRDCSystem(m, 1, phys)
+    s8 = TransientRDCSystem(m, 1, phys, precond_refresh=8)
+    rng = np.random.default_rng(2)
+    u0 = 0.2 * rng.random((m.n_nodes, 1))
+    st1, st8 = s1.initial_state(u0), s8.initial_state(u0)
+    for _ in range(6):
+        st1, *_ = s1.step(st1, params={"dt": 0.05})
+        st8, it, res = s8.step(st8, params={"dt": 0.05})
+    assert float(res) < 1e-11
+    np.testing.assert_allclose(np.asarray(st1["u"]), np.asarray(st8["u"]),
+                               rtol=0, atol=1e-10)
