@@ -128,12 +128,23 @@ def run(deck_path: str = "input.dat") -> str:
             fields += tract_fields
             paraview.update_pvd(fields, t)
 
-    save(0, 0.0)
+    # checkpoint/resume (capability upgrade over the reference)
+    ckpt_step = deck("checkpoint/step", 0)
+    ckpt_resume = deck("checkpoint/resume", "")
+    start_step = 0
+    time_value = 0.0
+    if ckpt_resume:
+        from ..utils import load_checkpoint
+
+        st, start_step, time_value, _ = load_checkpoint(ckpt_resume, params)
+        state = {k: jnp.asarray(v) for k, v in st.items()}
+        print(f"resumed from {ckpt_resume} at step {start_step}")
+    else:
+        save(0, 0.0)
 
     _profile_cm = maybe_profile()
     _profile_cm.__enter__()
-    time_value = 0.0
-    for t in range(1, n_steps + 1):
+    for t in range(start_step + 1, n_steps + 1):
         time_value += dt
         step_banner(t, n_steps, time_value)
         with plog.scope("solve"):
@@ -141,6 +152,14 @@ def run(deck_path: str = "input.dat") -> str:
                 state, fields={"tracts": tracts_dev, "time": time_value},
                 params=params,
             )
+        if ckpt_step and t % ckpt_step == 0:
+            from ..utils import save_checkpoint
+
+            with plog.scope("checkpoint"):
+                save_checkpoint(
+                    os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
+                    params,
+                )
         if t in otp:
             save(t, time_value)
 

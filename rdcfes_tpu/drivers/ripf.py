@@ -89,6 +89,11 @@ def run(deck_path: str = "input.dat") -> str:
 
     n_steps = deck("time_step_number", 1)
     dt = deck("time_step", 1.0e-9)
+    # checkpoint/resume (capability upgrade over the reference — SURVEY.md
+    # section 5); the RIPF bookkeeping state (TD fields, previous raw
+    # solution) is serialized alongside the solver state
+    ckpt_step = deck("checkpoint/step", 0)
+    ckpt_resume = deck("checkpoint/resume", "")
     deck("mesh/skip_renumber_nodes_and_elements", True)
     otp = output_time_points(deck, n_steps)
 
@@ -185,14 +190,34 @@ def run(deck_path: str = "input.dat") -> str:
             ]
             paraview.update_pvd(fields, t)
 
-    save(0, 0.0)
+    ckpt_params = {k: v for k, v in params.items()
+                   if not k.startswith("_") and k not in
+                   ("lambda_RT_r", "omicro_RT_r")}
+    start_step = 0
+    time_value = 0.0
+    if ckpt_resume:
+        from ..utils import load_checkpoint
+
+        st, start_step, time_value, extra = load_checkpoint(
+            ckpt_resume, ckpt_params)
+        state = {k: jnp.asarray(v) for k, v in st.items()}
+        td = extra["td"]
+        prev_raw = extra["prev_raw"]
+        rt_total = np.asarray(rt_dose_schedule(
+            rt[:, 0], rt[:, 1], time_value, broad_frac, focus_frac))
+        params["lambda_RT_r"] = (params["_fb_lambda_RT_r"]
+                                 or float(int(rt_total.max())))
+        params["omicro_RT_r"] = (params["_fb_omicro_RT_r"]
+                                 or float(int(rt_total.max())))
+        print(f"resumed from {ckpt_resume} at step {start_step}")
+    else:
+        save(0, 0.0)
 
     # the params dict carries resolved lambda_RT_r before the first step
     _ = params.pop("_fb_lambda_RT_r_unused", None)
     _profile_cm = maybe_profile()
     _profile_cm.__enter__()
-    time_value = 0.0
-    for t in range(1, n_steps + 1):
+    for t in range(start_step + 1, n_steps + 1):
         time_value += dt
         step_banner(t, n_steps, time_value)
         step_params = {k: v for k, v in params.items() if not k.startswith("_")}
@@ -200,6 +225,14 @@ def run(deck_path: str = "input.dat") -> str:
             state, iters, res = system.step(state, fields=qp_fields(),
                                             params=step_params)
         check(time_value)
+        if ckpt_step and t % ckpt_step == 0:
+            from ..utils import save_checkpoint
+
+            with plog.scope("checkpoint"):
+                save_checkpoint(
+                    os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
+                    ckpt_params, td=td, prev_raw=prev_raw,
+                )
         if t in otp:
             save(t, time_value)
 

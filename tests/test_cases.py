@@ -86,3 +86,57 @@ def test_pihna_checkpoint_resume(in_tmp):
     # resumed run writes only the post-resume output rows; final row must
     # match the tail of the uninterrupted run
     assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
+
+
+def test_ripf_checkpoint_resume(in_tmp):
+    """RIPF checkpoint carries the TD-field bookkeeping (td, prev_raw);
+    resuming reproduces the uninterrupted run's final CSV row."""
+    import shutil
+
+    from rdcfes_tpu.drivers import ripf
+
+    cases.make_ripf_case(".", n=4, n_steps=4)
+    deck = open("input.dat").read().replace(
+        "output_time_points = ' 10 30 60 90 120 '",
+        "output_time_points = ' 1 2 3 4 '",
+    ) + "checkpoint/step = 2\n"
+    open("input.dat", "w").write(deck)
+    outdir = ripf.run("input.dat")
+    full_csv = open(os.path.join(outdir, "output.csv")).read()
+
+    deck_short = deck.replace("time_step_number = 4", "time_step_number = 2")
+    open("input.dat", "w").write(deck_short)
+    shutil.rmtree(outdir)
+    outdir = ripf.run("input.dat")  # timestamped results dir per run
+    assert os.path.exists(os.path.join(outdir, "checkpoint.npz"))
+
+    open("input.dat", "w").write(
+        deck + f"checkpoint/resume = {outdir}/checkpoint.npz\n")
+    out2 = ripf.run("input.dat")
+    resumed_csv = open(os.path.join(out2, "output.csv")).read()
+    assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
+
+
+def test_adpm_checkpoint_resume(in_tmp):
+    import shutil
+
+    from rdcfes_tpu.drivers import adpm
+
+    cases.make_adpm_case(".", n=4, n_steps=4)
+    deck = open("input.dat").read().replace("output_step = 20",
+                                            "output_step = 1")
+    deck = deck.replace("time_step_number = 3", "time_step_number = 4")
+    deck += "checkpoint/step = 2\n"
+    open("input.dat", "w").write(deck)
+    outdir = adpm.run("input.dat")
+    full_csv = open(os.path.join(outdir, "output.csv")).read()
+
+    deck_short = deck.replace("time_step_number = 4", "time_step_number = 2")
+    open("input.dat", "w").write(deck_short)
+    shutil.rmtree(outdir)
+    outdir = adpm.run("input.dat")  # timestamped results dir per run
+    open("input.dat", "w").write(
+        deck + f"checkpoint/resume = {outdir}/checkpoint.npz\n")
+    out2 = adpm.run("input.dat")
+    resumed_csv = open(os.path.join(out2, "output.csv")).read()
+    assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
