@@ -135,8 +135,6 @@ def run(deck_path: str = "input.dat") -> str:
     start_step = 0
     time_value = 0.0
     if ckpt_resume:
-        import jax.numpy as jnp
-
         from ..utils import load_checkpoint
 
         st, start_step, time_value, _ = load_checkpoint(ckpt_resume, params)
