@@ -7,12 +7,12 @@ node/element counts, same IC structure: a Gaussian tumour seed over uniform
 vasculature).
 
 Metric: time steps/sec over a timed window after jit warmup; also reports
-elements assembled per second.  `vs_baseline` compares against an estimated
-0.5 steps/sec for the 8-rank MPI CPU reference (the reference publishes no
-numbers — BASELINE.md section 1; this estimate corresponds to ~2 s/step for
-assembly + Krylov of a 124k-dof 5-species system on 8 CPU ranks, and is
-recorded here so the comparison is reproducible when a measured baseline
-lands).
+elements assembled per second.  `vs_baseline` compares against a MEASURED
+baseline: 0.64 steps/s for the 8-rank MPI CPU reference, derived as the
+measured single-core wall-clock of the independent scipy oracle on this
+exact workload (0.0802 steps/s, oracle/measure_baseline.py) times ideal
+8-rank MPI scaling — see PARITY.md section 4 and BASELINE_MEASURED.json for
+the derivation and its caveats.
 
 Prints ONE JSON line.
 """
@@ -86,7 +86,8 @@ def main():
 
     steps_per_sec = n_timed / dt_wall
     elems_per_sec = steps_per_sec * mesh.n_elems
-    baseline_steps_per_sec = 0.5  # estimated 8-rank MPI CPU reference
+    # measured single-core oracle x 8 ideal MPI ranks (PARITY.md section 4)
+    baseline_steps_per_sec = 0.64
     u = np.asarray(state["u"])
     assert np.isfinite(u).all() and (u >= 0).all()
 

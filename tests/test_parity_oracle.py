@@ -1,0 +1,89 @@
+"""External parity oracle: rdcfes_tpu vs an independent scipy transcription.
+
+The reference stack (libMesh/PETSc) cannot be built in this environment, so
+the parity contract (BASELINE.json: 1e-8 relative L2 per step) is checked
+against `oracle/pihna_numpy.py` — a second, independent transcription of
+pihna.C assembled with scipy.sparse and solved DIRECTLY (SuperLU).  The two
+implementations share no code: a transcription error on either side of any
+of the 5 RHS / 25 Jacobian blocks, the coefficient branches, the quadrature
+or the geometry shows up here (this harness caught a transposed
+Jacobian-inverse in the oracle's geometry during development).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from oracle import PihnaOracle  # noqa: E402
+
+from rdcfes_tpu.mesh import box_tet_mesh  # noqa: E402
+from rdcfes_tpu.models.pihna import default_params, pihna_physics  # noqa: E402
+from rdcfes_tpu.systems import TransientRDCSystem  # noqa: E402
+
+
+def _case():
+    """Small brain-like PIHNA case with EVERY term active (diffusion,
+    taxis, switching, necrosis, angiogenesis) at dynamics-stable rates."""
+    mesh = box_tet_mesh(4, 4, 4, bounds=((0, 20.0), (0, 20.0), (0, 20.0)))
+    Kk = 2.39e5
+    p = default_params()
+    p.update(
+        dt=0.1, cells_min_capacity=1.0, cells_max_capacity=Kk,
+        cells_max_capacity_exponent=3.0, cytokines_max_capacity=1e-8,
+        necrosis_c=500 / Kk, necrosis_h=200 / Kk, necrosis_v=300 / Kk,
+        produce_c=-2.5, switch_c2h=1.0, switch_h2c=1.82, switch_h2n=0.5,
+        diffuse_c=0.5, taxis_c=2e-5, diffuse_h=1.0, taxis_h=4e-5,
+        diffuse_v=0.2, taxis_v=1e-4, produce_v=10.0,
+        secrete_a_c=2.77e-13, secrete_a_h=5.22e-10, uptake_a_v=1e-3,
+        decay_a=5678.4,
+    )
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(1)
+    u0 = np.zeros((N, 5))
+    u0[:, 0] = 50.0 * np.exp(-r2 / 20.0)
+    u0[:, 1] = 2000.0 * np.exp(-r2 / 30.0)
+    u0[:, 2] = 500.0 * np.exp(-r2 / 25.0)
+    u0[:, 3] = 7200.0 * np.exp(-r2 / 200.0)
+    u0[:, 4] = 1e-10 * np.exp(-r2 / 50.0)
+    return mesh, p, u0
+
+
+def test_single_step_assembly_matches_oracle():
+    """K and F agree with the independent transcription to machine eps."""
+    import jax.numpy as jnp
+
+    from tests.helpers import dense_from_bcsr
+
+    mesh, p, u0 = _case()
+    N = mesh.n_nodes
+    orc = PihnaOracle(mesh.coords, mesh.connectivity, p)
+    Ko, Fo = orc.assemble(u0)
+    system = TransientRDCSystem(mesh, 5, pihna_physics)
+    vals, b = system.assemble(jnp.asarray(u0).T, {}, p)
+    Kr = dense_from_bcsr(vals, system.sp, 5)
+    # oracle dofs are var-major (var*N + node); repo dense is node-major
+    operm = (np.arange(5)[None, :] * N + np.arange(N)[:, None]).ravel()
+    Ko_nm = Ko.toarray()[np.ix_(operm, operm)]
+    assert np.abs(Kr - Ko_nm).max() / np.abs(Ko_nm).max() < 1e-13
+    assert np.abs(np.asarray(b).T.ravel() - Fo[operm]).max() / np.abs(Fo).max() < 1e-13
+
+
+def test_trajectory_parity():
+    """Per-step relative L2 vs the oracle stays under the 1e-8 parity bar
+    (BASELINE.json) — oracle solves DIRECTLY, rdcfes_tpu iteratively."""
+    mesh, p, u0 = _case()
+    orc = PihnaOracle(mesh.coords, mesh.connectivity, p)
+    system = TransientRDCSystem(mesh, 5, pihna_physics)
+    state = system.initial_state(u0)
+    uo = u0.copy()
+    worst = 0.0
+    for _ in range(40):
+        state, _, _ = system.step(state, params=p)
+        uo, _ = orc.step(uo)
+        rel = np.linalg.norm(np.asarray(state["u"]) - uo) / np.linalg.norm(uo)
+        worst = max(worst, rel)
+    assert np.isfinite(uo).all()
+    assert worst < 1e-8, f"parity violated: worst rel L2 {worst:.3e}"
