@@ -1,0 +1,504 @@
+"""Scalable multi-chip solve: node-partitioned Krylov + ppermute halo exchange.
+
+TPU-native equivalent of the reference's *scalable* MPI pipeline — libMesh
+ghost-node sync + PETSc VecScatter under every `model.solve()`
+(reference src/pihna.C:80; SURVEY.md section 2.2.3-4) — replacing the
+round-1 replicated-iterate design (parallel/sharding.py), which psummed the
+full (V, N_global) nodal vector per matvec and could not scale.
+
+Layout (built host-side once, in HaloPlan):
+
+  * elements are partitioned by RECURSIVE COORDINATE BISECTION on centroids
+    (native meshkit_partition_rcb, the libMesh/METIS analogue) and
+    renumbered shard-contiguous, padded to equal blocks;
+  * each node is OWNED by the shard touching it most; nodes are renumbered
+    owner-contiguous, so every shard holds a dense (V, No_max) slab of the
+    distributed solution — per-device memory scales as N/D;
+  * each shard's elements reference mostly owned nodes plus a small GHOST
+    set on the shard boundary.  Ghosts are grouped by owner into static
+    per-offset exchange classes: one `lax.ppermute` per offset delta moves
+    exactly the boundary values (the VecScatter-forward), and the transpose
+    ppermute returns boundary partial sums to their owners after each
+    element apply (the VecScatter-reverse / ADD_VALUES).  Payload per
+    matvec is O(boundary), not O(N).
+  * dot products are local dots + scalar `psum` — the only O(1) collectives
+    in the Krylov loop.
+
+Everything else (element kernels, gather-based restriction, block-Jacobi,
+BiCGStab recurrence with breakdown freezes) matches the single-chip design
+(systems/transient.py, solvers/krylov.py) so the converged answer is
+tolerance-identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh as DeviceMesh
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from ..fem.assembly import interpolate_at_qp
+from ..fem.geometry import geometry_factors
+from ..fem.weakform import element_matrices, element_vectors
+from ..mesh.core import Mesh
+from ..native import partition_rcb
+from ..solvers.krylov import DEFAULT_MAXITER, DEFAULT_RTOL, small_block_inverse
+from ..systems.transient import clamp_nonnegative
+
+
+@dataclass
+class HaloPlan:
+    """Host-built partition + exchange tables for a D-shard halo solve.
+
+    All (D, ...) tables are stacked per-shard and device_put with the
+    leading axis sharded, so each device holds only its own rows."""
+
+    D: int
+    n_nodes: int
+    n_elems: int
+    No_max: int                      # padded owned-node count per shard
+    Eb: int                          # padded element count per shard
+    Gtot: int                        # total ghost slots (sum over deltas)
+    deltas: Tuple[int, ...]          # static ppermute offset classes
+    seg_sizes: Tuple[int, ...]       # ghost-segment width per delta
+    owned_counts: np.ndarray         # (D,) real owned nodes per shard
+    elem_counts: np.ndarray          # (D,) real elements per shard
+    node_order: np.ndarray           # new-from-old node permutation (N,)
+    node_rank: np.ndarray            # old-from-new inverse (N,)
+    node_start: np.ndarray           # (D+1,) owned ranges in renumbered ids
+    elem_order: np.ndarray           # new-from-old element permutation (E,)
+    conn_local: np.ndarray           # (D, K, Eb) local-slot connectivity
+    node_gather: np.ndarray          # (D, C, No_max + Gtot) restriction
+    send_idx: List[np.ndarray]       # per delta: (D, S_d) sender local slots
+    rev_gather: np.ndarray           # (D, Cr, No_max) reverse-add table
+
+    @staticmethod
+    def build(mesh: Mesh, D: int) -> "HaloPlan":
+        conn = np.asarray(mesh.connectivity)
+        E, K = conn.shape
+        N = mesh.n_nodes
+
+        # ---- element partition: RCB on centroids -------------------------
+        centers = mesh.coords[conn].mean(axis=1)
+        part = partition_rcb(np.asarray(centers, dtype=np.float64), D)
+        elem_order = np.argsort(part, kind="stable")
+        part_sorted = part[elem_order]
+        e_counts = np.bincount(part, minlength=D)
+        Eb = int(e_counts.max()) if E else 1
+        e_starts = np.concatenate([[0], np.cumsum(e_counts)])
+
+        # ---- node ownership: majority vote of touching shards ------------
+        votes = np.zeros((N, D), dtype=np.int32)
+        np.add.at(votes, (conn.reshape(-1),
+                          np.repeat(part, K)), 1)
+        owner = votes.argmax(axis=1).astype(np.int32)
+        # renumber nodes owner-contiguous (stable keeps original order)
+        node_order = np.argsort(owner, kind="stable")
+        node_rank = np.empty(N, dtype=np.int64)
+        node_rank[node_order] = np.arange(N)
+        owned_counts = np.bincount(owner, minlength=D)
+        No_max = int(owned_counts.max())
+        node_start = np.concatenate([[0], np.cumsum(owned_counts)])
+
+        conn_new = node_rank[conn]          # renumbered-global node ids
+        conn_sorted = conn_new[elem_order]  # elements in shard order
+
+        # ---- per-shard ghost sets, grouped by owner -----------------------
+        # pair_nodes[(src, dst)] = ascending renumbered ids owned by src
+        # that dst's elements reference (the exchange contract: both sides
+        # derive identical buffer orderings from this sorted list)
+        ghost_by_pair: Dict[Tuple[int, int], np.ndarray] = {}
+        shard_nodes: List[np.ndarray] = []
+        for s in range(D):
+            used = np.unique(conn_sorted[e_starts[s]:e_starts[s + 1]])
+            shard_nodes.append(used)
+            lo, hi = node_start[s], node_start[s + 1]
+            ghosts = used[(used < lo) | (used >= hi)]
+            if len(ghosts):
+                g_owner = np.searchsorted(node_start, ghosts, side="right") - 1
+                for t in np.unique(g_owner):
+                    ghost_by_pair[(int(t), s)] = ghosts[g_owner == t]
+
+        deltas = sorted({(dst - src) % D for (src, dst) in ghost_by_pair})
+        seg_sizes = []
+        send_idx = []
+        for d in deltas:
+            S = max(
+                (len(v) for (src, dst), v in ghost_by_pair.items()
+                 if (dst - src) % D == d), default=1,
+            )
+            seg_sizes.append(S)
+            tbl = np.zeros((D, S), dtype=np.int32)  # pad -> slot 0 (unused)
+            for src in range(D):
+                dst = (src + d) % D
+                ids = ghost_by_pair.get((src, dst))
+                if ids is not None:
+                    tbl[src, : len(ids)] = ids - node_start[src]
+            send_idx.append(tbl)
+        Gtot = int(np.sum(seg_sizes)) if seg_sizes else 0
+        seg_off = np.concatenate([[0], np.cumsum(seg_sizes)]).astype(int)
+
+        # ---- local connectivity: owned slot or ghost slot -----------------
+        Nloc = No_max + Gtot
+        conn_local = np.zeros((D, K, Eb), dtype=np.int32)
+        ghost_slot_maps: List[Dict[int, int]] = []
+        for s in range(D):
+            gmap: Dict[int, int] = {}
+            for di, d in enumerate(deltas):
+                src = (s - d) % D
+                ids = ghost_by_pair.get((src, s))
+                if ids is not None:
+                    base = No_max + seg_off[di]
+                    for p, g in enumerate(ids):
+                        gmap[int(g)] = base + p
+            ghost_slot_maps.append(gmap)
+            ce = conn_sorted[e_starts[s]:e_starts[s + 1]]  # (E_s, K)
+            lo = node_start[s]
+            loc = np.empty_like(ce, dtype=np.int32)
+            owned_mask = (ce >= lo) & (ce < node_start[s + 1])
+            loc[owned_mask] = (ce[owned_mask] - lo).astype(np.int32)
+            if (~owned_mask).any():
+                loc[~owned_mask] = np.array(
+                    [gmap[int(g)] for g in ce[~owned_mask]], dtype=np.int32
+                )
+            conn_local[s, :, : len(ce)] = loc.T
+            # padded elements keep conn 0 and contribute only via zeroed JxW
+
+        # ---- restriction (inverse-connectivity) tables --------------------
+        # node_gather[s, c, slot] = flat (k * Eb + e_local) corner index of
+        # the c-th contribution to local slot, pad = K * Eb (a zero column
+        # appended by the device program)
+        tables = []
+        Cmax = 1
+        for s in range(D):
+            E_s = e_starts[s + 1] - e_starts[s]
+            flat_targets = conn_local[s].reshape(-1)  # (K * Eb,) k-major
+            e_ids = np.tile(np.arange(Eb), K)
+            valid = np.nonzero(e_ids < E_s)[0]
+            order = valid[np.argsort(flat_targets[valid], kind="stable")]
+            tgt = flat_targets[order]
+            counts = np.bincount(tgt, minlength=Nloc)
+            Cs = int(counts.max()) if len(tgt) else 1
+            Cmax = max(Cmax, Cs)
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            tbl = np.full((Cs, Nloc), K * Eb, dtype=np.int32)
+            pos = np.arange(len(tgt)) - starts[tgt]
+            tbl[pos, tgt] = order
+            tables.append(tbl)
+        node_gather = np.full((D, Cmax, Nloc), K * Eb, dtype=np.int32)
+        for s, tbl in enumerate(tables):
+            node_gather[s, : tbl.shape[0]] = tbl
+
+        # ---- reverse-add tables -------------------------------------------
+        # After the transpose ppermute, shard t holds rcat = concat over
+        # deltas of returned partial-sum buffers; owned slot n accumulates
+        # rcat positions seg_off[di] + p wherever n sits at position p of
+        # t's delta-di send list.  pad = Gtot (appended zero column).
+        rev_lists: List[List[List[int]]] = [
+            [[] for _ in range(No_max)] for _ in range(D)
+        ]
+        for di, d in enumerate(deltas):
+            for src in range(D):
+                ids = ghost_by_pair.get((src, (src + d) % D))
+                if ids is None:
+                    continue
+                for p, g in enumerate(ids):
+                    rev_lists[src][g - node_start[src]].append(
+                        seg_off[di] + p
+                    )
+        Cr = max(
+            (len(l) for per in rev_lists for l in per), default=0,
+        )
+        Cr = max(Cr, 1)
+        rev_gather = np.full((D, Cr, No_max), Gtot, dtype=np.int32)
+        for s in range(D):
+            for n, l in enumerate(rev_lists[s]):
+                rev_gather[s, : len(l), n] = l
+
+        return HaloPlan(
+            D=D, n_nodes=N, n_elems=E, No_max=No_max, Eb=Eb, Gtot=Gtot,
+            deltas=tuple(deltas), seg_sizes=tuple(seg_sizes),
+            owned_counts=owned_counts, elem_counts=e_counts,
+            node_order=node_order,
+            node_rank=node_rank, node_start=node_start,
+            elem_order=elem_order, conn_local=conn_local,
+            node_gather=node_gather, send_idx=send_idx,
+            rev_gather=rev_gather,
+        )
+
+
+class HaloShardedSystem:
+    """Distributed linearized-CN transient system (drop-in multi-chip step).
+
+    State is node-partitioned: each device holds a (V, No_max) slab.  Same
+    step() semantics as TransientRDCSystem; `gather()` reconstructs the
+    global (N, V) solution in the original node order for IO.
+    """
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        n_vars: int,
+        physics: Callable,
+        device_mesh: DeviceMesh,
+        clamp: Callable = clamp_nonnegative,
+        rtol: float = DEFAULT_RTOL,
+        maxiter: int = DEFAULT_MAXITER,
+    ):
+        self.mesh = mesh
+        self.n_vars = n_vars
+        self.physics = physics
+        self.clamp = clamp
+        self.rtol = rtol
+        self.maxiter = maxiter
+        self.dmesh = device_mesh
+        D = int(device_mesh.devices.size)
+        self.plan = plan = HaloPlan.build(mesh, D)
+        K = mesh.nodes_per_elem
+
+        # ---- geometry on the renumbered, shard-ordered mesh ---------------
+        coords_new = mesh.coords[plan.node_order]
+        conn_new = plan.node_rank[np.asarray(mesh.connectivity)]
+        conn_sorted = conn_new[plan.elem_order]
+        phi, JxW, dphi = geometry_factors(
+            jnp.asarray(coords_new), jnp.asarray(conn_sorted), mesh.elem_type
+        )
+        Q = np.asarray(JxW).shape[0]
+        # scatter real elements into per-shard padded blocks
+        starts = np.concatenate([[0], np.cumsum(plan.elem_counts)])
+        JxW_p = np.zeros((Q, D, plan.Eb))
+        dphi_p = np.zeros((Q, K, 3, D, plan.Eb))
+        for s in range(D):
+            n_s = starts[s + 1] - starts[s]
+            JxW_p[:, s, :n_s] = np.asarray(JxW)[:, starts[s]:starts[s + 1]]
+            dphi_p[..., s, :n_s] = np.asarray(dphi)[..., starts[s]:starts[s + 1]]
+        self.phi = phi
+
+        shard_last = lambda spec: NamedSharding(device_mesh, spec)
+        self.conn_local_s = jax.device_put(
+            plan.conn_local, shard_last(P("d")))
+        self.JxW_s = jax.device_put(JxW_p, shard_last(P(None, "d")))
+        self.dphi_s = jax.device_put(
+            dphi_p, shard_last(P(None, None, None, "d")))
+        self.node_gather_s = jax.device_put(
+            plan.node_gather, shard_last(P("d")))
+        self.rev_gather_s = jax.device_put(
+            plan.rev_gather, shard_last(P("d")))
+        self.send_idx_s = tuple(
+            jax.device_put(t, shard_last(P("d"))) for t in plan.send_idx
+        )
+        # owned-slot validity mask (pad columns excluded from dots)
+        mask = np.zeros((D, plan.No_max))
+        for s in range(D):
+            mask[s, : plan.owned_counts[s]] = 1.0
+        self.mask_s = jax.device_put(mask, shard_last(P("d")))
+        self._state_sharding = shard_last(P("d"))
+
+        in_specs = (
+            P("d"), P(), P(),       # u (D, V, No_max), fields, params
+            P("d"),                 # conn_local
+            P(None, "d"),           # JxW
+            P(None, None, None, "d"),  # dphi
+            P("d"), P("d"), P("d"),    # node_gather, rev_gather, mask
+        ) + tuple(P("d") for _ in plan.send_idx)
+        fn = shard_map(
+            self._step_shard, mesh=device_mesh,
+            in_specs=in_specs, out_specs=(P("d"), P(), P()),
+        )
+        self._step = jax.jit(fn)
+
+    # ------------------------------------------------------------------
+    def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
+        u = self.scatter_nodal(np.asarray(u0, dtype=np.float64))
+        return {"u": u, "u_old": u, "u_older": u, "u_raw": u}
+
+    def scatter_nodal(self, arr: np.ndarray) -> jnp.ndarray:
+        """(N, V) global original-order -> (D, V, No_max) distributed."""
+        plan = self.plan
+        a = arr[plan.node_order]  # renumbered order, (N, V)
+        out = np.zeros((plan.D, arr.shape[1], plan.No_max))
+        for s in range(plan.D):
+            lo, hi = plan.node_start[s], plan.node_start[s + 1]
+            out[s, :, : hi - lo] = a[lo:hi].T
+        return jax.device_put(jnp.asarray(out), self._state_sharding)
+
+    def gather(self, u: jnp.ndarray) -> np.ndarray:
+        """(D, V, No_max) distributed -> (N, V) global original order."""
+        plan = self.plan
+        a = np.asarray(u)  # (D, V, No_max)
+        full = np.empty((plan.n_nodes, a.shape[1]))
+        for s in range(plan.D):
+            lo, hi = plan.node_start[s], plan.node_start[s + 1]
+            full[lo:hi] = a[s, :, : hi - lo].T
+        out = np.empty_like(full)
+        out[plan.node_order] = full
+        return out
+
+    # ------------------------------------------------------------------
+    def _ghost_fill(self, x, send_tabs):
+        """x (V, No_max) -> xg (V, No_max + Gtot) with ghosts filled by one
+        ppermute per offset class (VecScatter-forward)."""
+        D = self.plan.D
+        parts = [x]
+        for d, tab in zip(self.plan.deltas, send_tabs):
+            buf = x[:, tab[0]]  # (V, S_d) sender-local gather
+            buf = lax.ppermute(
+                buf, "d", [(i, (i + d) % D) for i in range(D)]
+            )
+            parts.append(buf)
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
+
+    def _reverse_add(self, y_all, rev_gather):
+        """Return ghost partial sums to owners (VecScatter-reverse) and add
+        into the owned slab.  y_all (V, No_max + Gtot)."""
+        plan = self.plan
+        y = y_all[:, : plan.No_max]
+        if not plan.deltas:
+            return y
+        D = plan.D
+        bufs = []
+        off = plan.No_max
+        for d, S in zip(plan.deltas, plan.seg_sizes):
+            seg = y_all[:, off: off + S]
+            off += S
+            bufs.append(lax.ppermute(
+                seg, "d", [(i, (i - d) % D) for i in range(D)]
+            ))
+        rcat = jnp.concatenate(
+            bufs + [jnp.zeros((y.shape[0], 1), y.dtype)], axis=-1
+        )
+        rg = rev_gather[0]  # (Cr, No_max)
+        acc = rcat[:, rg[0]]
+        for c in range(1, rg.shape[0]):
+            acc = acc + rcat[:, rg[c]]
+        return y + acc
+
+    # ------------------------------------------------------------------
+    def _step_shard(self, u_blk, fields, params, conn_local, JxW, dphi,
+                    node_gather, rev_gather, mask, *send_tabs):
+        plan = self.plan
+        V = self.n_vars
+        u = u_blk["u"][0]          # (V, No_max) this shard's slab
+        u_old = u_blk["u_old"][0]
+        ng = node_gather[0]        # (C, Nloc)
+        msk = mask[0]              # (No_max,)
+        conn = conn_local[0]       # (K, Eb)
+        JxW = JxW[:, 0]            # (Q, Eb) — squeeze the shard axis
+        dphi = dphi[:, :, :, 0]    # (Q, K, 3, Eb)
+
+        def restrict(flat_local):
+            pad = jnp.zeros(flat_local.shape[:-1] + (1,), flat_local.dtype)
+            f = jnp.concatenate([flat_local, pad], axis=-1)
+            acc = f[..., ng[0]]
+            for c in range(1, ng.shape[0]):
+                acc = acc + f[..., ng[c]]
+            return acc  # (..., Nloc)
+
+        def pdot(a, b):
+            return lax.psum(jnp.vdot(a, b), "d")
+
+        # ---- element kernels on ghost-filled old solution -----------------
+        ug = self._ghost_fill(u, send_tabs)
+        u_qp, grad_qp = interpolate_at_qp(ug, conn, self.phi, dphi)
+        wf = self.physics(u_qp, grad_qp, fields, params)
+        Fe = element_vectors(wf, self.phi, JxW, dphi)
+        Ke, diag_e = element_matrices(
+            wf, self.phi, JxW, dphi,
+            grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
+        )
+
+        b = self._reverse_add(restrict(Fe.reshape(V, -1)), rev_gather)
+        diag = self._reverse_add(
+            restrict(diag_e.reshape(V, V, -1)).reshape(V * V, -1),
+            rev_gather,
+        ).reshape(V, V, -1)
+        empty = jnp.abs(diag).sum(axis=(0, 1)) == 0.0
+        diag = jnp.where(
+            empty[None, None, :],
+            jnp.broadcast_to(jnp.eye(V)[:, :, None], diag.shape), diag,
+        )
+        Dinv = small_block_inverse(diag, pivot=False)
+
+        def matvec(x):
+            xg = self._ghost_fill(x, send_tabs)
+            ue = xg[:, conn]                                  # (V, K, Eb)
+            ye = jnp.sum(Ke * ue[None, :, None, :, :], axis=(1, 3))
+            return self._reverse_add(
+                restrict(ye.reshape(V, -1)), rev_gather)
+
+        def precond(r):
+            return jnp.sum(Dinv * r[None], axis=1)
+
+        pre_matvec = lambda x: precond(matvec(x))
+        pre_b = precond(b) * msk
+        x0 = (2.0 * u - u_old) * msk
+        x, iters, res = _bicgstab_dist(
+            pre_matvec, pre_b, x0, msk, pdot, self.rtol, self.maxiter)
+        u_raw = x * msk
+        u_new = self.clamp(u_raw)
+        new_blk = {
+            "u": u_new[None], "u_old": u_blk["u"], "u_older": u_blk["u_old"],
+            "u_raw": u_raw[None],
+        }
+        return new_blk, iters, res
+
+    # ------------------------------------------------------------------
+    def step(self, state: Dict, fields: Optional[Dict] = None,
+             params: Optional[Dict] = None):
+        out = self._step(state, fields or {}, params or {},
+                         self.conn_local_s, self.JxW_s, self.dphi_s,
+                         self.node_gather_s, self.rev_gather_s, self.mask_s,
+                         *self.send_idx_s)
+        return out
+
+
+def _bicgstab_dist(matvec, b, x0, msk, pdot, rtol, maxiter):
+    """BiCGStab on node-partitioned vectors: local arithmetic, psum dots.
+    Same recurrence + breakdown freezes as solvers.krylov.bicgstab."""
+    bnorm = jnp.sqrt(pdot(b, b).real)
+    safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
+    atol2 = (rtol * safe_b) ** 2
+    r0 = (b - matvec(x0)) * msk
+    rhat = r0
+
+    def cond(s):
+        x, r, p, v, rho, alpha, omega, k = s
+        return jnp.logical_and(pdot(r, r).real > atol2, k < maxiter)
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, k = s
+        rho1 = pdot(rhat, r)
+        safe = lambda d: jnp.where(d == 0.0, 1.0, d)
+        beta = (rho1 / safe(rho)) * (alpha / safe(omega))
+        p_new = r + beta * (p - omega * v)
+        v_new = matvec(p_new) * msk
+        rtv = pdot(rhat, v_new)
+        alpha_new = rho1 / safe(rtv)
+        st = r - alpha_new * v_new
+        t = matvec(st) * msk
+        tt = pdot(t, t)
+        omega_new = jnp.where(tt == 0.0, 0.0, pdot(t, st) / safe(tt))
+        breakdown = (rho1 == 0.0) | (rtv == 0.0) | (omega == 0.0)
+        x_new = x + alpha_new * p_new + omega_new * st
+        r_new = st - omega_new * t
+        x_new = jnp.where(breakdown, x, x_new)
+        r_new = jnp.where(breakdown, r, r_new)
+        k_new = jnp.where(breakdown, maxiter, k + 1)
+        return (x_new, r_new, p_new, v_new, rho1, alpha_new, omega_new,
+                k_new)
+
+    z = jnp.zeros_like(b)
+    one = jnp.asarray(1.0, b.dtype)
+    init = (x0, r0, z, z, one, one, one, jnp.asarray(0, jnp.int32))
+    x, r, *_, k = lax.while_loop(cond, body, init)
+    return x, k, jnp.sqrt(pdot(r, r).real) / safe_b

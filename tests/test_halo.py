@@ -1,0 +1,121 @@
+"""Halo-exchange sharded solve: correctness + scalability contracts.
+
+The reference runs every case domain-decomposed under MPI with libMesh
+ghost sync + PETSc VecScatter (reference run/PIHNA/Makefile:6, SURVEY.md
+section 2.2).  These tests validate the TPU-native equivalent
+(parallel/halo.py) on an 8-virtual-device CPU mesh:
+
+* the distributed step matches the single-chip solve at 1e-8,
+* per-device state is node-partitioned (memory scales as N/D, not N),
+* the ghost exchange payload is O(boundary), far below N.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh as DeviceMesh
+
+from rdcfes_tpu.mesh import box_tet_mesh
+from rdcfes_tpu.models.pihna import default_params, pihna_physics
+from rdcfes_tpu.parallel.halo import HaloPlan, HaloShardedSystem
+from rdcfes_tpu.systems import TransientRDCSystem
+
+
+def _pihna_case(n):
+    mesh = box_tet_mesh(n, n, n)
+    Kk = 2.39e5
+    p = default_params()
+    p.update(
+        dt=0.1, cells_min_capacity=1.0, cells_max_capacity=Kk,
+        cells_max_capacity_exponent=3.0, cytokines_max_capacity=1e-8,
+        necrosis_c=500 / Kk, necrosis_h=200 / Kk, necrosis_v=300 / Kk,
+        produce_c=-2.5, switch_c2h=1.0, switch_h2c=1.82, switch_h2n=0.5,
+        diffuse_c=0.5, taxis_c=2e-5, diffuse_h=1.0, taxis_h=4e-5,
+        diffuse_v=0.2, taxis_v=1e-4, produce_v=10.0,
+        secrete_a_c=2.77e-13, secrete_a_h=5.22e-10, uptake_a_v=1e-3,
+        decay_a=5678.4,
+    )
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(1)
+    u0 = np.zeros((N, 5))
+    u0[:, 0] = 5 * np.exp(-r2 / 2)
+    u0[:, 1] = 2000 * np.exp(-r2 / 3)
+    u0[:, 2] = 500 * np.exp(-r2 / 2.5)
+    u0[:, 3] = 7200 * np.exp(-r2 / 20)
+    u0[:, 4] = 1e-10
+    return mesh, p, u0
+
+
+@pytest.fixture(scope="module")
+def dmesh8():
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return DeviceMesh(np.array(devs[:8]), ("d",))
+
+
+def test_scatter_gather_roundtrip(dmesh8):
+    mesh, p, u0 = _pihna_case(5)
+    halo = HaloShardedSystem(mesh, 5, pihna_physics, dmesh8)
+    st = halo.initial_state(u0)
+    assert np.abs(halo.gather(st["u"]) - u0).max() == 0.0
+
+
+def test_halo_step_matches_single_chip(dmesh8):
+    """8-device halo solve == single-chip solve at 1e-8 over 5 steps."""
+    mesh, p, u0 = _pihna_case(6)
+    halo = HaloShardedSystem(mesh, 5, pihna_physics, dmesh8)
+    ref = TransientRDCSystem(mesh, 5, pihna_physics)
+    st_r, st_h = ref.initial_state(u0), halo.initial_state(u0)
+    for _ in range(5):
+        st_r, it_r, _ = ref.step(st_r, params=p)
+        st_h, it_h, res_h = halo.step(st_h, params=p)
+        ur = np.asarray(st_r["u"])
+        uh = halo.gather(st_h["u"])
+        rel = np.linalg.norm(ur - uh) / np.linalg.norm(ur)
+        assert rel < 1e-8, f"halo/single-chip divergence {rel:.3e}"
+        assert float(res_h) < 1e-8
+
+
+def test_memory_scales_with_n_over_d(dmesh8):
+    """Per-device arrays are O(N/D + boundary), not O(N): the round-1
+    replicated design this replaces held full (V, N) iterates per device."""
+    mesh, p, u0 = _pihna_case(8)  # 729 nodes, 2187-ish elems
+    plan = HaloPlan.build(mesh, 8)
+    N = mesh.n_nodes
+    # owned slabs: within 2x of perfect N/D balance
+    assert plan.No_max <= 2.0 * N / 8
+    # ghost halo is a boundary set, much smaller than the domain
+    assert plan.Gtot < N / 2
+    # every node owned exactly once
+    assert plan.owned_counts.sum() == N
+    # element partition is balanced
+    assert plan.elem_counts.sum() == mesh.n_elems
+    assert plan.elem_counts.max() <= 2.0 * mesh.n_elems / 8
+
+
+def test_halo_plan_exchange_consistency(dmesh8):
+    """Sender tables and receiver ghost layout describe the same nodes."""
+    mesh, p, u0 = _pihna_case(5)
+    plan = HaloPlan.build(mesh, 8)
+    seg_off = np.concatenate([[0], np.cumsum(plan.seg_sizes)]).astype(int)
+    # reconstruct, for each shard, the renumbered-global id each ghost slot
+    # holds after the forward exchange, then check local connectivity only
+    # references slots that were actually filled
+    for s in range(plan.D):
+        filled = np.zeros(plan.No_max + plan.Gtot, dtype=bool)
+        filled[: plan.owned_counts[s]] = True
+        for di, d in enumerate(plan.deltas):
+            src = (s - d) % plan.D
+            tab = plan.send_idx[di][src]
+            # positions sent by src to s (pad entries send slot 0 — they
+            # fill the buffer but are never referenced)
+            n_real = np.count_nonzero(tab != 0) + (
+                1 if (tab == 0).any() else 0
+            )
+            filled[plan.No_max + seg_off[di]:
+                   plan.No_max + seg_off[di + 1]] = True
+        E_s = plan.elem_counts[s]
+        refs = plan.conn_local[s][:, :E_s].reshape(-1)
+        assert filled[refs].all()
