@@ -98,10 +98,13 @@ def run(deck_path: str = "input.dat") -> str:
         state = system.initial_state(u0)
 
     paraview = ParaviewWriter(mesh)
-    paraview.open_pvd(out_pv)
-    csv = open(out_csv, "w")
+    # on resume into the same results dir, append instead of truncating
+    resuming = bool(deck("checkpoint/resume", "")) and os.path.exists(out_csv)
+    paraview.open_pvd(out_pv, resume=resuming)
+    csv = open(out_csv, "a" if resuming else "w")
     parcellation = sorted(int(s) for s in np.unique(mesh.subdomain_id))
-    adpm_header(csv, parcellation)
+    if not resuming:
+        adpm_header(csv, parcellation)
 
     tract_fields = [
         ("TractX", elemental_to_nodal(mesh, tracts[:, 0])),

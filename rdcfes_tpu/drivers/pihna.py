@@ -121,9 +121,13 @@ def run(deck_path: str = "input.dat") -> str:
         state = system.initial_state(u0)
 
     paraview = ParaviewWriter(mesh)
-    paraview.open_pvd(out_pv)
-    csv = open(out_csv, "w")
-    pihna_header(csv)
+    # on resume into the same results dir, append to the existing CSV and
+    # extend the existing PVD instead of truncating pre-crash output
+    resuming = bool(ckpt_resume) and os.path.exists(out_csv)
+    paraview.open_pvd(out_pv, resume=resuming)
+    csv = open(out_csv, "a" if resuming else "w")
+    if not resuming:
+        pihna_header(csv)
 
     hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
     rt_nodal = elemental_to_nodal(mesh, structure[:, 1])

@@ -119,8 +119,10 @@ def run(deck_path: str = "input.dat") -> str:
     fields = {"RTD": jnp.asarray(RTD_qp)}
 
     paraview = ParaviewWriter(mesh)
-    paraview.open_pvd(out_pv)
-    csv = open(out_csv, "w")  # opened but never written, as in the reference
+    # on resume into the same results dir, extend instead of truncating
+    resuming = bool(deck("checkpoint/resume", "")) and os.path.exists(out_csv)
+    paraview.open_pvd(out_pv, resume=resuming)
+    csv = open(out_csv, "a" if resuming else "w")  # never written, as in the reference
 
     def save(t: int):
         u = np.asarray(state["u"])

@@ -171,8 +171,11 @@ def run(deck_path: str = "input.dat") -> str:
     check(0.0)
 
     paraview = ParaviewWriter(mesh)
-    paraview.open_pvd(out_pv)
-    csv = open(out_csv, "w")  # header intentionally absent (src/ripf.C:800-807)
+    # on resume into the same results dir, append instead of truncating
+    resuming = bool(ckpt_resume) and os.path.exists(out_csv)
+    paraview.open_pvd(out_pv, resume=resuming)
+    # header intentionally absent (src/ripf.C:800-807)
+    csv = open(out_csv, "a" if resuming else "w")
 
     def save(t: int, time_value: float):
         u = np.asarray(state["u"])

@@ -123,15 +123,24 @@ class ParaviewWriter:
         self._pvd = None
         self._base = None
 
-    def open_pvd(self, base: str) -> None:
+    def open_pvd(self, base: str, resume: bool = False) -> None:
+        """resume=True preserves the DataSet entries of an existing .pvd
+        (checkpoint/resume into the same results directory must not
+        truncate pre-crash time points)."""
         assert self._pvd is None, "pvd already open"
         self._base = base
+        prior = []
+        if resume and os.path.exists(base + ".pvd"):
+            with open(base + ".pvd") as f:
+                prior = [ln for ln in f if "<DataSet" in ln]
         self._pvd = open(base + ".pvd", "w")
         self._pvd.write(
             '<?xml version="1.0"?>\n'
             '<VTKFile type="Collection" version="0.1" byte_order="LittleEndian">\n'
             "  <Collection>\n"
         )
+        for ln in prior:
+            self._pvd.write(ln)
         self._pvd.flush()
 
     def update_pvd(

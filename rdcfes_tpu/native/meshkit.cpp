@@ -80,17 +80,22 @@ int meshkit_read_gmsh(const char* path, GmshMesh* out) {
   if (!s) return 3;
   char* end;
   int64_t n_nodes = strtoll(s, &end, 10);
+  if (end == s || n_nodes <= 0) return 3;     // truncated/garbage header
   s = end;
   out->n_nodes = n_nodes;
   out->coords = (double*)malloc(sizeof(double) * n_nodes * 3);
   std::vector<int64_t> gmsh_id(n_nodes);
   int64_t max_id = 0;
   for (int64_t i = 0; i < n_nodes; ++i) {
-    int64_t id = strtoll(s, &end, 10); s = end;
+    int64_t id = strtoll(s, &end, 10);
+    if (end == s || id <= 0) { free(out->coords); out->coords = nullptr; return 3; }
+    s = end;
     gmsh_id[i] = id;
     if (id > max_id) max_id = id;
     for (int d = 0; d < 3; ++d) {
-      out->coords[i * 3 + d] = strtod(s, &end); s = end;
+      out->coords[i * 3 + d] = strtod(s, &end);
+      if (end == s) { free(out->coords); out->coords = nullptr; return 3; }
+      s = end;
     }
   }
   // id -> index map (gmsh files use 1-based, possibly sparse ids)
@@ -98,10 +103,22 @@ int meshkit_read_gmsh(const char* path, GmshMesh* out) {
   for (int64_t i = 0; i < n_nodes; ++i) id_map[gmsh_id[i]] = (int32_t)i;
 
   // --- elements ---
+  // error paths from here on free the node buffer allocated above
+  auto fail = [&](int code) { free(out->coords); out->coords = nullptr; return code; };
   s = strstr(s, "$Elements");
-  if (!s) return 4;
-  s = strchr(s, '\n') + 1;
-  int64_t n_elems = strtoll(s, &end, 10); s = end;
+  if (!s) return fail(4);
+  s = strchr(s, '\n');
+  if (!s) return fail(4);                      // truncated after header
+  s += 1;
+  int64_t n_elems = strtoll(s, &end, 10);
+  if (end == s || n_elems < 0) return fail(4);
+  s = end;
+  // node-id lookup with validity checks: ids outside (0, max_id] or ids
+  // never defined in $Nodes are file corruption, not silent -1 conn
+  auto lookup = [&](int64_t g) -> int32_t {
+    if (g <= 0 || g > max_id) return -1;
+    return id_map[g];
+  };
 
   std::vector<int32_t> vol_conn, vol_phys, surf_conn, surf_phys;
   int vol_type = -1, surf_type = -1;
@@ -115,27 +132,35 @@ int meshkit_read_gmsh(const char* path, GmshMesh* out) {
       if (t == 0) phys = (int)tag;
     }
     int k = gmsh_nnodes(etype);
-    if (k < 0) return 5;
+    if (k < 0) return fail(5);
     if (etype == 4 || etype == 5) {             // TET4 / HEX8
       if (vol_type == -1) vol_type = etype;
-      else if (vol_type != etype) return 6;     // mixed volume types
+      else if (vol_type != etype) return fail(6);  // mixed volume types
       for (int i = 0; i < k; ++i) {
-        int64_t g = strtoll(s, &end, 10); s = end;
-        vol_conn.push_back(id_map[g]);
+        int64_t g = strtoll(s, &end, 10);
+        if (end == s) return fail(8);
+        s = end;
+        int32_t idx = lookup(g);
+        if (idx < 0) return fail(8);           // unknown/out-of-range node id
+        vol_conn.push_back(idx);
       }
       vol_phys.push_back(phys);
     } else if (etype == 2 || etype == 3) {      // TRI3 / QUAD4
       if (surf_type == -1) surf_type = etype;
       for (int i = 0; i < k; ++i) {
-        int64_t g = strtoll(s, &end, 10); s = end;
-        surf_conn.push_back(id_map[g]);
+        int64_t g = strtoll(s, &end, 10);
+        if (end == s) return fail(8);
+        s = end;
+        int32_t idx = lookup(g);
+        if (idx < 0) return fail(8);           // unknown/out-of-range node id
+        surf_conn.push_back(idx);
       }
       surf_phys.push_back(phys);
     } else {                                    // points / edges: skip
       for (int i = 0; i < k; ++i) { strtoll(s, &end, 10); s = end; }
     }
   }
-  if (vol_type == -1) return 7;
+  if (vol_type == -1) return fail(7);
 
   out->vol_type = vol_type;
   out->n_vol = (int64_t)vol_phys.size();

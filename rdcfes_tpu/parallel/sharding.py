@@ -240,17 +240,27 @@ def _bicgstab(matvec, b, x0, rtol, maxiter):
     def body(s):
         x, r, p, v, rho, alpha, omega, k = s
         rho1 = dot(rhat, r)
-        beta = (rho1 / rho) * (alpha / omega)
-        p = r + beta * (p - omega * v)
-        v = matvec(p)
-        alpha = rho1 / dot(rhat, v)
-        st = r - alpha * v
+        # breakdown guards (mirrors solvers.krylov.bicgstab): an exact-zero
+        # rho/omega/(rhat.v) would put inf/NaN into the carry and be
+        # returned (then clamped) silently; freeze the iterate and exit
+        safe = lambda d: jnp.where(d == 0.0, 1.0, d)
+        beta = (rho1 / safe(rho)) * (alpha / safe(omega))
+        p_new = r + beta * (p - omega * v)
+        v_new = matvec(p_new)
+        rtv = dot(rhat, v_new)
+        alpha_new = rho1 / safe(rtv)
+        st = r - alpha_new * v_new
         t = matvec(st)
         tt = dot(t, t)
-        omega = jnp.where(tt == 0.0, 0.0, dot(t, st) / jnp.where(tt == 0.0, 1.0, tt))
-        x = x + alpha * p + omega * st
-        r = st - omega * t
-        return (x, r, p, v, rho1, alpha, omega, k + 1)
+        omega_new = jnp.where(tt == 0.0, 0.0, dot(t, st) / safe(tt))
+        breakdown = (rho1 == 0.0) | (rtv == 0.0) | (omega == 0.0)
+        x_new = x + alpha_new * p_new + omega_new * st
+        r_new = st - omega_new * t
+        x_new = jnp.where(breakdown, x, x_new)
+        r_new = jnp.where(breakdown, r, r_new)
+        k_new = jnp.where(breakdown, maxiter, k + 1)
+        return (x_new, r_new, p_new, v_new, rho1, alpha_new, omega_new,
+                k_new)
 
     def vary(a):
         try:

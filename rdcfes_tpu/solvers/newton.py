@@ -53,6 +53,10 @@ class NewtonResult(NamedTuple):
     iters: jnp.ndarray
     residual_norm: jnp.ndarray
     initial_residual_norm: jnp.ndarray
+    # True when a stopping rule was met; False on divergence (failed line
+    # search / linear breakdown / iteration cap), mirroring libMesh
+    # DiffSolver's DIVERGED_* outcomes so drivers can detect failure
+    converged: bool = True
 
 
 class NewtonSolver:
@@ -95,10 +99,13 @@ class NewtonSolver:
         rnorm = float(jnp.linalg.norm(R))
         r0 = rnorm if rnorm > 0 else 1.0
         k = 0
+        converged = False
         while k < opts.max_nonlinear_iterations:
             if rnorm <= opts.absolute_residual_tolerance:
+                converged = True
                 break
             if rnorm / r0 <= opts.relative_residual_tolerance:
+                converged = True
                 break
             # libMesh NewtonSolver adapts the inner linear tolerance to the
             # current nonlinear residual reduction
@@ -129,13 +136,19 @@ class NewtonSolver:
                 k += 1
                 continue
             if opts.require_residual_reduction:
+                reduced = False
                 for _ in range(opts.max_line_search_steps):
                     R_new, values_new = assemble(x + lam * dx)
                     if float(jnp.linalg.norm(R_new)) < rnorm:
+                        reduced = True
                         break
                     lam *= 0.5
-                else:
-                    R_new, values_new = assemble(x + lam * dx)
+                if not reduced:
+                    # libMesh NewtonSolver reports
+                    # DIVERGED_BACKTRACKING_FAILURE here; return the last
+                    # iterate flagged diverged instead of accepting a
+                    # residual-increasing step
+                    break
             else:
                 R_new, values_new = assemble(x + lam * dx)
 
@@ -147,11 +160,18 @@ class NewtonSolver:
             xnorm = float(jnp.linalg.norm(x))
             step_rel = lam * float(jnp.linalg.norm(dx)) / (xnorm if xnorm else 1.0)
             if step_rel <= opts.relative_step_tolerance:
+                converged = True
                 break
+        else:
+            # max_nonlinear_iterations reached; converged iff the final
+            # residual meets a tolerance
+            converged = (rnorm <= opts.absolute_residual_tolerance
+                         or rnorm / r0 <= opts.relative_residual_tolerance)
         return NewtonResult(
             x=x, iters=jnp.asarray(k),
             residual_norm=jnp.asarray(rnorm),
             initial_residual_norm=jnp.asarray(r0),
+            converged=converged,
         )
 
 

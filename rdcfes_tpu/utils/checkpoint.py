@@ -31,11 +31,15 @@ def save_checkpoint(path: str, state: Dict, step: int, time_value: float,
                     params: Optional[Dict] = None, **extra_arrays) -> None:
     arrays = {k: np.asarray(v) for k, v in state.items()}
     arrays.update({k: np.asarray(v) for k, v in extra_arrays.items()})
+    # explicit manifest: state keys are routed by name at load time, not by
+    # a name-prefix heuristic (an extra array named e.g. "uptake" must not
+    # be injected into the solver state)
     np.savez_compressed(
         path,
         __step=np.asarray(step),
         __time=np.asarray(time_value),
         __params_hash=np.asarray(_params_hash(params or {})),
+        __state_keys=np.asarray(sorted(state.keys())),
         **arrays,
     )
 
@@ -53,10 +57,14 @@ def load_checkpoint(path: str, params: Optional[Dict] = None
             )
         step = int(z["__step"])
         time_value = float(z["__time"])
+        if "__state_keys" in z.files:
+            state_keys = {str(k) for k in z["__state_keys"]}
+        else:  # pre-manifest checkpoints
+            state_keys = {k for k in z.files if k.startswith("u")}
         state = {}
         extra = {}
         for k in z.files:
             if k.startswith("__"):
                 continue
-            (state if k.startswith("u") else extra)[k] = z[k]
+            (state if k in state_keys else extra)[k] = z[k]
     return state, step, time_value, extra
