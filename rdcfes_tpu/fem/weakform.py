@@ -176,3 +176,198 @@ def element_matrices(wf: WeakForm, phi: jnp.ndarray, JxW: jnp.ndarray,
     if return_diag:
         return Ke, jnp.stack(diag, axis=2)  # (V, W, K, E)
     return Ke
+
+
+# ======================================================================
+# Block-sparse weak form + matrix-free coefficient application (qp-apply)
+# ======================================================================
+#
+# The dense WeakForm stacks above materialize every (v, w) block even when
+# a deck turns a whole operator off (run/PIHNA/input.dat: diffuse/c = 0,
+# taxis/* = 0 — most of the 25 PIHNA Jacobian blocks are runtime zeros).
+# The block-sparse form keeps each block as an individual array OR the
+# Python float 0.0, so
+#
+#   * physics functions can drop dead blocks at TRACE time when the deck
+#     parameters are passed as static Python scalars, and
+#   * the Krylov matvec can be applied STRAIGHT FROM THE COEFFICIENTS
+#     (gather x -> interpolate at qp -> apply (V, V, Q, E) blocks ->
+#     project back with phi/dphi -> restrict) without ever materializing
+#     the (V, V, K, K, E) element matrices — the assembled-Ke read was the
+#     single largest HBM stream of the round-1 step.
+#
+# Math: for LHS blocks C (mass), D (taxis), E (diffusion),
+#   (A x)_i = sum_q JxW [ phi_qi * C.x_qp  +  dphi_qi . (D x_qp + E gx_qp) ]
+# which is exactly the RHS quadrature of element_vectors with
+#   A_coef = C.x_qp,  B_coef = D x_qp + E gx_qp.
+
+def _is_zero(x) -> bool:
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+class WeakFormBlocks(NamedTuple):
+    """Per-block weak-form coefficients; any entry may be the Python float
+    0.0 meaning structurally absent (dropped from the compiled program).
+
+    A : [V] of (Q, E)        rhs mass coefficients
+    B : [V] of (Q, 3, E)     rhs flux coefficients
+    C : [V][V] of (Q, E)     jacobian mass blocks
+    D : [V][V] of (Q, 3, E)  jacobian taxis blocks
+    E : [V][V] of (Q, E)     jacobian diffusion blocks
+    """
+
+    A: tuple
+    B: tuple
+    C: tuple
+    D: tuple
+    E: tuple
+
+    @property
+    def n_vars(self) -> int:
+        return len(self.A)
+
+    def to_dense(self):
+        """Dense WeakForm with identical values (zeros materialized) —
+        single source of truth for the legacy stacked-API consumers."""
+        V = self.n_vars
+        ref = next(a for a in self.A if not _is_zero(a))
+        zero = jnp.zeros_like(ref)
+        zero3 = jnp.zeros(ref.shape[:1] + (3,) + ref.shape[1:], ref.dtype)
+        fill = lambda x, z: z if _is_zero(x) else x
+        return WeakForm(
+            A=jnp.stack([fill(a, zero) for a in self.A]),
+            B=jnp.stack([fill(b, zero3) for b in self.B]),
+            C=jnp.stack([jnp.stack([fill(c, zero) for c in row])
+                         for row in self.C]),
+            D=jnp.stack([jnp.stack([fill(d, zero3) for d in row])
+                         for row in self.D]),
+            E=jnp.stack([jnp.stack([fill(e, zero) for e in row])
+                         for row in self.E]),
+        )
+
+    def cast(self, dtype):
+        f = lambda x: x if _is_zero(x) else x.astype(dtype)
+        return WeakFormBlocks(
+            A=tuple(f(a) for a in self.A),
+            B=tuple(f(b) for b in self.B),
+            C=tuple(tuple(f(c) for c in row) for row in self.C),
+            D=tuple(tuple(f(d) for d in row) for row in self.D),
+            E=tuple(tuple(f(e) for e in row) for row in self.E),
+        )
+
+
+def _accum(terms):
+    live = [t for t in terms if t is not None]
+    if not live:
+        return None
+    acc = live[0]
+    for t in live[1:]:
+        acc = acc + t
+    return acc
+
+
+def block_rhs(wfb: WeakFormBlocks, phi, JxW, dphi) -> jnp.ndarray:
+    """Fe (V, K, E) from block A/B coefficients (element_vectors without
+    the dense stack; dead vars contribute genuine zeros)."""
+    Q, K = phi.shape
+    E_dim = JxW.shape[-1]
+    rows = []
+    for v in range(wfb.n_vars):
+        cols = []
+        for k in range(K):
+            terms = []
+            for q in range(Q):
+                if not _is_zero(wfb.A[v]):
+                    terms.append((JxW[q] * float(phi[q, k])) * wfb.A[v][q])
+                if not _is_zero(wfb.B[v]):
+                    for d in range(3):
+                        terms.append(
+                            (JxW[q] * dphi[q, k, d]) * wfb.B[v][q, d])
+            acc = _accum(terms)
+            cols.append(jnp.zeros((E_dim,), JxW.dtype) if acc is None else acc)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def qp_apply(wfb: WeakFormBlocks, phi, JxW, dphi, x_qp, gx_qp) -> jnp.ndarray:
+    """Element contributions Ye (V, K, E) of the LHS operator applied to a
+    vector already interpolated at quadrature points — the matrix-free
+    matvec core.  x_qp (V, Q, E); gx_qp (V, Q, 3, E)."""
+    V = wfb.n_vars
+    # z[v][q] (E,) mass response; zg[v][q][d] (E,) flux response
+    A_coef = []
+    B_coef = []
+    for v in range(V):
+        zq = []
+        for q in range(phi.shape[0]):
+            terms = [wfb.C[v][w][q] * x_qp[w, q]
+                     for w in range(V) if not _is_zero(wfb.C[v][w])]
+            zq.append(_accum(terms))
+        A_coef.append(zq)
+        zgq = []
+        for q in range(phi.shape[0]):
+            per_d = []
+            for d in range(3):
+                terms = [wfb.D[v][w][q, d] * x_qp[w, q]
+                         for w in range(V) if not _is_zero(wfb.D[v][w])]
+                terms += [wfb.E[v][w][q] * gx_qp[w, q, d]
+                          for w in range(V) if not _is_zero(wfb.E[v][w])]
+                per_d.append(_accum(terms))
+            zgq.append(per_d)
+        B_coef.append(zgq)
+
+    Q, K = phi.shape
+    E_dim = JxW.shape[-1]
+    rows = []
+    for v in range(V):
+        cols = []
+        for k in range(K):
+            terms = []
+            for q in range(Q):
+                if A_coef[v][q] is not None:
+                    terms.append((JxW[q] * float(phi[q, k])) * A_coef[v][q])
+                for d in range(3):
+                    if B_coef[v][q][d] is not None:
+                        terms.append(
+                            (JxW[q] * dphi[q, k, d]) * B_coef[v][q][d])
+            acc = _accum(terms)
+            cols.append(jnp.zeros((E_dim,), JxW.dtype) if acc is None else acc)
+        rows.append(jnp.stack(cols, axis=0))
+    return jnp.stack(rows, axis=0)
+
+
+def block_diag(wfb: WeakFormBlocks, phi, JxW, dphi) -> jnp.ndarray:
+    """diag_e (V, V, K, E): the per-element (i, i) entries of each (v, w)
+    block, for the block-Jacobi preconditioner — computed straight from the
+    coefficients, no Ke materialization."""
+    V = wfb.n_vars
+    Q, K = phi.shape
+    E_dim = JxW.shape[-1]
+    zero = jnp.zeros((E_dim,), JxW.dtype)
+    out_rows = []
+    for v in range(V):
+        row = []
+        for w in range(V):
+            cols = []
+            for i in range(K):
+                terms = []
+                for q in range(Q):
+                    if not _is_zero(wfb.C[v][w]):
+                        terms.append(
+                            (JxW[q] * float(phi[q, i] * phi[q, i]))
+                            * wfb.C[v][w][q])
+                    if not _is_zero(wfb.D[v][w]):
+                        dd = _accum([
+                            wfb.D[v][w][q, d] * dphi[q, i, d]
+                            for d in range(3)])
+                        terms.append((JxW[q] * float(phi[q, i])) * dd)
+                    if not _is_zero(wfb.E[v][w]):
+                        gg = (dphi[q, i, 0] * dphi[q, i, 0]
+                              + dphi[q, i, 1] * dphi[q, i, 1]
+                              + dphi[q, i, 2] * dphi[q, i, 2])
+                        terms.append(JxW[q] * wfb.E[v][w][q] * gg)
+                acc = _accum(terms)
+                cols.append(zero if acc is None else acc)
+            row.append(jnp.stack(cols, axis=0))
+        out_rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(out_rows, axis=0)

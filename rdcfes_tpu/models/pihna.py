@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fem.weakform import WeakForm
+from ..fem.weakform import WeakForm, WeakFormBlocks  # noqa: F401
 
 PIHNA_VARS = ("n", "c", "h", "v", "a")
 
@@ -66,7 +66,62 @@ def vascular_fraction(c, h, v):
     return Ve, dVe_dch, dVe_dv
 
 
-def pihna_physics(u_qp, grad_qp, fields, params):
+def _z(x) -> bool:
+    """Structural zero: a Python scalar 0.0 (deck parameter known at trace
+    time) — the block-sparsity signal (fem.weakform.WeakFormBlocks)."""
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def _mul(*fs):
+    """Zero-propagating product of scalars/arrays."""
+    for f in fs:
+        if _z(f):
+            return 0.0
+    acc = fs[0]
+    for f in fs[1:]:
+        acc = acc * f
+    return acc
+
+
+def _add(*terms):
+    """Sum skipping structural zeros."""
+    live = [t for t in terms if not _z(t)]
+    if not live:
+        return 0.0
+    acc = live[0]
+    for t in live[1:]:
+        acc = acc + t
+    return acc
+
+
+def _neg(x):
+    return 0.0 if _z(x) else -x
+
+
+def _gate(value, cond):
+    """Threshold gating (src/pihna.C:504-509) that stays a structural zero
+    when the deck turns the coefficient off."""
+    if _z(value):
+        return 0.0
+    return jnp.where(cond, value, 0.0)
+
+
+def _bvec(coef, G):
+    """(Q, E) coefficient x (Q, 3, E) gradient -> (Q, 3, E) flux term."""
+    if _z(coef) :
+        return 0.0
+    return coef[..., None, :] * G
+
+
+def pihna_blocks(u_qp, grad_qp, fields, params):
+    """Block-sparse weak form (fem.weakform.WeakFormBlocks) for PIHNA.
+
+    Every formula is the reference's (src/pihna.C:444-747); blocks whose
+    scalar prefactors are ALL structural zeros (deck parameters passed as
+    plain Python floats, e.g. the shipped run/PIHNA deck's diffuse/c = 0,
+    taxis/* = 0) are dropped from the compiled program entirely — the
+    values are unchanged, only provably-zero work disappears.  When
+    parameters arrive as tracers every block stays live."""
     p = params
     dt2 = p["dt"] / 2.0
     Lk = p["cells_min_capacity"]
@@ -92,126 +147,144 @@ def pihna_physics(u_qp, grad_qp, fields, params):
     Ua_da = 1.0 / (a + Ka) - Ua / (a + Ka)
 
     # per-species threshold gating (src/pihna.C:504-509)
-    dif_c = jnp.where(c > Lk, p["diffuse_c"], 0.0)
-    tax_c = jnp.where(c > Lk, p["taxis_c"], 0.0)
-    dif_h = jnp.where(h > Lk, p["diffuse_h"], 0.0)
-    tax_h = jnp.where(h > Lk, p["taxis_h"], 0.0)
-    dif_v = jnp.where(v > Lk, p["diffuse_v"], 0.0)
-    tax_v = jnp.where(v > Lk, p["taxis_v"], 0.0)
+    dif_c = _gate(p["diffuse_c"], c > Lk)
+    tax_c = _gate(p["taxis_c"], c > Lk)
+    dif_h = _gate(p["diffuse_h"], h > Lk)
+    tax_h = _gate(p["taxis_h"], h > Lk)
+    dif_v = _gate(p["diffuse_v"], v > Lk)
+    tax_v = _gate(p["taxis_v"], v > Lk)
 
-    zero = jnp.zeros_like(n)
-    zero3 = jnp.zeros_like(Gc)
-
-    # ---------------- RHS: A (mass) and B (flux) coefficients -------------
-    A = jnp.stack(
-        [
-            n + dt2 * (nec_c * c * n + nec_h * h * n + nec_v * v * n
-                       + sw_h2n * (1.0 - Ve) * h),
-            c + dt2 * (prod_c * tau * c - sw_c2h * (1.0 - Ve) * c
-                       + sw_h2c * Ve * h - nec_c * c * n),
-            h + dt2 * (sw_c2h * (1.0 - Ve) * c - sw_h2c * Ve * h
-                       - nec_h * h * n - sw_h2n * (1.0 - Ve) * h),
-            v + dt2 * (prod_v * tau * Ua * v - nec_v * v * n),
-            a + dt2 * (sec_ac * c + sec_ah * h - upt_av * v * a - dec_a * a),
-        ]
-    )
-    B = jnp.stack(
-        [
-            zero3,
-            dt2 * (-(dif_c * tau)[..., None, :] * Gc - (tax_c * tau * c)[..., None, :] * Gv),
-            dt2 * (-(dif_h * tau)[..., None, :] * Gh - (tax_h * tau * h)[..., None, :] * Gv),
-            dt2 * (-(dif_v * tau)[..., None, :] * Gv - (tax_v * tau * v)[..., None, :] * Ga),
-            zero3,
-        ]
-    )
-
-    # ---------------- Jacobian blocks (src/pihna.C:571-747) ---------------
-    # C[v][w]: phi_j phi_i coefficients; D[v][w]: (D . dphi_i) phi_j;
-    # E[v][w]: dphi_i . dphi_j
     one = jnp.ones_like(n)
-    C00 = one - dt2 * (nec_c * c + nec_h * h + nec_v * v)
-    C01 = -dt2 * (nec_c * n + sw_h2n * (-Ve_dc) * h)
-    C02 = -dt2 * (nec_h * n + sw_h2n * (-Ve_dh) * h + sw_h2n * (1.0 - Ve))
-    C03 = -dt2 * (nec_v * n + sw_h2n * (-Ve_dv) * h)
 
-    C10 = -dt2 * (prod_c * dtau * c - nec_c * c)
-    D10 = -dt2 * (-(dif_c * dtau)[..., None, :] * Gc - (tax_c * dtau * c)[..., None, :] * Gv)
-    C11 = one - dt2 * (prod_c * tau + prod_c * dtau * c
-                       - sw_c2h * (1.0 - Ve) - sw_c2h * (-Ve_dc) * c
-                       + sw_h2c * Ve_dc * h - nec_c * n)
-    D11 = -dt2 * (-(dif_c * dtau)[..., None, :] * Gc
-                  - (tax_c * dtau * c)[..., None, :] * Gv
-                  - (tax_c * tau)[..., None, :] * Gv)
-    E11 = dt2 * dif_c * tau
-    C12 = -dt2 * (prod_c * dtau * c - sw_c2h * (-Ve_dh) * c
-                  + sw_h2c * Ve_dh * h + sw_h2c * Ve)
+    # ---------------- RHS: A (mass) and B (flux) ---------------------------
+    A = (
+        _add(n, _mul(dt2, _add(_mul(nec_c, c, n), _mul(nec_h, h, n),
+                               _mul(nec_v, v, n), _mul(sw_h2n, 1.0 - Ve, h)))),
+        _add(c, _mul(dt2, _add(_mul(prod_c, tau, c),
+                               _neg(_mul(sw_c2h, 1.0 - Ve, c)),
+                               _mul(sw_h2c, Ve, h),
+                               _neg(_mul(nec_c, c, n))))),
+        _add(h, _mul(dt2, _add(_mul(sw_c2h, 1.0 - Ve, c),
+                               _neg(_mul(sw_h2c, Ve, h)),
+                               _neg(_mul(nec_h, h, n)),
+                               _neg(_mul(sw_h2n, 1.0 - Ve, h))))),
+        _add(v, _mul(dt2, _add(_mul(prod_v, tau, Ua, v),
+                               _neg(_mul(nec_v, v, n))))),
+        _add(a, _mul(dt2, _add(_mul(sec_ac, c), _mul(sec_ah, h),
+                               _neg(_mul(upt_av, v, a)),
+                               _neg(_mul(dec_a, a))))),
+    )
+    B = (
+        0.0,
+        _mul(dt2, _add(_neg(_bvec(_mul(dif_c, tau), Gc)),
+                       _neg(_bvec(_mul(tax_c, tau, c), Gv)))),
+        _mul(dt2, _add(_neg(_bvec(_mul(dif_h, tau), Gh)),
+                       _neg(_bvec(_mul(tax_h, tau, h), Gv)))),
+        _mul(dt2, _add(_neg(_bvec(_mul(dif_v, tau), Gv)),
+                       _neg(_bvec(_mul(tax_v, tau, v), Ga)))),
+        0.0,
+    )
+
+    # ---------------- Jacobian blocks (src/pihna.C:571-747) ----------------
+    nd = lambda x: _neg(_mul(dt2, x))  # the common "-DT_2 * (...)" wrapper
+    C00 = _add(one, nd(_add(_mul(nec_c, c), _mul(nec_h, h), _mul(nec_v, v))))
+    C01 = nd(_add(_mul(nec_c, n), _mul(sw_h2n, -Ve_dc, h)))
+    C02 = nd(_add(_mul(nec_h, n), _mul(sw_h2n, -Ve_dh, h),
+                  _mul(sw_h2n, 1.0 - Ve)))
+    C03 = nd(_add(_mul(nec_v, n), _mul(sw_h2n, -Ve_dv, h)))
+
+    C10 = nd(_add(_mul(prod_c, dtau, c), _neg(_mul(nec_c, c))))
+    D10 = nd(_add(_neg(_bvec(_mul(dif_c, dtau), Gc)),
+                  _neg(_bvec(_mul(tax_c, dtau, c), Gv))))
+    C11 = _add(one, nd(_add(_mul(prod_c, tau), _mul(prod_c, dtau, c),
+                            _neg(_mul(sw_c2h, 1.0 - Ve)),
+                            _neg(_mul(sw_c2h, -Ve_dc, c)),
+                            _mul(sw_h2c, Ve_dc, h),
+                            _neg(_mul(nec_c, n)))))
+    D11 = nd(_add(_neg(_bvec(_mul(dif_c, dtau), Gc)),
+                  _neg(_bvec(_mul(tax_c, dtau, c), Gv)),
+                  _neg(_bvec(_mul(tax_c, tau), Gv))))
+    E11 = _mul(dt2, dif_c, tau)
+    C12 = nd(_add(_mul(prod_c, dtau, c), _neg(_mul(sw_c2h, -Ve_dh, c)),
+                  _mul(sw_h2c, Ve_dh, h), _mul(sw_h2c, Ve)))
     D12 = D10
-    C13 = -dt2 * (prod_c * dtau * c - sw_c2h * (-Ve_dv) * c + sw_h2c * Ve_dv * h)
+    C13 = nd(_add(_mul(prod_c, dtau, c), _neg(_mul(sw_c2h, -Ve_dv, c)),
+                  _mul(sw_h2c, Ve_dv, h)))
     D13 = D10
-    E13 = dt2 * tax_c * tau * c
+    E13 = _mul(dt2, tax_c, tau, c)
 
-    C20 = -dt2 * (-nec_h * h)
-    D20 = -dt2 * (-(dif_h * dtau)[..., None, :] * Gh - (tax_h * dtau * h)[..., None, :] * Gv)
-    C21 = -dt2 * (sw_c2h * (1.0 - Ve) + sw_c2h * (-Ve_dc) * c
-                  - sw_h2c * Ve_dc * h - sw_h2n * (-Ve_dc) * h)
+    C20 = nd(_neg(_mul(nec_h, h)))
+    D20 = nd(_add(_neg(_bvec(_mul(dif_h, dtau), Gh)),
+                  _neg(_bvec(_mul(tax_h, dtau, h), Gv))))
+    C21 = nd(_add(_mul(sw_c2h, 1.0 - Ve), _mul(sw_c2h, -Ve_dc, c),
+                  _neg(_mul(sw_h2c, Ve_dc, h)),
+                  _neg(_mul(sw_h2n, -Ve_dc, h))))
     D21 = D20
-    C22 = one - dt2 * (sw_c2h * (-Ve_dh) * c - sw_h2c * Ve_dh * h - sw_h2c * Ve
-                       - nec_h * n - sw_h2n * (-Ve_dh) * h - sw_h2n * (1.0 - Ve))
-    D22 = -dt2 * (-(dif_h * dtau)[..., None, :] * Gh
-                  - (tax_h * dtau * h)[..., None, :] * Gv
-                  - (tax_h * tau)[..., None, :] * Gv)
-    E22 = dt2 * dif_h * tau
-    C23 = -dt2 * (sw_c2h * (-Ve_dv) * c - sw_h2c * Ve_dv * h - sw_h2n * (-Ve_dv) * h)
+    C22 = _add(one, nd(_add(_mul(sw_c2h, -Ve_dh, c),
+                            _neg(_mul(sw_h2c, Ve_dh, h)),
+                            _neg(_mul(sw_h2c, Ve)),
+                            _neg(_mul(nec_h, n)),
+                            _neg(_mul(sw_h2n, -Ve_dh, h)),
+                            _neg(_mul(sw_h2n, 1.0 - Ve)))))
+    D22 = nd(_add(_neg(_bvec(_mul(dif_h, dtau), Gh)),
+                  _neg(_bvec(_mul(tax_h, dtau, h), Gv)),
+                  _neg(_bvec(_mul(tax_h, tau), Gv))))
+    E22 = _mul(dt2, dif_h, tau)
+    C23 = nd(_add(_mul(sw_c2h, -Ve_dv, c), _neg(_mul(sw_h2c, Ve_dv, h)),
+                  _neg(_mul(sw_h2n, -Ve_dv, h))))
     D23 = D20
-    E23 = dt2 * tax_h * tau * h
+    E23 = _mul(dt2, tax_h, tau, h)
 
-    C30 = -dt2 * (prod_v * dtau * Ua * v - nec_v * v)
-    D30 = -dt2 * (-(dif_v * dtau)[..., None, :] * Gv - (tax_v * dtau * v)[..., None, :] * Ga)
-    C31 = -dt2 * (prod_v * dtau * Ua * v)
+    C30 = nd(_add(_mul(prod_v, dtau, Ua, v), _neg(_mul(nec_v, v))))
+    D30 = nd(_add(_neg(_bvec(_mul(dif_v, dtau), Gv)),
+                  _neg(_bvec(_mul(tax_v, dtau, v), Ga))))
+    C31 = nd(_mul(prod_v, dtau, Ua, v))
     D31 = D30
     C32 = C31
     D32 = D30
-    C33 = one - dt2 * (prod_v * dtau * Ua * v - nec_v * n)
-    D33 = -dt2 * (-(dif_v * dtau)[..., None, :] * Gv
-                  - (tax_v * dtau * v)[..., None, :] * Ga
-                  - (tax_v * tau)[..., None, :] * Ga)
-    E33 = dt2 * dif_v * tau
-    C34 = -dt2 * (prod_v * tau * Ua_da * v)
-    E34 = dt2 * tax_v * tau * v
+    C33 = _add(one, nd(_add(_mul(prod_v, dtau, Ua, v),
+                            _neg(_mul(nec_v, n)))))
+    D33 = nd(_add(_neg(_bvec(_mul(dif_v, dtau), Gv)),
+                  _neg(_bvec(_mul(tax_v, dtau, v), Ga)),
+                  _neg(_bvec(_mul(tax_v, tau), Ga))))
+    E33 = _mul(dt2, dif_v, tau)
+    C34 = nd(_mul(prod_v, tau, Ua_da, v))
+    E34 = _mul(dt2, tax_v, tau, v)
 
-    C41 = -dt2 * sec_ac * one
-    C42 = -dt2 * sec_ah * one
-    C43 = -dt2 * (-upt_av * a)
-    C44 = one - dt2 * (-upt_av * v - dec_a)
+    C41 = nd(_mul(sec_ac, one))
+    C42 = nd(_mul(sec_ah, one))
+    C43 = nd(_neg(_mul(upt_av, a)))
+    C44 = _add(one, nd(_add(_neg(_mul(upt_av, v)), _neg(_mul(dec_a, one)))))
 
-    C = jnp.stack(
-        [
-            jnp.stack([C00, C01, C02, C03, zero]),
-            jnp.stack([C10, C11, C12, C13, zero]),
-            jnp.stack([C20, C21, C22, C23, zero]),
-            jnp.stack([C30, C31, C32, C33, C34]),
-            jnp.stack([zero, C41, C42, C43, C44]),
-        ]
+    z = 0.0
+    C = (
+        (C00, C01, C02, C03, z),
+        (C10, C11, C12, C13, z),
+        (C20, C21, C22, C23, z),
+        (C30, C31, C32, C33, C34),
+        (z, C41, C42, C43, C44),
     )
-    D = jnp.stack(
-        [
-            jnp.stack([zero3, zero3, zero3, zero3, zero3]),
-            jnp.stack([D10, D11, D12, D13, zero3]),
-            jnp.stack([D20, D21, D22, D23, zero3]),
-            jnp.stack([D30, D31, D32, D33, zero3]),
-            jnp.stack([zero3, zero3, zero3, zero3, zero3]),
-        ]
+    D = (
+        (z, z, z, z, z),
+        (D10, D11, D12, D13, z),
+        (D20, D21, D22, D23, z),
+        (D30, D31, D32, D33, z),
+        (z, z, z, z, z),
     )
-    E = jnp.stack(
-        [
-            jnp.stack([zero, zero, zero, zero, zero]),
-            jnp.stack([zero, E11, zero, E13, zero]),
-            jnp.stack([zero, zero, E22, E23, zero]),
-            jnp.stack([zero, zero, zero, E33, E34]),
-            jnp.stack([zero, zero, zero, zero, zero]),
-        ]
+    E = (
+        (z, z, z, z, z),
+        (z, E11, z, E13, z),
+        (z, z, E22, E23, z),
+        (z, z, z, E33, E34),
+        (z, z, z, z, z),
     )
-    return WeakForm(A=A, B=B, C=C, D=D, E=E)
+    return WeakFormBlocks(A=A, B=B, C=C, D=D, E=E)
+
+
+def pihna_physics(u_qp, grad_qp, fields, params):
+    """Dense WeakForm (legacy stacked API) derived from the block form —
+    identical values, zeros materialized."""
+    return pihna_blocks(u_qp, grad_qp, fields, params).to_dense()
 
 
 def default_params():

@@ -42,7 +42,13 @@ from ..fem.assembly import (
 )
 from ..fem.bcsr import ell_matvec, to_ell  # noqa: F401 (assembled path)
 from ..fem.geometry import geometry_factors
-from ..fem.weakform import element_matrices, element_vectors
+from ..fem.weakform import (
+    block_diag,
+    block_rhs,
+    element_matrices,
+    element_vectors,
+    qp_apply,
+)
 from ..mesh.core import Mesh
 from ..solvers.krylov import (
     DEFAULT_MAXITER,
@@ -89,10 +95,19 @@ class TransientRDCSystem:
         dtype=jnp.float64,
         precision: str = "f64",
         precond_refresh: int = 1,
+        physics_blocks: Optional[Callable] = None,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
         self.physics = physics
+        # physics_blocks: block-sparse form of the same physics
+        # (fem.weakform.WeakFormBlocks).  When provided and the step params
+        # are plain Python scalars, step() switches to the matrix-free
+        # qp-apply path: deck-zero blocks are dropped at trace time and the
+        # Krylov matvec applies the weak-form coefficients directly —
+        # no (V, V, K, K, E) element-matrix materialization at all.
+        self.physics_blocks = physics_blocks
+        self._qp_step_cache = {}
         self.clamp = clamp
         self.method = method
         # dtype=float32 is the fast "production serving" mode: ~2x matvec
@@ -140,6 +155,9 @@ class TransientRDCSystem:
         self._step = jax.jit(self._step_impl)
         self._step_reuse = jax.jit(self._step_reuse_impl)
         self._step_moving = jax.jit(self._step_moving_impl)
+        # f32 geometry copies for the mixed-precision qp matvec
+        self.JxW32 = self.JxW.astype(jnp.float32)
+        self.dphi32 = self.dphi.astype(jnp.float32)
 
     # ------------------------------------------------------------------
     def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
@@ -313,6 +331,118 @@ class TransientRDCSystem:
         return self._solve_clamped(state, Fe, Ke, self._fresh_dinv(diag_e))
 
     # ------------------------------------------------------------------
+    # matrix-free qp-apply path (static deck parameters)
+    # ------------------------------------------------------------------
+    def _restrict(self, flat):
+        """(.., K*E) element-corner values -> (.., N) via node_gather."""
+        pad = jnp.zeros(flat.shape[:-1] + (1,), flat.dtype)
+        f = jnp.concatenate([flat, pad], axis=-1)
+        C = self.node_gather.shape[0]
+        acc = f[..., self.node_gather[0]]
+        for c in range(1, C):
+            acc = acc + f[..., self.node_gather[c]]
+        return acc
+
+    def _qp_step_fn(self, params: Dict):
+        """Build (and cache) the jitted qp-apply step for one static
+        parameter set.  Closing over plain-float params lets the physics
+        drop deck-zero blocks from the compiled program."""
+        V = self.n_vars
+        mixed = self.precision == "mixed" and self.dtype == jnp.float64
+
+        def step_fn(state, fields, Dinv_in):
+            u_T = state["u"].T
+            u_qp, grad_qp = interpolate_at_qp(u_T, self.conn_T, self.phi,
+                                              self.dphi)
+            wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
+            Fe = block_rhs(wfb, self.phi, self.JxW, self.dphi)
+            b = self._restrict(Fe.astype(self.dtype).reshape(V, -1))
+            if Dinv_in is None:
+                diag_e = block_diag(wfb, self.phi, self.JxW, self.dphi)
+                Dinv = small_block_inverse(
+                    self._diag_blocks(diag_e.astype(self.dtype)),
+                    pivot=False)
+            else:
+                Dinv = Dinv_in
+
+            def mv(wf_, JxW_, dphi_, x):
+                x_qp, gx_qp = interpolate_at_qp(x, self.conn_T, self.phi,
+                                                dphi_)
+                Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
+                return self._restrict(Ye.reshape(V, -1))
+
+            matvec64 = partial(mv, wfb, self.JxW, self.dphi)
+            M = partial(apply_block_jacobi, Dinv)
+            pre_matvec = lambda x: M(matvec64(x))
+            pre_b = M(b)
+            x0 = 2.0 * state["u"].T - state["u_old"].T
+            if mixed:
+                wfb32 = wfb.cast(jnp.float32)
+                Dinv32 = Dinv.astype(jnp.float32)
+                M32 = partial(apply_block_jacobi, Dinv32)
+                mv32 = lambda x: M32(
+                    mv(wfb32, self.JxW32, self.dphi32, x))
+                u_raw, iters, resid = self._refine_mixed(
+                    mv32, pre_matvec, pre_b, x0)
+            else:
+                fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
+                r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,
+                       maxiter=self.maxiter)
+                u_raw, iters, resid = r.x, r.iters, r.residual
+            u_new = self.clamp(u_raw)
+            new_state = {"u": u_new.T, "u_old": state["u"],
+                         "u_older": state["u_old"], "u_raw": u_raw.T}
+            return new_state, iters, resid, Dinv
+
+        fresh = jax.jit(lambda st, f: step_fn(st, f, None))
+        reuse = jax.jit(step_fn)
+        return fresh, reuse
+
+    def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0):
+        """Same mixed-precision refinement as _solve_mixed, with caller-
+        supplied inner f32 matvec."""
+        f32 = jnp.float32
+        bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
+        safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
+        tol = self.rtol * safe_b
+
+        def cond(s):
+            x, rnorm, iters, k = s
+            return jnp.logical_and(rnorm > tol, k < 12)
+
+        def body(s):
+            x, _, iters, k = s
+            r = pre_b - pre_matvec64(x)
+            inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
+            x = x + inner.x.astype(jnp.float64)
+            r2 = pre_b - pre_matvec64(x)
+            return (x, jnp.sqrt(jnp.vdot(r2, r2).real),
+                    iters + inner.iters, k + 1)
+
+        r0 = pre_b - pre_matvec64(x0)
+        init = (x0, jnp.sqrt(jnp.vdot(r0, r0).real),
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        x, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
+        return x, iters, rnorm / safe_b
+
+    def _step_qp(self, state, fields, params):
+        key = tuple(sorted((k, float(v)) for k, v in params.items()))
+        fns = self._qp_step_cache.get(key)
+        if fns is None:
+            fns = self._qp_step_fn({k: float(v) for k, v in params.items()})
+            self._qp_step_cache[key] = fns
+        fresh, reuse = fns
+        if (self.precond_refresh > 1 and self._dinv_cache is not None
+                and self._steps_since_precond < self.precond_refresh):
+            self._steps_since_precond += 1
+            new_state, iters, res, _ = reuse(state, fields, self._dinv_cache)
+            return new_state, iters, res
+        new_state, iters, res, Dinv = fresh(state, fields)
+        self._dinv_cache = Dinv
+        self._steps_since_precond = 1
+        return new_state, iters, res
+
+    # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
              params: Optional[Dict] = None, coords: Optional[jnp.ndarray] = None):
         """Advance one time step. Returns (new_state, lin_iters, lin_residual).
@@ -322,6 +452,9 @@ class TransientRDCSystem:
         if self.moving_mesh:
             assert coords is not None, "moving_mesh system needs current coords"
             return self._step_moving(state, fields or {}, params or {}, coords)
+        if (self.physics_blocks is not None and params
+                and all(isinstance(v, (int, float)) for v in params.values())):
+            return self._step_qp(state, fields or {}, params)
         if (self.precond_refresh > 1 and self._dinv_cache is not None
                 and self._steps_since_precond < self.precond_refresh):
             self._steps_since_precond += 1
