@@ -76,10 +76,11 @@ def run(deck_path: str = "input.dat") -> str:
     rtp = set(range(rem_step, n_steps + 1, rem_step)) if rem_step else set()
     deck("mesh/skip_renumber_nodes_and_elements", True)
     amr_max_steps = deck("mesh/AMR/max_steps", 0)
-    deck("mesh/AMR/max_level", 3)
+    amr_max_level = deck("mesh/AMR/max_level", 3)
     amr_refine_frac = deck("mesh/AMR/refine_percentage", 0.5)
     amr_coarsen_frac = deck("mesh/AMR/coarsen_percentage", 0.5)
 
+    amesh = None  # lazy AdaptiveMesh (TET4 bisection forest)
     with plog.scope("mesh io"):
         mesh = gmsh.read(input_gmsh)
         print(mesh.print_info())
@@ -104,8 +105,17 @@ def run(deck_path: str = "input.dat") -> str:
     state = rds.initial_state(u0)
     x = solid.initial_positions()
 
+    # checkpoint/resume (capability upgrade — SURVEY.md section 5); the
+    # coupled run is the longest shipped case (400 steps + 40 Newton
+    # solves, run/Coupled/HCC/input.dat)
+    ckpt_step = deck("checkpoint/step", 0)
+    ckpt_resume = deck("checkpoint/resume", "")
+    ck_params = dict(params)
+    ck_params.update(loading_step=loading_step,
+                     penalty=deck("BCs/displacement_penalty", 1.0e5))
+
     paraview = ParaviewWriter(mesh)
-    paraview.open_pvd(out_pv)
+    paraview.open_pvd(out_pv, resume=bool(ckpt_resume))
 
     p_elem = np.zeros(mesh.n_elems)
     vm_elem = np.zeros(mesh.n_elems)
@@ -134,12 +144,42 @@ def run(deck_path: str = "input.dat") -> str:
             ]
             paraview.update_pvd(fields, t, coords=xs)
 
-    save(0)
-
+    start_step = 0
     time_value = 0.0
     pseudo_time = 0.0
     amr_done = 0
-    for t in range(1, n_steps + 1):
+    if ckpt_resume:
+        import jax.numpy as jnp
+
+        from ..utils import load_checkpoint
+
+        st, start_step, time_value, extra = load_checkpoint(
+            ckpt_resume, ck_params)
+        ck_mesh = os.path.join(os.path.dirname(ckpt_resume),
+                               "checkpoint_mesh.msh")
+        if "amr_done" in extra and os.path.exists(ck_mesh):
+            mesh = gmsh.read(ck_mesh)
+            amr_done = int(extra["amr_done"])
+            fibres = extra["fibres"]
+            rds = TransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True)
+            solid = SolidSystem(
+                mesh, materials=load_materials(deck), bcs=load_bcs(deck),
+                penalty=deck("BCs/displacement_penalty", 1.0e5),
+                fibres=fibres, newton=load_newton_options(deck),
+            )
+            paraview.mesh = mesh
+            print(f"resumed on remeshed grid ({mesh.n_elems} elements)")
+        x = jnp.asarray(extra["x"])
+        pseudo_time = float(extra["pseudo_time"])
+        p_elem = extra.get("p_elem", p_elem)
+        vm_elem = extra.get("vm_elem", vm_elem)
+        fibre_cur = extra.get("fibre_cur", fibre_cur)
+        state = {k: jnp.asarray(v) for k, v in st.items()}
+        print(f"resumed from {ckpt_resume} at step {start_step}")
+    else:
+        save(0)
+
+    for t in range(start_step + 1, n_steps + 1):
         time_value += dt
         if t in ltp:
             pseudo_time += loading_step
@@ -172,21 +212,31 @@ def run(deck_path: str = "input.dat") -> str:
 
                 from ..fem.amr import (flag_by_mean_stddev,
                                        kelly_error_indicator)
-                from ..mesh import refine_flagged
+                from ..mesh import AdaptiveMesh, adapt_flagged, refine_flagged
 
                 u_np = np.asarray(state["u"])
                 ind = np.stack([elemental_to_nodal(mesh, p_elem),
                                 u_np[:, 1]], axis=1)
                 eta = kelly_error_indicator(mesh, jnp.asarray(ind), [0, 1])
-                flags, _ = flag_by_mean_stddev(
+                flags, coarsen = flag_by_mean_stddev(
                     np.asarray(eta), amr_refine_frac, amr_coarsen_frac
                 )
-                r = refine_flagged(mesh, flags)
+                if mesh.elem_type == "TET4":
+                    # selective bisection refine + coarsen (mesh/adapt.py);
+                    # HEX8 falls back to the uniform conforming policy
+                    if amesh is None or amesh.mesh is not mesh:
+                        amesh = AdaptiveMesh(mesh)
+                    r = adapt_flagged(amesh, flags, coarsen,
+                                      max_level=amr_max_level)
+                    if r is not None:
+                        amesh = r.adaptive
+                else:
+                    r = refine_flagged(mesh, flags)
                 if r is None:
                     print(f"remeshing step {t}: nothing flagged")
                 else:
                     mesh = r.mesh
-                    print(f"remeshing step {t}: refined to "
+                    print(f"remeshing step {t}: adapted to "
                           f"{mesh.n_elems} elements")
                     fibres = r.restrict_elemental(fibres)
                     p_elem = r.restrict_elemental(p_elem)
@@ -207,6 +257,22 @@ def run(deck_path: str = "input.dat") -> str:
                              for k, v in state.items()}
                     x = jnp.asarray(x_new)
                     paraview.mesh = mesh
+        if ckpt_step and t % ckpt_step == 0:
+            from ..utils import save_checkpoint
+
+            with plog.scope("checkpoint"):
+                ck_extras = {"x": np.asarray(x),
+                             "pseudo_time": np.asarray(pseudo_time),
+                             "fibres": fibres, "p_elem": p_elem,
+                             "vm_elem": vm_elem, "fibre_cur": fibre_cur}
+                if amr_done:
+                    gmsh.write(mesh,
+                               os.path.join(DIR, "checkpoint_mesh.msh"))
+                    ck_extras["amr_done"] = np.asarray(amr_done)
+                save_checkpoint(
+                    os.path.join(DIR, "checkpoint.npz"), state, t,
+                    time_value, ck_params, **ck_extras,
+                )
         if t in otp:
             save(t)
 

@@ -26,8 +26,8 @@ from ..io import dat, provenance
 from ..io.csv_metrics import pihna_header, pihna_row
 from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter, elemental_to_nodal
-from ..mesh import gmsh
-from ..models.pihna import PIHNA_VARS, pihna_physics
+from ..mesh import AdaptiveMesh, adapt_flagged, gmsh
+from ..models.pihna import PIHNA_VARS, pihna_blocks, pihna_physics
 from ..systems import TransientRDCSystem
 from .common import PerfLog, maybe_profile, output_time_points, step_banner
 
@@ -98,7 +98,7 @@ def run(deck_path: str = "input.dat") -> str:
     ckpt_resume = deck("checkpoint/resume", "")
     refinement_step = deck("refinement_step", 1 + n_steps)
     amr_max_steps = deck("mesh/AMR/max_steps", 0)
-    deck("mesh/AMR/max_level", 3)
+    amr_max_level = deck("mesh/AMR/max_level", 3)
     amr_refine_frac = deck("mesh/AMR/refine_percentage", 0.5)
     amr_coarsen_frac = deck("mesh/AMR/coarsen_percentage", 0.5)
     deck("mesh/skip_renumber_nodes_and_elements", True)
@@ -117,8 +117,11 @@ def run(deck_path: str = "input.dat") -> str:
     ranges = load_ranges(deck)
 
     with plog.scope("system setup"):
-        system = TransientRDCSystem(mesh, 5, pihna_physics)
+        system = TransientRDCSystem(mesh, 5, pihna_physics,
+                                    physics_blocks=pihna_blocks)
         state = system.initial_state(u0)
+    # selective AMR history (TET4 bisection forest; mesh/adapt.py)
+    amesh = AdaptiveMesh(mesh) if mesh.elem_type == "TET4" else None
 
     paraview = ParaviewWriter(mesh)
     # on resume into the same results dir, append to the existing CSV and
@@ -160,7 +163,11 @@ def run(deck_path: str = "input.dat") -> str:
             structure = extra["structure"]
             hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
             rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
-            system = TransientRDCSystem(mesh, 5, pihna_physics)
+            system = TransientRDCSystem(mesh, 5, pihna_physics,
+                                        physics_blocks=pihna_blocks)
+            # bisection history is not serialized: resumed meshes restart
+            # with a fresh forest (pre-crash refinements cannot coarsen)
+            amesh = AdaptiveMesh(mesh) if mesh.elem_type == "TET4" else None
             paraview.mesh = mesh
             print(f"resumed on AMR mesh ({mesh.n_elems} elements)")
         state = {k: jnp.asarray(v) for k, v in st.items()}
@@ -187,19 +194,29 @@ def run(deck_path: str = "input.dat") -> str:
                 eta = kelly_error_indicator(
                     mesh, jnp.asarray(state["u"]), list(range(5))
                 )
-                flags, _ = flag_by_mean_stddev(
+                flags, coarsen = flag_by_mean_stddev(
                     np.asarray(eta), amr_refine_frac, amr_coarsen_frac
                 )
-                r = refine_flagged(mesh, flags)
+                if amesh is not None:
+                    # selective bisection refine + sibling coarsen honoring
+                    # mesh/AMR/max_level (reference refine_and_coarsen_elements,
+                    # src/pihna.C:833-837)
+                    r = adapt_flagged(amesh, flags, coarsen,
+                                      max_level=amr_max_level)
+                else:
+                    r = refine_flagged(mesh, flags)
                 if r is None:
                     print(f"AMR step {t}: nothing flagged, mesh unchanged")
                 else:
                     mesh = r.mesh
-                    print(f"AMR step {t}: refined to {mesh.n_elems} elements")
+                    if amesh is not None:
+                        amesh = r.adaptive
+                    print(f"AMR step {t}: adapted to {mesh.n_elems} elements")
                     structure = r.restrict_elemental(structure)
                     hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
                     rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
-                    system = TransientRDCSystem(mesh, 5, pihna_physics)
+                    system = TransientRDCSystem(mesh, 5, pihna_physics,
+                                                physics_blocks=pihna_blocks)
                     state = {k: jnp.asarray(r.prolong(np.asarray(v)))
                              for k, v in state.items()}
                     paraview.mesh = mesh

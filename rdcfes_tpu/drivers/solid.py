@@ -113,7 +113,7 @@ def run(deck_path: str = "input.dat") -> str:
     rtp = schedule(deck, n_load_steps, "remeshing_step", True)
     deck("mesh/skip_renumber_nodes_and_elements", True)
     amr_max_steps = deck("mesh/AMR/max_steps", 0)
-    deck("mesh/AMR/max_level", 3)
+    amr_max_level = deck("mesh/AMR/max_level", 3)
     amr_refine_frac = deck("mesh/AMR/refine_percentage", 0.5)
     amr_coarsen_frac = deck("mesh/AMR/coarsen_percentage", 0.5)
 
@@ -121,6 +121,11 @@ def run(deck_path: str = "input.dat") -> str:
         mesh = gmsh.read(input_gmsh)
         print(mesh.print_info())
         gmsh.write(mesh, out_gmsh)
+
+    # checkpoint/resume (capability upgrade over the reference, which can
+    # only restart a load ramp from scratch — SURVEY.md section 5)
+    ckpt_step = deck("checkpoint/step", 0)
+    ckpt_resume = deck("checkpoint/resume", "")
 
     fibres = load_fibres(deck, mesh)
     with plog.scope("system setup"):
@@ -134,12 +139,16 @@ def run(deck_path: str = "input.dat") -> str:
         )
     x = system.initial_positions()
 
+    amesh = None  # lazy AdaptiveMesh (TET4 bisection forest)
+    resuming = bool(ckpt_resume)
     paraview = ParaviewWriter(mesh)
-    paraview.open_pvd(out_pv)
+    paraview.open_pvd(out_pv, resume=resuming)
 
     p_elem = np.zeros(mesh.n_elems)
     vm_elem = np.zeros(mesh.n_elems)
     fibre_cur = fibres.copy()
+    ck_params = {"loading_step": loading_step,
+                 "penalty": deck("BCs/displacement_penalty", 1.0e5)}
 
     def save(t: int):
         xs = np.asarray(x)
@@ -163,11 +172,40 @@ def run(deck_path: str = "input.dat") -> str:
             # current positions travel as the Points array too
             paraview.update_pvd(fields, t, coords=xs)
 
-    save(0)
-
+    start_step = 0
     pseudo_time = 0.0
     amr_done = 0
-    for l in range(1, n_load_steps + 1):
+    if ckpt_resume:
+        import jax.numpy as jnp
+
+        from ..utils import load_checkpoint
+
+        st, start_step, pseudo_time, extra = load_checkpoint(
+            ckpt_resume, ck_params)
+        ck_mesh = os.path.join(os.path.dirname(ckpt_resume),
+                               "checkpoint_mesh.msh")
+        if "amr_done" in extra and os.path.exists(ck_mesh):
+            # the checkpoint was written after remeshing: the state lives
+            # on the refined mesh saved alongside it
+            mesh = gmsh.read(ck_mesh)
+            amr_done = int(extra["amr_done"])
+            fibres = extra["fibres"]
+            system = SolidSystem(
+                mesh, materials=load_materials(deck), bcs=load_bcs(deck),
+                penalty=deck("BCs/displacement_penalty", 1.0e5),
+                fibres=fibres, newton=load_newton_options(deck),
+            )
+            paraview.mesh = mesh
+            print(f"resumed on remeshed grid ({mesh.n_elems} elements)")
+        x = jnp.asarray(st["x"])
+        p_elem = extra.get("p_elem", p_elem)
+        vm_elem = extra.get("vm_elem", vm_elem)
+        fibre_cur = extra.get("fibre_cur", fibre_cur)
+        print(f"resumed from {ckpt_resume} at load step {start_step}")
+    else:
+        save(0)
+
+    for l in range(start_step + 1, n_load_steps + 1):
         pseudo_time += loading_step
         step_banner(l, n_load_steps, pseudo_time, label="pseudo-time")
         with plog.scope("newton solve"):
@@ -192,20 +230,30 @@ def run(deck_path: str = "input.dat") -> str:
 
                 from ..fem.amr import (flag_by_mean_stddev,
                                        kelly_error_indicator)
-                from ..mesh import refine_flagged
+                from ..mesh import AdaptiveMesh, adapt_flagged, refine_flagged
 
                 ind = np.stack([elemental_to_nodal(mesh, p_elem),
                                 elemental_to_nodal(mesh, vm_elem)], axis=1)
                 eta = kelly_error_indicator(mesh, jnp.asarray(ind), [0, 1])
-                flags, _ = flag_by_mean_stddev(
+                flags, coarsen = flag_by_mean_stddev(
                     np.asarray(eta), amr_refine_frac, amr_coarsen_frac
                 )
-                r = refine_flagged(mesh, flags)
+                if mesh.elem_type == "TET4":
+                    # selective bisection refine + coarsen (mesh/adapt.py);
+                    # HEX8 falls back to the uniform conforming policy
+                    if amesh is None or amesh.mesh is not mesh:
+                        amesh = AdaptiveMesh(mesh)
+                    r = adapt_flagged(amesh, flags, coarsen,
+                                      max_level=amr_max_level)
+                    if r is not None:
+                        amesh = r.adaptive
+                else:
+                    r = refine_flagged(mesh, flags)
                 if r is None:
                     print(f"remeshing step {l}: nothing flagged")
                 else:
                     mesh = r.mesh
-                    print(f"remeshing step {l}: refined to "
+                    print(f"remeshing step {l}: adapted to "
                           f"{mesh.n_elems} elements")
                     x_new = r.prolong(np.asarray(x))
                     fibres = r.restrict_elemental(fibres)
@@ -225,6 +273,20 @@ def run(deck_path: str = "input.dat") -> str:
         elif l in rtp and amr_max_steps == 0:
             print("NOTE: remeshing step reached but mesh/AMR/max_steps = 0",
                   file=sys.stderr)
+        if ckpt_step and l % ckpt_step == 0:
+            from ..utils import save_checkpoint
+
+            with plog.scope("checkpoint"):
+                ck_extras = {"fibres": fibres, "p_elem": p_elem,
+                             "vm_elem": vm_elem, "fibre_cur": fibre_cur}
+                if amr_done:
+                    gmsh.write(mesh,
+                               os.path.join(DIR, "checkpoint_mesh.msh"))
+                    ck_extras["amr_done"] = np.asarray(amr_done)
+                save_checkpoint(
+                    os.path.join(DIR, "checkpoint.npz"), {"x": np.asarray(x)},
+                    l, pseudo_time, ck_params, **ck_extras,
+                )
         if l in otp:
             save(l)
 

@@ -1,6 +1,7 @@
 from .core import Mesh, ELEMENT_FACES, extract_boundary_faces
 from .generators import box_hex_mesh, box_tet_mesh
 from .refine import refine_uniform, refine_flagged, Refinement
+from .adapt import AdaptiveMesh, AdaptOutcome, adapt_flagged
 from . import gmsh
 from . import transform
 
@@ -12,6 +13,9 @@ __all__ = [
     "box_tet_mesh",
     "refine_uniform",
     "refine_flagged",
+    "AdaptiveMesh",
+    "AdaptOutcome",
+    "adapt_flagged",
     "Refinement",
     "gmsh",
     "transform",
