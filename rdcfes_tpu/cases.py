@@ -234,3 +234,157 @@ decay/Tau/pulse/0 = 0.0005
     with open(os.path.join(directory, "input.dat"), "w") as f:
         f.write(deck)
     return directory
+
+
+def make_proteas_case(directory: str, n: int = 12, seed: int = 3,
+                      n_steps: int = 40) -> str:
+    """Synthetic PROTEAS radiotherapy-response case.
+
+    No run/ deck ships for PROTEAS (it is the only driver taking
+    `input=<file>` from the CLI, reference main.C:36), so deck values here
+    follow the input() defaults and comment hints of proteas.C:93-216 with
+    a brain-like hos/tum/nec/vsc/oed composition and a CT+RT-dose aux
+    field."""
+    os.makedirs(directory, exist_ok=True)
+    mesh = box_tet_mesh(n, n, n,
+                        bounds=((0, 100.0), (0, 100.0), (0, 100.0)))
+    gmsh.write(mesh, os.path.join(directory, "Proteas_Model.msh"))
+
+    rng = np.random.default_rng(seed)
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    tum = 0.4 * np.exp(-r2 / (2 * 15.0**2))
+    nec = 0.1 * np.exp(-r2 / (2 * 8.0**2))
+    hos = np.clip(0.8 - tum - nec, 0.0, None)
+    vsc = 0.12 * np.ones(mesh.n_nodes) - 0.05 * np.exp(-r2 / (2 * 10.0**2))
+    oed = 0.02 * np.exp(-r2 / (2 * 20.0**2))
+    u0 = np.stack([hos, tum, nec, vsc, oed], axis=1)
+    np.savetxt(os.path.join(directory, "Proteas_Initial_Nodal_Field.dat"),
+               u0, fmt="%.9g")
+    # AUX: HU (CT density) + RTD (radiotherapy dose, Gy)
+    hu = rng.uniform(20.0, 80.0, mesh.n_nodes)
+    rtd = 60.0 * np.exp(-r2 / (2 * 20.0**2))
+    np.savetxt(os.path.join(directory, "Proteas_Aux_Nodal_Field.dat"),
+               np.stack([hu, rtd], axis=1), fmt="%.9g")
+
+    deck = f"""#
+directory = simulation
+input_GMSH = Proteas_Model.msh
+input_nodal = Proteas_Initial_Nodal_Field.dat
+input_nodal_aux = Proteas_Aux_Nodal_Field.dat
+output_Paraview = out
+#
+time_step = 0.01
+time_step_number = {n_steps}
+output_step = {max(1, n_steps // 4)}
+#
+cells/total_capacity = 2.0
+radiotherapy/max_dosage = 60.0
+host/proliferation = 0.4
+host/vsc_threshold = 0.05
+tumour/diffusion = 0.1
+tumour/diffusion_host = 0.05
+tumour/proliferation = 0.5
+tumour/vsc_threshold = 0.05
+necrosis/slope = 2.0
+oedema/diffusion = 0.1
+"""
+    with open(os.path.join(directory, "input.dat"), "w") as f:
+        f.write(deck)
+    return directory
+
+
+def make_hcc_case(directory: str, n: int = 8, seed: int = 4,
+                  n_steps: int = 40, n_loading: int = 4) -> str:
+    """Synthetic coupled-HCC case (deck values = run/Coupled/HCC/input.dat,
+    scaled down; the patient HCC_Model.msh is LFS-stripped).
+
+    Box TET4 mesh with three subdomains (3000 host / 3001 capsule / 3002
+    growing tumour core, the material ids of the shipped deck) and the
+    shipped boundary-condition table mapped onto the box faces."""
+    os.makedirs(directory, exist_ok=True)
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 10.0), (0, 10.0), (0, 10.0)))
+    centers = mesh.coords[mesh.connectivity].mean(axis=1)
+    rc2 = ((centers - 5.0) ** 2).sum(axis=1)
+    mesh.subdomain_id[:] = 3000
+    mesh.subdomain_id[rc2 < 9.0] = 3001
+    mesh.subdomain_id[rc2 < 4.0] = 3002
+    # shipped BC ids: 2000 fixed, 2002/2003 z-pinned; map onto z=0 (fixed)
+    # and the two x faces (pinned) of the box
+    bid = mesh.boundary_id
+    fc = mesh.coords[mesh.boundary_faces].mean(axis=1)
+    bid[:] = 0
+    bid[np.isclose(fc[:, 2], 0.0)] = 2000
+    bid[np.isclose(fc[:, 0], 0.0)] = 2002
+    bid[np.isclose(fc[:, 0], 10.0)] = 2003
+    gmsh.write(mesh, os.path.join(directory, "HCC_Model.msh"))
+
+    r2 = ((mesh.coords - 5.0) ** 2).sum(axis=1)
+    l = np.clip(0.6 - 0.4 * np.exp(-r2 / 4.0), 0.0, None)   # liver
+    c = 0.4 * np.exp(-r2 / 4.0)                              # cancer
+    nec = 0.05 * np.exp(-r2 / 2.0)                           # necrotic
+    u0 = np.stack([l, c, nec], axis=1)
+    np.savetxt(os.path.join(directory, "HCC_Initial_Nodal_Field.dat"),
+               u0, fmt="%.9g")
+
+    deck = f"""#
+directory = simulation
+input_GMSH = HCC_Model.msh
+input_nodal = HCC_Initial_Nodal_Field.dat
+output_PARAVIEW = out
+#
+time_step = 0.01
+number_of_time_steps = {n_steps}
+number_of_loading_steps = {n_loading}
+output_step = {max(1, n_steps // 2)}
+remeshing_step = 0
+#
+solver/quiet = false
+solver/nonlinear/max_nonlinear_iterations = 30
+solver/nonlinear/relative_step_tolerance = 1.e-3
+solver/nonlinear/relative_residual_tolerance = 1.e-6
+solver/nonlinear/absolute_residual_tolerance = 1.e-8
+solver/nonlinear/require_reduction = false
+solver/linear/max_linear_iterations = 50000
+solver/linear/initial_linear_tolerance = 1.e-3
+solver/use_symmetry = true
+#
+mesh/skip_renumber_nodes_and_elements = false
+mesh/AMR/max_steps = 1
+mesh/AMR/max_level = 2
+mesh/AMR/refine_percentage  = 0.2
+mesh/AMR/coarsen_percentage = 0.2
+#
+cells/min_capacity = 0.0
+cells/max_capacity = 1.0
+cells/max_capacity/exponent = 3
+#
+produce/c = 0.5
+diffuse/c = 0.01
+necrosis/c = 0.1
+#
+BCs = ' 2000 2002 2003 '
+BC/2000/displacement/0 = +0.000
+BC/2000/displacement/1 = +0.000
+BC/2000/displacement/2 = +0.000
+BC/2002/displacement/0 = NAN
+BC/2002/displacement/1 = NAN
+BC/2002/displacement/2 = +0.000
+BC/2003/displacement/0 = NAN
+BC/2003/displacement/1 = NAN
+BC/2003/displacement/2 = +0.000
+BCs/displacement_penalty = 1.e+8
+#
+materials = ' 3000 3001 3002 '
+material/3000/Hyperelastic/Young   = 2.0e+3
+material/3000/Hyperelastic/Poisson = 0.4
+material/3001/Hyperelastic/Young   = 2.0e+3
+material/3001/Hyperelastic/Poisson = 0.4
+material/3002/Hyperelastic/Young   = 2.0e+3
+material/3002/Hyperelastic/Poisson = 0.4
+material/3002/Hyperelastic/VolumetricStretchRatio/rate_0 = 3.0e-1
+material/3002/Hyperelastic/VolumetricStretchRatio/rate_1 = 3.0e-1
+material/3002/Hyperelastic/VolumetricStretchRatio/rate_2 = 3.0e-1
+"""
+    with open(os.path.join(directory, "input.dat"), "w") as f:
+        f.write(deck)
+    return directory

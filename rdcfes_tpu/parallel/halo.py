@@ -305,7 +305,10 @@ class HaloShardedSystem:
         self._state_sharding = shard_last(P("d"))
 
         in_specs = (
-            P("d"), P(), P(),       # u (D, V, No_max), fields, params
+            P("d"),                 # u (D, V, No_max)
+            P("d"),                 # efields: element-sharded leaves
+            P(),                    # scalars: replicated leaves
+            P(),                    # params
             P("d"),                 # conn_local
             P(None, "d"),           # JxW
             P(None, None, None, "d"),  # dphi
@@ -321,6 +324,23 @@ class HaloShardedSystem:
     def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
         u = self.scatter_nodal(np.asarray(u0, dtype=np.float64))
         return {"u": u, "u_old": u, "u_older": u, "u_raw": u}
+
+    def shard_elem_field(self, arr) -> jnp.ndarray:
+        """Auxiliary field with trailing element axis (..., E) ->
+        (D, ..., Eb) device array sharded along the shard axis, elements
+        permuted into partition order and zero-padded (the reference's aux
+        systems are owner-local the same way, e.g. Tracts adpm.C:230-262).
+        """
+        plan = self.plan
+        a = np.asarray(arr)
+        assert a.shape[-1] == plan.n_elems, "element axis must be last"
+        perm = a[..., plan.elem_order]
+        out = np.zeros((plan.D,) + a.shape[:-1] + (plan.Eb,), a.dtype)
+        starts = np.concatenate([[0], np.cumsum(plan.elem_counts)])
+        for s in range(plan.D):
+            n_s = starts[s + 1] - starts[s]
+            out[s][..., :n_s] = perm[..., starts[s]:starts[s + 1]]
+        return jax.device_put(jnp.asarray(out), self._state_sharding)
 
     def scatter_nodal(self, arr: np.ndarray) -> jnp.ndarray:
         """(N, V) global original-order -> (D, V, No_max) distributed."""
@@ -384,8 +404,8 @@ class HaloShardedSystem:
         return y + acc
 
     # ------------------------------------------------------------------
-    def _step_shard(self, u_blk, fields, params, conn_local, JxW, dphi,
-                    node_gather, rev_gather, mask, *send_tabs):
+    def _step_shard(self, u_blk, efields, scalars, params, conn_local, JxW,
+                    dphi, node_gather, rev_gather, mask, *send_tabs):
         plan = self.plan
         V = self.n_vars
         u = u_blk["u"][0]          # (V, No_max) this shard's slab
@@ -395,6 +415,9 @@ class HaloShardedSystem:
         conn = conn_local[0]       # (K, Eb)
         JxW = JxW[:, 0]            # (Q, Eb) — squeeze the shard axis
         dphi = dphi[:, :, :, 0]    # (Q, K, 3, Eb)
+        # physics sees this shard's element-field blocks + shared scalars
+        fields = {k: v[0] for k, v in efields.items()}
+        fields.update(scalars)
 
         def restrict(flat_local):
             pad = jnp.zeros(flat_local.shape[:-1] + (1,), flat_local.dtype)
@@ -454,8 +477,12 @@ class HaloShardedSystem:
 
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
-             params: Optional[Dict] = None):
-        out = self._step(state, fields or {}, params or {},
+             params: Optional[Dict] = None,
+             scalars: Optional[Dict] = None):
+        """fields: dict of element-sharded arrays from shard_elem_field
+        (leading shard axis); scalars: replicated per-step values (e.g.
+        "time")."""
+        out = self._step(state, fields or {}, scalars or {}, params or {},
                          self.conn_local_s, self.JxW_s, self.dphi_s,
                          self.node_gather_s, self.rev_gather_s, self.mask_s,
                          *self.send_idx_s)

@@ -140,3 +140,107 @@ def test_adpm_checkpoint_resume(in_tmp):
     out2 = adpm.run("input.dat")
     resumed_csv = open(os.path.join(out2, "output.csv")).read()
     assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
+
+
+def test_proteas_case_generator(in_tmp):
+    """PROTEAS synthetic case runs end-to-end via the driver."""
+    from rdcfes_tpu.drivers import proteas
+
+    cases.make_proteas_case(".", n=3, n_steps=2)
+    outdir = proteas.run("input.dat")
+    assert os.path.exists(os.path.join(outdir, "out-2.vtu"))
+
+
+def test_hcc_case_generator(in_tmp):
+    """Coupled-HCC synthetic case (shipped deck values, scaled) runs the
+    interleaved RDC + solid loop end-to-end."""
+    from rdcfes_tpu.drivers import coupled_hcc
+
+    cases.make_hcc_case(".", n=3, n_steps=4, n_loading=2)
+    outdir = coupled_hcc.run("input.dat")
+    vtus = [f for f in os.listdir(outdir) if f.endswith(".vtu")]
+    assert vtus, "coupled run produced no output"
+
+
+def test_solid_checkpoint_resume(in_tmp):
+    """Solid load ramp checkpoints (x, pseudo_time, fibres, stress fields)
+    and resumes to the identical final state."""
+    import shutil
+
+    import numpy as np
+
+    from rdcfes_tpu.drivers import solid as solid_driver
+    from rdcfes_tpu.mesh import box_hex_mesh, gmsh
+
+    mesh = box_hex_mesh(3, 3, 3, bounds=((0, 1.5), (0, 1.5), (0, 1.5)))
+    gmsh.write(mesh, "input.msh")
+    deck = """
+directory = simulation
+input_GMSH = input.msh
+output_PARAVIEW = out
+loading_step = 0.25
+output_step = 1
+BCs = ' 0 5 '
+BC/0/displacement/0 = 0.0
+BC/0/displacement/1 = 0.0
+BC/0/displacement/2 = 0.0
+BC/5/displacement/0 = NAN
+BC/5/displacement/1 = NAN
+BC/5/displacement/2 = -0.1
+BCs/displacement_penalty = 1.0e6
+materials = ' 0 '
+material/0/Hyperelastic/Young = 1000.0
+material/0/Hyperelastic/Poisson = 0.3
+checkpoint/step = 3
+"""
+    open("input.dat", "w").write(deck)
+    # full run: 4 load steps (1/loading_step); checkpoint survives at step 3
+    outdir = solid_driver.run("input.dat")
+    full = open(os.path.join(outdir, "out-4.vtu")).read()
+    # copy the checkpoint outside the results dir (a resumed run may reuse
+    # and clear it), then resume for step 4
+    shutil.copy(os.path.join(outdir, "checkpoint.npz"), "ck.npz")
+    open("input.dat", "w").write(deck + "checkpoint/resume = ck.npz\n")
+    out2 = solid_driver.run("input.dat")
+    resumed = open(os.path.join(out2, "out-4.vtu")).read()
+
+    def field(txt, name):
+        import re
+        m = re.search(rf'Name="{name}"[^>]*>(.*?)</DataArray>', txt, re.S)
+        return np.array(m.group(1).split(), dtype=float)
+
+    for name in ("u_z", "VM"):
+        a, b = field(full, name), field(resumed, name)
+        assert np.allclose(a, b, rtol=1e-9, atol=1e-12), name
+
+
+def test_hcc_checkpoint_resume(in_tmp):
+    """Coupled-HCC checkpoints both the RDC state and the solid positions;
+    resume reproduces the uninterrupted final output."""
+    import shutil
+
+    import numpy as np
+
+    from rdcfes_tpu.drivers import coupled_hcc
+
+    cases.make_hcc_case(".", n=3, n_steps=4, n_loading=2)
+    deck = open("input.dat").read().replace(
+        "output_step = 2", "output_step = 1") + "checkpoint/step = 3\n"
+    open("input.dat", "w").write(deck)
+    outdir = coupled_hcc.run("input.dat")
+    full = open(os.path.join(outdir, "out-4.vtu")).read()
+    # the results dir is wiped on every coupled run: move the step-3
+    # checkpoint out before resuming
+    shutil.copy(os.path.join(outdir, "checkpoint.npz"), "ck.npz")
+    open("input.dat", "w").write(deck + "checkpoint/resume = ck.npz\n")
+    out2 = coupled_hcc.run("input.dat")
+    resumed = open(os.path.join(out2, "out-4.vtu")).read()
+
+    def field(txt, name):
+        import re
+        m = re.search(rf'Name="{name}"[^>]*>(.*?)</DataArray>', txt, re.S)
+        return np.array(m.group(1).split(), dtype=float)
+
+    for name in ("c", "u_z"):
+        a, b = field(full, name), field(resumed, name)
+        assert np.allclose(a, b, rtol=1e-9, atol=1e-12), name
