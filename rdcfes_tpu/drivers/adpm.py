@@ -19,8 +19,8 @@ from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
 from ..models.adpm import ADPM_VARS, adpm_physics
-from ..systems import TransientRDCSystem
-from .common import PerfLog, maybe_profile, output_time_points, step_banner
+from .common import (PerfLog, make_rdc_system, maybe_profile,
+                     output_time_points, step_banner)
 
 
 def load_params(deck: Deck) -> dict:
@@ -94,8 +94,12 @@ def run(deck_path: str = "input.dat") -> str:
     params = load_params(deck)
 
     with plog.scope("system setup"):
-        system = TransientRDCSystem(mesh, 3, adpm_physics)
-        state = system.initial_state(u0)
+        # deck key parallel/n_devices > 1 routes through the halo-exchange
+        # multi-chip system (reference: every case runs `mpiexec -n 4`)
+        system, get_u, put_state = make_rdc_system(
+            mesh, 3, adpm_physics, deck)
+        state = put_state(u0)
+    sharded = hasattr(system, "shard_elem_field")
 
     paraview = ParaviewWriter(mesh)
     # on resume into the same results dir, append instead of truncating
@@ -111,19 +115,26 @@ def run(deck_path: str = "input.dat") -> str:
         ("TractY", elemental_to_nodal(mesh, tracts[:, 1])),
         ("TractZ", elemental_to_nodal(mesh, tracts[:, 2])),
     ]
-    tracts_dev = jnp.asarray(tracts)
+    tracts_field = (system.shard_elem_field(tracts, axis=0) if sharded
+                    else jnp.asarray(tracts))
+
+    # driver-local geometry for the CSV quadrature loop (independent of the
+    # system's internal layout, which differs multi-chip)
+    from ..fem.geometry import geometry_factors
+    _phi, _JxW, _dphi = geometry_factors(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
+        mesh.elem_type)
+    _conn_T = jnp.asarray(mesh.connectivity.T)
 
     def elem_averages(u: np.ndarray) -> np.ndarray:
         """JxW-integrated (A_b, Tau) per element — the quadrature loop of
         save_solution (src/adpm.C:765-781)."""
-        u_qp, _ = interpolate_at_qp(
-            jnp.asarray(u).T, system.conn_T, system.phi, system.dphi
-        )
-        integ = jnp.einsum("vqe,qe->ve", u_qp[1:3], system.JxW)
+        u_qp, _ = interpolate_at_qp(jnp.asarray(u).T, _conn_T, _phi, _dphi)
+        integ = jnp.einsum("vqe,qe->ve", u_qp[1:3], _JxW)
         return np.asarray(integ).T  # (E, 2)
 
     def save(t: int, time_value: float):
-        u = np.asarray(state["u"])
+        u = get_u(state)
         with plog.scope("csv output"):
             adpm_row(csv, mesh, u, time_value, ranges, elem_averages(u))
         with plog.scope("vtu output"):
@@ -140,7 +151,7 @@ def run(deck_path: str = "input.dat") -> str:
         from ..utils import load_checkpoint
 
         st, start_step, time_value, _ = load_checkpoint(ckpt_resume, params)
-        state = {k: jnp.asarray(v) for k, v in st.items()}
+        state = system.scatter_state(st)
         print(f"resumed from {ckpt_resume} at step {start_step}")
     else:
         save(0, 0.0)
@@ -152,16 +163,16 @@ def run(deck_path: str = "input.dat") -> str:
         step_banner(t, n_steps, time_value)
         with plog.scope("solve"):
             state, iters, res = system.step(
-                state, fields={"tracts": tracts_dev, "time": time_value},
-                params=params,
+                state, fields={"tracts": tracts_field},
+                scalars={"time": time_value}, params=params,
             )
         if ckpt_step and t % ckpt_step == 0:
             from ..utils import save_checkpoint
 
             with plog.scope("checkpoint"):
                 save_checkpoint(
-                    os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
-                    params,
+                    os.path.join(DIR, "checkpoint.npz"),
+                    system.gather_state(state), t, time_value, params,
                 )
         if t in otp:
             save(t, time_value)

@@ -77,3 +77,45 @@ class PerfLog:
             print(f" {label:<28}{n:>8}{tt:>12.4f}{1e3 * tt / max(n, 1):>12.3f}",
                   file=out)
         print(f" {'TOTAL':<28}{'':>8}{total:>12.4f}", file=out)
+
+
+def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
+                    physics_blocks=None, **kwargs):
+    """Build the transient system a driver steps: single-chip by default,
+    or the halo-exchange multi-chip system when the deck asks for it.
+
+    Deck key `parallel/n_devices` (capability upgrade: the reference runs
+    every case under `mpiexec -n 4`, run/PIHNA/Makefile:6 — here the deck
+    itself selects the device count).  Returns (system, get_u, put_state)
+    where get_u(state) yields the global (N, V) solution in original node
+    order and put_state(u0) builds the initial state."""
+    import numpy as np
+
+    n_dev = int(deck("parallel/n_devices", 0))
+    if n_dev > 1:
+        import jax
+        from jax.sharding import Mesh as DeviceMesh
+
+        from ..parallel import HaloShardedSystem
+
+        devs = jax.devices()
+        if len(devs) < n_dev:
+            raise RuntimeError(
+                f"parallel/n_devices = {n_dev} but only {len(devs)} "
+                f"devices are visible"
+            )
+        dmesh = DeviceMesh(np.array(devs[:n_dev]), ("d",))
+        kw = {}
+        if clamp is not None:
+            kw["clamp"] = clamp
+        system = HaloShardedSystem(mesh, n_vars, physics, dmesh, **kw)
+        return system, (lambda st: system.gather(st["u"])), system.initial_state
+    from ..systems import TransientRDCSystem
+
+    kw = dict(kwargs)
+    if clamp is not None:
+        kw["clamp"] = clamp
+    if physics_blocks is not None:
+        kw["physics_blocks"] = physics_blocks
+    system = TransientRDCSystem(mesh, n_vars, physics, **kw)
+    return system, (lambda st: np.asarray(st["u"])), system.initial_state

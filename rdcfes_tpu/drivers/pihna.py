@@ -28,8 +28,9 @@ from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import AdaptiveMesh, adapt_flagged, gmsh
 from ..models.pihna import PIHNA_VARS, pihna_blocks, pihna_physics
-from ..systems import TransientRDCSystem
-from .common import PerfLog, maybe_profile, output_time_points, step_banner
+
+from .common import (PerfLog, make_rdc_system, maybe_profile,
+                     output_time_points, step_banner)
 
 
 def load_params(deck: Deck) -> dict:
@@ -117,9 +118,12 @@ def run(deck_path: str = "input.dat") -> str:
     ranges = load_ranges(deck)
 
     with plog.scope("system setup"):
-        system = TransientRDCSystem(mesh, 5, pihna_physics,
-                                    physics_blocks=pihna_blocks)
-        state = system.initial_state(u0)
+        # deck key parallel/n_devices > 1 routes through the halo-exchange
+        # multi-chip system (the reference runs every case under
+        # `mpiexec -n 4`, run/PIHNA/Makefile:6)
+        system, get_u, put_state = make_rdc_system(
+            mesh, 5, pihna_physics, deck, physics_blocks=pihna_blocks)
+        state = put_state(u0)
     # selective AMR history (TET4 bisection forest; mesh/adapt.py)
     amesh = AdaptiveMesh(mesh) if mesh.elem_type == "TET4" else None
 
@@ -136,7 +140,7 @@ def run(deck_path: str = "input.dat") -> str:
     rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
 
     def save(t: int, time_value: float):
-        u = np.asarray(state["u"])
+        u = get_u(state)
         with plog.scope("csv output"):
             pihna_row(csv, mesh, u, time_value, {**params, **ranges})
         with plog.scope("vtu output"):
@@ -163,14 +167,14 @@ def run(deck_path: str = "input.dat") -> str:
             structure = extra["structure"]
             hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
             rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
-            system = TransientRDCSystem(mesh, 5, pihna_physics,
-                                        physics_blocks=pihna_blocks)
+            system, get_u, put_state = make_rdc_system(
+                mesh, 5, pihna_physics, deck, physics_blocks=pihna_blocks)
             # bisection history is not serialized: resumed meshes restart
             # with a fresh forest (pre-crash refinements cannot coarsen)
             amesh = AdaptiveMesh(mesh) if mesh.elem_type == "TET4" else None
             paraview.mesh = mesh
             print(f"resumed on AMR mesh ({mesh.n_elems} elements)")
-        state = {k: jnp.asarray(v) for k, v in st.items()}
+        state = system.scatter_state(st)
         print(f"resumed from {ckpt_resume} at step {start_step}")
     else:
         save(0, 0.0)
@@ -192,7 +196,7 @@ def run(deck_path: str = "input.dat") -> str:
                 from ..mesh import refine_flagged
 
                 eta = kelly_error_indicator(
-                    mesh, jnp.asarray(state["u"]), list(range(5))
+                    mesh, jnp.asarray(get_u(state)), list(range(5))
                 )
                 flags, coarsen = flag_by_mean_stddev(
                     np.asarray(eta), amr_refine_frac, amr_coarsen_frac
@@ -215,10 +219,12 @@ def run(deck_path: str = "input.dat") -> str:
                     structure = r.restrict_elemental(structure)
                     hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
                     rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
-                    system = TransientRDCSystem(mesh, 5, pihna_physics,
-                                                physics_blocks=pihna_blocks)
-                    state = {k: jnp.asarray(r.prolong(np.asarray(v)))
-                             for k, v in state.items()}
+                    gstate = system.gather_state(state)
+                    system, get_u, put_state = make_rdc_system(
+                        mesh, 5, pihna_physics, deck,
+                        physics_blocks=pihna_blocks)
+                    state = system.scatter_state(
+                        {k: r.prolong(v) for k, v in gstate.items()})
                     paraview.mesh = mesh
         if ckpt_step and t % ckpt_step == 0:
             from ..utils import save_checkpoint
@@ -231,7 +237,8 @@ def run(deck_path: str = "input.dat") -> str:
                     ck_extras = {"structure": structure,
                                  "amr_done": np.asarray(amr_done)}
                 save_checkpoint(
-                    os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
+                    os.path.join(DIR, "checkpoint.npz"),
+                    system.gather_state(state), t, time_value,
                     params, **ck_extras,
                 )
         if t in otp:

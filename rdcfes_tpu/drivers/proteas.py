@@ -26,8 +26,8 @@ from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter
 from ..mesh import gmsh
 from ..models.proteas import PROTEAS_VARS, proteas_physics
-from ..systems import TransientRDCSystem
-from .common import PerfLog, maybe_profile, output_time_points, step_banner
+from .common import (PerfLog, make_rdc_system, maybe_profile,
+                     output_time_points, step_banner)
 
 _PARAM_KEYS = [
     ("cells/total_capacity", "cells_total_capacity"),
@@ -104,19 +104,26 @@ def run(deck_path: str = "input.dat") -> str:
     sampling = deck("proteas/aux_sampling", "full")
 
     with plog.scope("system setup"):
-        system = TransientRDCSystem(mesh, 5, proteas_physics)
-        state = system.initial_state(u0)
+        # deck key parallel/n_devices > 1 routes through the halo-exchange
+        # multi-chip system (reference: every case runs `mpiexec -n 4`)
+        system, get_u, put_state = make_rdc_system(
+            mesh, 5, proteas_physics, deck)
+        state = put_state(u0)
+    sharded = hasattr(system, "shard_elem_field")
 
-    # RTD at quadrature points (fixed for the whole run: AUX is static)
+    # RTD at quadrature points (fixed for the whole run: AUX is static);
+    # shape-function table from the element tables, system-independent
+    from ..fem.elements import tabulate
     conn = np.asarray(mesh.connectivity)
-    phi = np.asarray(system.phi)  # (Q, K)
+    phi = tabulate(mesh.elem_type)[0]  # (Q, K)
     if sampling == "reference":
         # the reference's sampling quirk: phi_1(qp) * HU(local node 1)
         # channel-first (Q, E)
         RTD_qp = phi[:, 1][:, None] * aux[conn[:, 1], 0][None, :]
     else:
         RTD_qp = np.einsum("qk,ek->qe", phi, aux[conn, 1])
-    fields = {"RTD": jnp.asarray(RTD_qp)}
+    fields = {"RTD": (system.shard_elem_field(RTD_qp) if sharded
+                      else jnp.asarray(RTD_qp))}
 
     paraview = ParaviewWriter(mesh)
     # on resume into the same results dir, extend instead of truncating
@@ -125,7 +132,7 @@ def run(deck_path: str = "input.dat") -> str:
     csv = open(out_csv, "a" if resuming else "w")  # never written, as in the reference
 
     def save(t: int):
-        u = np.asarray(state["u"])
+        u = get_u(state)
         with plog.scope("vtu output"):
             out_fields = [(name, u[:, i]) for i, name in enumerate(PROTEAS_VARS)]
             out_fields += [("HU", aux[:, 0]), ("RTD", aux[:, 1])]
@@ -140,7 +147,7 @@ def run(deck_path: str = "input.dat") -> str:
         from ..utils import load_checkpoint
 
         st, start_step, time_value, _ = load_checkpoint(ckpt_resume, params)
-        state = {k: jnp.asarray(v) for k, v in st.items()}
+        state = system.scatter_state(st)
         print(f"resumed from {ckpt_resume} at step {start_step}")
     else:
         save(0)
@@ -157,8 +164,8 @@ def run(deck_path: str = "input.dat") -> str:
 
             with plog.scope("checkpoint"):
                 save_checkpoint(
-                    os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
-                    params,
+                    os.path.join(DIR, "checkpoint.npz"),
+                    system.gather_state(state), t, time_value, params,
                 )
         if t in otp:
             save(t)

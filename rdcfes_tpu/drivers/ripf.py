@@ -29,8 +29,8 @@ from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter
 from ..mesh import gmsh
 from ..models.ripf import RIPF_VARS, ripf_physics, rt_dose_schedule
-from ..systems import TransientRDCSystem
-from .common import PerfLog, maybe_profile, output_time_points, step_banner
+from .common import (PerfLog, make_rdc_system, maybe_profile,
+                     output_time_points, step_banner)
 
 
 def load_params(deck: Deck) -> dict:
@@ -128,8 +128,18 @@ def run(deck_path: str = "input.dat") -> str:
         return jnp.concatenate([HU[None, :], rest], axis=0)
 
     with plog.scope("system setup"):
-        system = TransientRDCSystem(mesh, 3, ripf_physics, clamp=clamp)
-        state = system.initial_state(u0)
+        # deck key parallel/n_devices > 1 routes through the halo-exchange
+        # multi-chip system (reference: every case runs `mpiexec -n 4`)
+        system, get_u, put_state = make_rdc_system(
+            mesh, 3, ripf_physics, deck, clamp=clamp)
+        state = put_state(u0)
+    sharded = hasattr(system, "shard_elem_field")
+    # driver-local geometry for the TD qp fields (system-independent)
+    from ..fem.geometry import geometry_factors
+    _phi, _JxW, _dphi = geometry_factors(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
+        mesh.elem_type)
+    _conn_T = jnp.asarray(mesh.connectivity.T)
 
     # --- check_solution state (TD fields, RT schedule) --------------------
     td = np.zeros((mesh.n_nodes, 3))
@@ -139,8 +149,9 @@ def run(deck_path: str = "input.dat") -> str:
     def check(time_value: float):
         """Post-solve bookkeeping (src/ripf.C:675-775)."""
         nonlocal td, prev_raw, rt_total
-        raw = np.asarray(state["u_raw"])
-        clamped = np.asarray(state["u"])
+        gst = system.gather_state(state)
+        raw = gst["u_raw"]
+        clamped = gst["u"]
         td = (clamped - prev_raw) / dt
         prev_raw = raw
         rt_total = np.asarray(
@@ -155,17 +166,18 @@ def run(deck_path: str = "input.dat") -> str:
 
     def qp_fields():
         stacked = jnp.asarray(np.stack([td[:, 1], td[:, 2], rt_total], axis=0))
-        vals_qp, grads_qp = interpolate_at_qp(
-            stacked, system.conn_T, system.phi, system.dphi
-        )
+        vals_qp, grads_qp = interpolate_at_qp(stacked, _conn_T, _phi, _dphi)
         g = grads_qp[2]  # (Q, 3, E)
         norm = jnp.linalg.norm(g, axis=-2, keepdims=True)
-        return {
+        out = {
             "cc_dtime": vals_qp[0],
             "fb_dtime": vals_qp[1],
             "RT": vals_qp[2],
             "RT_grad_unit": jnp.where(norm > 0.0, g / jnp.where(norm == 0, 1.0, norm), 0.0),
         }
+        if sharded:
+            out = {k: system.shard_elem_field(np.asarray(v)) for k, v in out.items()}
+        return out
 
     # initial check before the loop (src/ripf.C:50-53)
     check(0.0)
@@ -178,7 +190,7 @@ def run(deck_path: str = "input.dat") -> str:
     csv = open(out_csv, "a" if resuming else "w")
 
     def save(t: int, time_value: float):
-        u = np.asarray(state["u"])
+        u = get_u(state)
         with plog.scope("csv output"):
             ripf_row(csv, mesh, u, time_value, ranges)
         with plog.scope("vtu output"):
@@ -203,7 +215,7 @@ def run(deck_path: str = "input.dat") -> str:
 
         st, start_step, time_value, extra = load_checkpoint(
             ckpt_resume, ckpt_params)
-        state = {k: jnp.asarray(v) for k, v in st.items()}
+        state = system.scatter_state(st)
         td = extra["td"]
         prev_raw = extra["prev_raw"]
         rt_total = np.asarray(rt_dose_schedule(
@@ -233,7 +245,8 @@ def run(deck_path: str = "input.dat") -> str:
 
             with plog.scope("checkpoint"):
                 save_checkpoint(
-                    os.path.join(DIR, "checkpoint.npz"), state, t, time_value,
+                    os.path.join(DIR, "checkpoint.npz"),
+                    system.gather_state(state), t, time_value,
                     ckpt_params, td=td, prev_raw=prev_raw,
                 )
         if t in otp:

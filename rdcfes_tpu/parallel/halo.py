@@ -325,21 +325,24 @@ class HaloShardedSystem:
         u = self.scatter_nodal(np.asarray(u0, dtype=np.float64))
         return {"u": u, "u_old": u, "u_older": u, "u_raw": u}
 
-    def shard_elem_field(self, arr) -> jnp.ndarray:
-        """Auxiliary field with trailing element axis (..., E) ->
-        (D, ..., Eb) device array sharded along the shard axis, elements
-        permuted into partition order and zero-padded (the reference's aux
-        systems are owner-local the same way, e.g. Tracts adpm.C:230-262).
-        """
+    def shard_elem_field(self, arr, axis: int = -1) -> jnp.ndarray:
+        """Auxiliary field with an element axis -> (D, ...) device array
+        sharded along the shard axis, elements permuted into partition
+        order and zero-padded, original axis order preserved per shard
+        (the reference's aux systems are owner-local the same way, e.g.
+        Tracts adpm.C:230-262)."""
         plan = self.plan
         a = np.asarray(arr)
-        assert a.shape[-1] == plan.n_elems, "element axis must be last"
+        a = np.moveaxis(a, axis, -1)
+        assert a.shape[-1] == plan.n_elems, "axis must index elements"
         perm = a[..., plan.elem_order]
         out = np.zeros((plan.D,) + a.shape[:-1] + (plan.Eb,), a.dtype)
         starts = np.concatenate([[0], np.cumsum(plan.elem_counts)])
         for s in range(plan.D):
             n_s = starts[s + 1] - starts[s]
             out[s][..., :n_s] = perm[..., starts[s]:starts[s + 1]]
+        # restore the caller's axis order behind the leading shard axis
+        out = np.moveaxis(out, -1, axis if axis < 0 else axis + 1)
         return jax.device_put(jnp.asarray(out), self._state_sharding)
 
     def scatter_nodal(self, arr: np.ndarray) -> jnp.ndarray:
@@ -351,6 +354,14 @@ class HaloShardedSystem:
             lo, hi = plan.node_start[s], plan.node_start[s + 1]
             out[s, :, : hi - lo] = a[lo:hi].T
         return jax.device_put(jnp.asarray(out), self._state_sharding)
+
+    def gather_state(self, state: Dict) -> Dict:
+        """Distributed state -> global (N, V) numpy arrays (original node
+        order) for IO / AMR transfer / checkpointing."""
+        return {k: self.gather(v) for k, v in state.items()}
+
+    def scatter_state(self, gstate: Dict) -> Dict:
+        return {k: self.scatter_nodal(np.asarray(v)) for k, v in gstate.items()}
 
     def gather(self, u: jnp.ndarray) -> np.ndarray:
         """(D, V, No_max) distributed -> (N, V) global original order."""

@@ -168,6 +168,15 @@ class TransientRDCSystem:
         return {"u": u0, "u_old": u0, "u_older": u0, "u_raw": u0}
 
     # ------------------------------------------------------------------
+    def gather_state(self, state: Dict) -> Dict:
+        """Uniform multi-chip-compatible accessor (HaloShardedSystem has
+        the distributed counterpart): state -> global numpy arrays."""
+        return {k: np.asarray(v) for k, v in state.items()}
+
+    def scatter_state(self, gstate: Dict) -> Dict:
+        return {k: jnp.asarray(v, dtype=self.dtype) for k, v in gstate.items()}
+
+    # ------------------------------------------------------------------
     def assemble(self, u_T: jnp.ndarray, fields: Dict, params: Dict,
                  geom=None):
         """Assemble (values (V,V,nnz), rhs (V,N)) for one linearized-CN step
@@ -444,11 +453,17 @@ class TransientRDCSystem:
 
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
-             params: Optional[Dict] = None, coords: Optional[jnp.ndarray] = None):
+             params: Optional[Dict] = None, coords: Optional[jnp.ndarray] = None,
+             scalars: Optional[Dict] = None):
         """Advance one time step. Returns (new_state, lin_iters, lin_residual).
 
         `coords` (required when moving_mesh=True) are the current node
-        positions the geometry is evaluated on."""
+        positions the geometry is evaluated on.  `scalars` (per-step values
+        like "time") are merged into `fields` — the split mirrors the
+        multi-chip system, where element fields are sharded and scalars
+        replicated."""
+        if scalars:
+            fields = {**(fields or {}), **scalars}
         if self.moving_mesh:
             assert coords is not None, "moving_mesh system needs current coords"
             return self._step_moving(state, fields or {}, params or {}, coords)

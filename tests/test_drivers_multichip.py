@@ -1,0 +1,110 @@
+"""Driver-level multi-chip execution: deck key `parallel/n_devices` routes
+PIHNA/ADPM/PROTEAS/RIPF through the halo-exchange sharded system, and the
+end-to-end artifacts (CSV rows, VTU fields) match the single-device run.
+
+Reference being matched: every shipped case runs domain-decomposed
+(`mpiexec -n 4`, reference run/PIHNA/Makefile:6) with bitwise-equal science
+outputs regardless of rank count.
+"""
+
+import os
+import re
+import shutil
+
+import numpy as np
+import pytest
+
+import jax
+
+from rdcfes_tpu import cases
+
+
+@pytest.fixture
+def in_tmp(tmp_path, monkeypatch):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    monkeypatch.chdir(tmp_path)
+    return str(tmp_path)
+
+
+def _vtu_field(path, name):
+    txt = open(path).read()
+    m = re.search(rf'Name="{name}"[^>]*>(.*?)</DataArray>', txt, re.S)
+    return np.array(m.group(1).split(), dtype=float)
+
+
+def _run_both(driver, prep, outputs):
+    """Run single-device, then 8-device, compare artifacts."""
+    deck = prep()
+    open("input.dat", "w").write(deck)
+    out1 = driver.run("input.dat")
+    arts1 = {k: fn(out1) for k, fn in outputs.items()}
+    shutil.move(out1, out1 + "_single")
+    open("input.dat", "w").write(deck + "\nparallel/n_devices = 8\n")
+    out8 = driver.run("input.dat")
+    arts8 = {k: fn(out8) for k, fn in outputs.items()}
+    for k in arts1:
+        a, b = np.asarray(arts1[k]), np.asarray(arts8[k])
+        scale = 1.0 + np.abs(a).max()
+        assert np.allclose(a, b, rtol=1e-8, atol=1e-8 * scale), (
+            f"{k}: single vs 8-device mismatch "
+            f"(max {np.abs(a - b).max():.3e})"
+        )
+
+
+def _csv_rows(out):
+    lines = open(os.path.join(out, "output.csv")).read().splitlines()
+    rows = [l for l in lines if l and not l.startswith('"')]
+    return [list(map(float, l.split(","))) for l in rows]
+
+
+def test_pihna_multichip(in_tmp):
+    from rdcfes_tpu.drivers import pihna
+
+    def prep():
+        cases.make_pihna_case(".", n=4, n_steps=3)
+        return open("input.dat").read().replace("output_step = 10",
+                                                "output_step = 3")
+
+    _run_both(pihna, prep, {
+        "csv": _csv_rows,
+        "c": lambda o: _vtu_field(
+            os.path.join(o, "Brain_Model-3.vtu"), "c"),
+    })
+
+
+def test_adpm_multichip(in_tmp):
+    from rdcfes_tpu.drivers import adpm
+
+    def prep():
+        cases.make_adpm_case(".", n=4, n_steps=3)
+        return open("input.dat").read().replace(
+            "output_step = 20", "output_step = 3").replace(
+            "time_step_number = 3", "time_step_number = 3")
+
+    _run_both(adpm, prep, {"csv": _csv_rows})
+
+
+def test_proteas_multichip(in_tmp):
+    from rdcfes_tpu.drivers import proteas
+
+    def prep():
+        cases.make_proteas_case(".", n=3, n_steps=2)
+        return open("input.dat").read()
+
+    _run_both(proteas, prep, {
+        "tum": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "tum"),
+    })
+
+
+def test_ripf_multichip(in_tmp):
+    from rdcfes_tpu.drivers import ripf
+
+    def prep():
+        cases.make_ripf_case(".", n=4, n_steps=3)
+        return open("input.dat").read().replace(
+            "output_time_points = ' 10 30 60 90 120 '",
+            "output_time_points = ' 3 '",
+        )
+
+    _run_both(ripf, prep, {"csv": _csv_rows})
