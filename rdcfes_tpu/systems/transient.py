@@ -353,9 +353,22 @@ class TransientRDCSystem:
         return acc
 
     def _qp_step_fn(self, params: Dict):
-        """Build (and cache) the jitted qp-apply step for one static
-        parameter set.  Closing over plain-float params lets the physics
-        drop deck-zero blocks from the compiled program."""
+        """Jitted (fresh, reuse) qp-apply steps for one static parameter
+        set (see _qp_raw_body)."""
+        step_fn = self._qp_raw_body(params)
+        fresh = jax.jit(lambda st, f: step_fn(st, f, None))
+        reuse = jax.jit(step_fn)
+        return fresh, reuse
+
+    def _qp_raw_body(self, params: Dict):
+        """The raw (untraced) qp-apply step body for one static parameter
+        set, cached — composable inside scan.  Closing over plain-float
+        params lets the physics drop deck-zero blocks from the compiled
+        program."""
+        key = ("__body__",) + tuple(sorted(params.items()))
+        cached = self._qp_step_cache.get(key)
+        if cached is not None:
+            return cached
         V = self.n_vars
         mixed = self.precision == "mixed" and self.dtype == jnp.float64
 
@@ -403,9 +416,8 @@ class TransientRDCSystem:
                          "u_older": state["u_old"], "u_raw": u_raw.T}
             return new_state, iters, resid, Dinv
 
-        fresh = jax.jit(lambda st, f: step_fn(st, f, None))
-        reuse = jax.jit(step_fn)
-        return fresh, reuse
+        self._qp_step_cache[key] = step_fn
+        return step_fn
 
     def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0):
         """Same mixed-precision refinement as _solve_mixed, with caller-
@@ -433,6 +445,54 @@ class TransientRDCSystem:
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         x, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
         return x, iters, rnorm / safe_b
+
+    def _qp_multi_fn(self, params: Dict, n: int):
+        """Jitted n-step advance (lax.scan) for one static parameter set:
+        the whole segment runs as ONE device program, so per-step dispatch
+        cost vanishes and XLA pipelines across steps.  The block-Jacobi
+        inverse refreshes every `precond_refresh` steps via lax.cond inside
+        the scan (iteration 0 always refreshes, so no seed is needed)."""
+        body_fn = self._qp_raw_body(params)
+        refresh = max(1, self.precond_refresh)
+        V, N = self.n_vars, self.mesh.n_nodes
+
+        def multi(state, fields):
+            Dinv0 = jnp.zeros((V, V, N), self.dtype)
+
+            def body(carry, i):
+                st, Dv = carry
+                new_state, it, res, Dv2 = jax.lax.cond(
+                    i % refresh == 0,
+                    lambda st, Dv: body_fn(st, fields, None),
+                    lambda st, Dv: body_fn(st, fields, Dv),
+                    st, Dv,
+                )
+                return (new_state, Dv2), (it, res)
+
+            (state, _), (its, ress) = jax.lax.scan(
+                body, (state, Dinv0), jnp.arange(n))
+            return state, its, ress
+
+        return jax.jit(multi)
+
+    def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
+                  params: Optional[Dict] = None,
+                  scalars: Optional[Dict] = None):
+        """Advance n steps as one compiled scan (static scalar params
+        required).  Returns (state, iters_per_step, residual_per_step)."""
+        assert self.physics_blocks is not None, "run_steps needs physics_blocks"
+        assert params and all(
+            isinstance(v, (int, float)) for v in params.values()
+        ), "run_steps needs plain-scalar params"
+        if scalars:
+            fields = {**(fields or {}), **scalars}
+        p = {k: float(v) for k, v in params.items()}
+        key = ("__multi__", int(n)) + tuple(sorted(p.items()))
+        fn = self._qp_step_cache.get(key)
+        if fn is None:
+            fn = self._qp_multi_fn(p, int(n))
+            self._qp_step_cache[key] = fn
+        return fn(state, fields or {})
 
     def _step_qp(self, state, fields, params):
         key = tuple(sorted((k, float(v)) for k, v in params.items()))
