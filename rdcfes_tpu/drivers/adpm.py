@@ -18,7 +18,7 @@ from ..io.csv_metrics import adpm_header, adpm_row
 from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
-from ..models.adpm import ADPM_VARS, adpm_physics
+from ..models.adpm import ADPM_VARS, adpm_blocks, adpm_physics
 from .common import (PerfLog, make_rdc_system, maybe_profile,
                      output_time_points, step_banner)
 
@@ -97,7 +97,7 @@ def run(deck_path: str = "input.dat") -> str:
         # deck key parallel/n_devices > 1 routes through the halo-exchange
         # multi-chip system (reference: every case runs `mpiexec -n 4`)
         system, get_u, put_state = make_rdc_system(
-            mesh, 3, adpm_physics, deck)
+            mesh, 3, adpm_physics, deck, physics_blocks=adpm_blocks)
         state = put_state(u0)
     sharded = hasattr(system, "shard_elem_field")
 

@@ -371,3 +371,89 @@ def block_diag(wfb: WeakFormBlocks, phi, JxW, dphi) -> jnp.ndarray:
             row.append(jnp.stack(cols, axis=0))
         out_rows.append(jnp.stack(row, axis=0))
     return jnp.stack(out_rows, axis=0)
+
+
+def block_element_matrices(wfb: WeakFormBlocks, phi, JxW, dphi,
+                           grad_const: bool = False) -> jnp.ndarray:
+    """Ke (V, W, K, K, E) from the block-sparse coefficients — identical
+    math to element_matrices on to_dense(wfb), but dead blocks cost nothing
+    to compute (their Ke entries are broadcast zeros)."""
+    V = wfb.n_vars
+    Q, K = phi.shape
+    E_dim = JxW.shape[-1]
+    zeroblk = jnp.zeros((K, K, E_dim), JxW.dtype)
+    if grad_const:
+        dphi0 = dphi[0]  # (K, 3, E)
+        gg = [[dphi0[i, 0] * dphi0[j, 0] + dphi0[i, 1] * dphi0[j, 1]
+               + dphi0[i, 2] * dphi0[j, 2] for j in range(K)]
+              for i in range(K)]
+    out_rows = []
+    for v in range(V):
+        row = []
+        for w in range(V):
+            c_blk = wfb.C[v][w]
+            d_blk = wfb.D[v][w]
+            e_blk = wfb.E[v][w]
+            if _is_zero(c_blk) and _is_zero(d_blk) and _is_zero(e_blk):
+                row.append(zeroblk)
+                continue
+            cq = None if _is_zero(c_blk) else [c_blk[q] * JxW[q] for q in range(Q)]
+            eq = None if _is_zero(e_blk) else [e_blk[q] * JxW[q] for q in range(Q)]
+            dq = None if _is_zero(d_blk) else [
+                d_blk[q] * JxW[q][None, :] for q in range(Q)]
+            if grad_const and eq is not None:
+                esum = sum(eq[1:], eq[0])
+            if grad_const and dq is not None:
+                # pre-contract D over q per trial index j
+                Dphi = [
+                    [sum((dq[q][d] * float(phi[q, j]) for q in range(1, Q)),
+                         dq[0][d] * float(phi[0, j])) for d in range(3)]
+                    for j in range(K)
+                ]
+            blocks_i = []
+            for i in range(K):
+                cols = []
+                for j in range(K):
+                    acc = None
+                    if cq is not None:
+                        if grad_const:
+                            acc = sum(
+                                (cq[q] * float(phi[q, i] * phi[q, j])
+                                 for q in range(1, Q)),
+                                cq[0] * float(phi[0, i] * phi[0, j]))
+                        else:
+                            acc = sum(
+                                (cq[q] * float(phi[q, i] * phi[q, j])
+                                 for q in range(1, Q)),
+                                cq[0] * float(phi[0, i] * phi[0, j]))
+                    if dq is not None:
+                        if grad_const:
+                            t = (Dphi[j][0] * dphi0[i, 0]
+                                 + Dphi[j][1] * dphi0[i, 1]
+                                 + Dphi[j][2] * dphi0[i, 2])
+                        else:
+                            t = None
+                            for q in range(Q):
+                                tq = (dq[q][0] * dphi[q, i, 0]
+                                      + dq[q][1] * dphi[q, i, 1]
+                                      + dq[q][2] * dphi[q, i, 2]
+                                      ) * float(phi[q, j])
+                                t = tq if t is None else t + tq
+                        acc = t if acc is None else acc + t
+                    if eq is not None:
+                        if grad_const:
+                            t = esum * gg[i][j]
+                        else:
+                            t = None
+                            for q in range(Q):
+                                g = (dphi[q, i, 0] * dphi[q, j, 0]
+                                     + dphi[q, i, 1] * dphi[q, j, 1]
+                                     + dphi[q, i, 2] * dphi[q, j, 2])
+                                tq = eq[q] * g
+                                t = tq if t is None else t + tq
+                        acc = t if acc is None else acc + t
+                    cols.append(acc)
+                blocks_i.append(jnp.stack(cols, axis=0))  # (K_j, E)
+            row.append(jnp.stack(blocks_i, axis=0))  # (K_i, K_j, E)
+        out_rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(out_rows, axis=0)  # (V, W, K, K, E)

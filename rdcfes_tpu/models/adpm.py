@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fem.weakform import WeakForm
+from ..fem.weakform import WeakForm, WeakFormBlocks
 from . import response as rf
 
 ADPM_VARS = ("PrP", "A_b", "Tau")
@@ -67,7 +67,15 @@ def tract_gate(grad, tracts_qp, omega):
     return jnp.where(norm > 0.0, t, 0.0)
 
 
-def adpm_physics(u_qp, grad_qp, fields, params):
+def _z(x) -> bool:
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def adpm_blocks(u_qp, grad_qp, fields, params):
+    """Block-sparse weak form for ADPM (fem.weakform.WeakFormBlocks):
+    response-function blocks whose AMPLITUDE parameter is a structural
+    Python zero are dropped from the compiled program; all formulas match
+    adpm_physics (which is derived from this function)."""
     p = params
     dt2 = p["dt"] / 2.0
     time = fields["time"]
@@ -76,10 +84,8 @@ def adpm_physics(u_qp, grad_qp, fields, params):
     PrP, Ab, Ta = u_qp[0], u_qp[1], u_qp[2]
     GAb, GTa = grad_qp[1], grad_qp[2]
     Q, E = PrP.shape
-    # tracts (E, 3) -> channel-first (Q, 3, E)
     tracts_qp = jnp.broadcast_to(tracts.T[None, :, :], (Q, 3, E))
 
-    # parameter tuples (src/adpm.C:368-411)
     gamma = p["decay_PrP_time_exponent"]
     decay_PrP = (p["decay_PrP"] * time**gamma,
                  p["decay_PrP_pulse0"], p["decay_PrP_pulse1"])
@@ -96,88 +102,121 @@ def adpm_physics(u_qp, grad_qp, fields, params):
     transform_Ta = _trapezoid5(p, "transform_Tau")
     decay_Ta = _triple(p, "decay_Tau")
 
-    tract_Ab = tract_gate(GAb, tracts_qp, p["omega_A_b"])
-    tract_Ta = tract_gate(GTa, tracts_qp, p["omega_Tau"])
+    # amplitude-zero response functions are structural zeros; note the
+    # PrP-decay amplitude is scaled by time**gamma, which only preserves
+    # zero (pi_'s amplitude multiplies the gate, src utils.h:100-139)
+    def pi(val, trip):
+        return 0.0 if _z(trip[0]) else rf.pi_(val, trip)
 
-    Tr_Ab = rf.tr_(Ab, transform_Ab)
-    Tr_Ta = rf.tr_(Ta, transform_Ta)
-    dTr_Ab = rf.deriv_tr_(Ab, transform_Ab)
-    dTr_Ta = rf.deriv_tr_(Ta, transform_Ta)
-    SD_Ab = rf.sd_(Ab, produce_Ab)
-    SD_Ta = rf.sd_(Ta, produce_Ta)
-    dSD_Ab = rf.deriv_sd_(Ab, produce_Ab)
-    dSD_Ta = rf.deriv_sd_(Ta, produce_Ta)
-    Pi_decay_PrP = rf.pi_(PrP, decay_PrP)
-    Pi_decay_Ab = rf.pi_(Ab, decay_Ab)
-    Pi_decay_Ta = rf.pi_(Ta, decay_Ta)
-    Pi_dif_Ab = rf.pi_(Ab, diffuse_Ab)
-    Pi_dif_Ta = rf.pi_(Ta, diffuse_Ta)
-    Pi_tax1_Ab = rf.pi_(Ab, taxis1_Ab)
-    Pi_tax2_Ab = rf.pi_(Ta, taxis2_Ab)   # gated by Tau (src/adpm.C:514)
-    Pi_tax1_Ta = rf.pi_(Ta, taxis1_Ta)
-    Pi_tax2_Ta = rf.pi_(Ab, taxis2_Ta)   # gated by A_b (src/adpm.C:527)
+    def sd(val, trip):
+        return 0.0 if _z(trip[0]) else rf.sd_(val, trip)
 
-    zero = jnp.zeros_like(PrP)
-    zero3 = jnp.zeros_like(GAb)
+    def dsd(val, trip):
+        return 0.0 if _z(trip[0]) else rf.deriv_sd_(val, trip)
+
+    def tr(val, t5):
+        return 0.0 if _z(t5[0]) else rf.tr_(val, t5)
+
+    def dtr(val, t5):
+        return 0.0 if _z(t5[0]) else rf.deriv_tr_(val, t5)
+
+    zero_amp_decay_PrP = _z(p["decay_PrP"])
+    Tr_Ab = tr(Ab, transform_Ab)
+    Tr_Ta = tr(Ta, transform_Ta)
+    dTr_Ab = dtr(Ab, transform_Ab)
+    dTr_Ta = dtr(Ta, transform_Ta)
+    SD_Ab = sd(Ab, produce_Ab)
+    SD_Ta = sd(Ta, produce_Ta)
+    dSD_Ab = dsd(Ab, produce_Ab)
+    dSD_Ta = dsd(Ta, produce_Ta)
+    Pi_decay_PrP = 0.0 if zero_amp_decay_PrP else rf.pi_(PrP, decay_PrP)
+    Pi_decay_Ab = pi(Ab, decay_Ab)
+    Pi_decay_Ta = pi(Ta, decay_Ta)
+    Pi_dif_Ab = pi(Ab, diffuse_Ab)
+    Pi_dif_Ta = pi(Ta, diffuse_Ta)
+    Pi_tax1_Ab = pi(Ab, taxis1_Ab)
+    Pi_tax2_Ab = pi(Ta, taxis2_Ab)   # gated by Tau (src/adpm.C:514)
+    Pi_tax1_Ta = pi(Ta, taxis1_Ta)
+    Pi_tax2_Ta = pi(Ab, taxis2_Ta)   # gated by A_b (src/adpm.C:527)
+
+    # tract gates are only needed when a taxis amplitude is live
+    need_Ab_gate = not (_z(Pi_tax1_Ab) and _z(Pi_tax2_Ta))
+    need_Ta_gate = not (_z(Pi_tax1_Ta) and _z(Pi_tax2_Ab))
+    tract_Ab = tract_gate(GAb, tracts_qp, p["omega_A_b"]) if need_Ab_gate else 0.0
+    tract_Ta = tract_gate(GTa, tracts_qp, p["omega_Tau"]) if need_Ta_gate else 0.0
+
     one = jnp.ones_like(PrP)
 
-    # ---------------- RHS -------------------------------------------------
-    A = jnp.stack(
-        [
-            PrP + dt2 * (-Tr_Ab * PrP - Tr_Ta * PrP - Pi_decay_PrP * PrP),
-            Ab + dt2 * (SD_Ab * Ab + Tr_Ab * PrP - Pi_decay_Ab * Ab),
-            Ta + dt2 * (SD_Ta * Ta + Tr_Ta * PrP - Pi_decay_Ta * Ta),
-        ]
+    def m(*fs):
+        for f in fs:
+            if _z(f):
+                return 0.0
+        acc = fs[0]
+        for f in fs[1:]:
+            acc = acc * f
+        return acc
+
+    def add(*terms):
+        live = [t for t in terms if not _z(t)]
+        if not live:
+            return 0.0
+        acc = live[0]
+        for t in live[1:]:
+            acc = acc + t
+        return acc
+
+    def neg(x):
+        return 0.0 if _z(x) else -x
+
+    def bvec(coef, G):
+        return 0.0 if (_z(coef) or _z(G)) else coef[..., None, :] * G
+
+    z = 0.0
+    A = (
+        add(PrP, m(dt2, add(neg(m(Tr_Ab, PrP)), neg(m(Tr_Ta, PrP)),
+                            neg(m(Pi_decay_PrP, PrP))))),
+        add(Ab, m(dt2, add(m(SD_Ab, Ab), m(Tr_Ab, PrP),
+                           neg(m(Pi_decay_Ab, Ab))))),
+        add(Ta, m(dt2, add(m(SD_Ta, Ta), m(Tr_Ta, PrP),
+                           neg(m(Pi_decay_Ta, Ta))))),
     )
-    B = jnp.stack(
-        [
-            zero3,
-            dt2 * (-Pi_dif_Ab[..., None, :] * GAb
-                   - (Pi_tax1_Ab * Ab)[..., None, :] * tract_Ab
-                   + (Pi_tax2_Ab * Ab)[..., None, :] * tract_Ta),
-            dt2 * (-Pi_dif_Ta[..., None, :] * GTa
-                   - (Pi_tax1_Ta * Ta)[..., None, :] * tract_Ta
-                   + (Pi_tax2_Ta * Ta)[..., None, :] * tract_Ab),
-        ]
+    B = (
+        z,
+        m(dt2, add(neg(bvec(Pi_dif_Ab, GAb)),
+                   neg(bvec(m(Pi_tax1_Ab, Ab), tract_Ab)),
+                   bvec(m(Pi_tax2_Ab, Ab), tract_Ta))),
+        m(dt2, add(neg(bvec(Pi_dif_Ta, GTa)),
+                   neg(bvec(m(Pi_tax1_Ta, Ta), tract_Ta)),
+                   bvec(m(Pi_tax2_Ta, Ta), tract_Ab))),
     )
 
-    # ---------------- Jacobian (src/adpm.C:532-591) -----------------------
-    C00 = one - dt2 * (-Tr_Ab - Tr_Ta - Pi_decay_PrP)
-    C01 = -dt2 * (-dTr_Ab * PrP)
-    C02 = -dt2 * (-dTr_Ta * PrP)
-    C10 = -dt2 * Tr_Ab
-    C11 = one - dt2 * (SD_Ab + dSD_Ab * Ab + dTr_Ab * PrP - Pi_decay_Ab)
-    D11 = -dt2 * (-Pi_tax1_Ab[..., None, :] * tract_Ab
-                  + Pi_tax2_Ab[..., None, :] * tract_Ta)
-    E11 = dt2 * Pi_dif_Ab
-    C20 = -dt2 * Tr_Ta
-    C22 = one - dt2 * (SD_Ta + dSD_Ta * Ta + dTr_Ta * PrP - Pi_decay_Ta)
-    D22 = -dt2 * (-Pi_tax1_Ta[..., None, :] * tract_Ta
-                  + Pi_tax2_Ta[..., None, :] * tract_Ab)
-    E22 = dt2 * Pi_dif_Ta
+    nd = lambda x: neg(m(dt2, x))
+    C00 = add(one, nd(add(neg(Tr_Ab), neg(Tr_Ta), neg(Pi_decay_PrP))))
+    C01 = nd(neg(m(dTr_Ab, PrP)))
+    C02 = nd(neg(m(dTr_Ta, PrP)))
+    C10 = nd(Tr_Ab)
+    C11 = add(one, nd(add(SD_Ab, m(dSD_Ab, Ab), m(dTr_Ab, PrP),
+                          neg(Pi_decay_Ab))))
+    D11 = nd(add(neg(bvec(Pi_tax1_Ab, tract_Ab)),
+                 bvec(Pi_tax2_Ab, tract_Ta)))
+    E11 = m(dt2, Pi_dif_Ab)
+    C20 = nd(Tr_Ta)
+    C22 = add(one, nd(add(SD_Ta, m(dSD_Ta, Ta), m(dTr_Ta, PrP),
+                          neg(Pi_decay_Ta))))
+    D22 = nd(add(neg(bvec(Pi_tax1_Ta, tract_Ta)),
+                 bvec(Pi_tax2_Ta, tract_Ab)))
+    E22 = m(dt2, Pi_dif_Ta)
 
-    C = jnp.stack(
-        [
-            jnp.stack([C00, C01, C02]),
-            jnp.stack([C10, C11, zero]),
-            jnp.stack([C20, zero, C22]),
-        ]
-    )
-    D = jnp.stack(
-        [
-            jnp.stack([zero3, zero3, zero3]),
-            jnp.stack([zero3, D11, zero3]),
-            jnp.stack([zero3, zero3, D22]),
-        ]
-    )
-    Emat = jnp.stack(
-        [
-            jnp.stack([zero, zero, zero]),
-            jnp.stack([zero, E11, zero]),
-            jnp.stack([zero, zero, E22]),
-        ]
-    )
-    return WeakForm(A=A, B=B, C=C, D=D, E=Emat)
+    C = ((C00, C01, C02), (C10, C11, z), (C20, z, C22))
+    D = ((z, z, z), (z, D11, z), (z, z, D22))
+    Emat = ((z, z, z), (z, E11, z), (z, z, E22))
+    return WeakFormBlocks(A=A, B=B, C=C, D=D, E=Emat)
+
+
+def adpm_physics(u_qp, grad_qp, fields, params):
+    """Dense WeakForm (legacy stacked API) derived from the block form —
+    identical values, zeros materialized."""
+    return adpm_blocks(u_qp, grad_qp, fields, params).to_dense()
 
 
 def default_params():

@@ -266,9 +266,13 @@ def _bicgstab(matvec, b, x0, rtol, maxiter):
         try:
             if "d" in jax.typeof(a).vma:
                 return a
-            return lax.pvary(a, ("d",))
-        except AttributeError:
-            return a
+            # jax >= 0.9 spelling (lax.pvary is deprecated)
+            return lax.pcast(a, ("d",), to="varying")
+        except (AttributeError, TypeError):
+            try:
+                return lax.pvary(a, ("d",))
+            except AttributeError:
+                return a
 
     z = jnp.zeros_like(b)
     one = jnp.asarray(1.0, b.dtype)

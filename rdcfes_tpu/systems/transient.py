@@ -397,7 +397,11 @@ class TransientRDCSystem:
             M = partial(apply_block_jacobi, Dinv)
             pre_matvec = lambda x: M(matvec64(x))
             pre_b = M(b)
-            x0 = 2.0 * state["u"].T - state["u_old"].T
+            # quadratic extrapolation warm start (u, u_old, u_older):
+            # cuts Krylov iterations vs the linear predictor; the converged
+            # answer is unchanged (same tolerance on the same system)
+            x0 = (3.0 * state["u"].T - 3.0 * state["u_old"].T
+                  + state["u_older"].T)
             if mixed:
                 wfb32 = wfb.cast(jnp.float32)
                 Dinv32 = Dinv.astype(jnp.float32)
