@@ -397,11 +397,10 @@ class TransientRDCSystem:
             M = partial(apply_block_jacobi, Dinv)
             pre_matvec = lambda x: M(matvec64(x))
             pre_b = M(b)
-            # quadratic extrapolation warm start (u, u_old, u_older):
-            # cuts Krylov iterations vs the linear predictor; the converged
-            # answer is unchanged (same tolerance on the same system)
-            x0 = (3.0 * state["u"].T - 3.0 * state["u_old"].T
-                  + state["u_older"].T)
+            # linear extrapolation warm start; measured better than the
+            # quadratic predictor here (clamping kinks defeat it: 791 vs
+            # 1209 inner iterations over the 120-step bench)
+            x0 = 2.0 * state["u"].T - state["u_old"].T
             if mixed:
                 wfb32 = wfb.cast(jnp.float32)
                 Dinv32 = Dinv.astype(jnp.float32)
