@@ -1,42 +1,47 @@
-"""Benchmark: PIHNA north-star case at reference scale on real hardware.
+"""Benchmark: reference-scale workloads on real hardware.
 
-Workload (BASELINE.md): the run/PIHNA configuration — ~25k nodes x 5 vars,
-~135k TET4 elements, dt=0.1, shipped deck parameters — on a synthetic
-brain-scale mesh standing in for the LFS-stripped patient mesh (same
-node/element counts, same IC structure: a Gaussian tumour seed over uniform
-vasculature).
+Primary metric (BASELINE.md): the run/PIHNA configuration — ~25k nodes x 5
+vars, ~135k TET4, dt=0.1, shipped deck parameters — on a synthetic
+brain-scale mesh standing in for the LFS-stripped patient mesh.  The full
+120-step case runs through `run_steps` (the production scan-batched
+qp-apply path, systems/transient.py) in mixed precision.
 
-Metric: time steps/sec over a timed window after jit warmup; also reports
-elements assembled per second.  `vs_baseline` compares against a MEASURED
-baseline: 0.64 steps/s for the 8-rank MPI CPU reference, derived as the
-measured single-core wall-clock of the independent scipy oracle on this
-exact workload (0.0802 steps/s, oracle/measure_baseline.py) times ideal
-8-rank MPI scaling — see PARITY.md section 4 and BASELINE_MEASURED.json for
-the derivation and its caveats.
+`vs_baseline` compares against a MEASURED baseline: 0.64 steps/s for the
+8-rank MPI CPU reference, derived as the measured single-core wall-clock
+of the independent scipy oracle on this exact workload (0.0802 steps/s,
+oracle/measure_baseline.py) times ideal 8-rank MPI scaling — see PARITY.md
+section 4 and BASELINE_MEASURED.json for the derivation and its caveats.
+
+Secondary metrics in the same JSON line:
+- ADPM at run/HCP102513 scale and parameters (400 steps, dt=0.05,
+  taxis-active) — a Krylov-bound regime, with iteration counts.
+- One solid load step at production scale (~110k HEX8) through the
+  channel-first Newton path.
 
 Prints ONE JSON line.
 """
 
 import json
+import os
 import time
+import traceback
 
 import numpy as np
 
 
-def main():
+def pihna_bench():
     import jax
 
     from rdcfes_tpu.mesh import box_tet_mesh
-    from rdcfes_tpu.models.pihna import default_params, pihna_physics
+    from rdcfes_tpu.models.pihna import (default_params, pihna_blocks,
+                                         pihna_physics)
     from rdcfes_tpu.systems import TransientRDCSystem
 
-    # ~25k nodes, ~135k tets: 28^3 grid -> 24,389 nodes, 131,712 tets.
-    # Brain-like physical extent (mm) so element sizes — and with them the
-    # conditioning / Krylov iteration counts of the implicit step — match
-    # the real run/PIHNA patient-mesh case (h ~ 5 mm, mass-dominated).
+    # ~25k nodes, ~135k tets: 28^3 grid -> 24,389 nodes, 131,712 tets,
+    # brain-like extent (mm) so element sizes / conditioning match the
+    # real run/PIHNA patient-mesh case
     n = 28
     mesh = box_tet_mesh(n, n, n, bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
-
     Kk = 2.39e5
     params = default_params()
     params.update(
@@ -47,11 +52,7 @@ def main():
         diffuse_v=0.5, produce_v=10.0,
         secrete_a_c=2.77e-13, secrete_a_h=5.22e-10, decay_a=5678.4,
     )
-
-    # IC magnitudes follow the deck's own range thresholds
-    # (active_tumor/min = 500, vascularity/min = 7200): tumour seed of a few
-    # thousand cells/mm^3 over a ~7200 vasculature background — the regime
-    # the reference's linearized-CN scheme is stable in at dt = 0.1
+    params = {k: float(v) for k, v in params.items()}
     rng = np.random.default_rng(0)
     u0 = np.zeros((mesh.n_nodes, 5))
     r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
@@ -60,49 +61,147 @@ def main():
     u0[:, 3] = 7200.0 * (1.0 + 0.1 * rng.random(mesh.n_nodes))
     u0[:, 4] = 1e-10
 
-    # mixed precision = f32 inner Krylov + f64 iterative refinement: same
-    # converged f64 answer (final preconditioned residual ~1e-13, far below
-    # the 1e-8 parity bar) at ~1.3x the solve throughput on TPU
-    # precond_refresh: the block-Jacobi inverse is only a preconditioner —
-    # the converged answer is tolerance-identical; recomputing every 10
-    # steps drops its diag-restrict + inverse cost from most steps
-    system = TransientRDCSystem(mesh, 5, pihna_physics, precision="mixed",
-                                precond_refresh=10)
-
+    system = TransientRDCSystem(mesh, 5, pihna_physics,
+                                physics_blocks=pihna_blocks,
+                                precision="mixed", precond_refresh=10)
     # warmup (compile)
-    state = system.initial_state(u0)
-    for _ in range(3):
-        state, iters, res = system.step(state, params=params)
+    state, its, ress = system.run_steps(system.initial_state(u0), 120,
+                                        params=params)
     jax.block_until_ready(state["u"])
 
-    # timed: the full 120-step reference case from the initial state
-    n_timed = 120
-    state = system.initial_state(u0)
     t0 = time.perf_counter()
-    for _ in range(n_timed):
-        state, iters, res = system.step(state, params=params)
+    state, its, ress = system.run_steps(system.initial_state(u0), 120,
+                                        params=params)
     jax.block_until_ready(state["u"])
-    dt_wall = time.perf_counter() - t0
+    wall = time.perf_counter() - t0
 
-    steps_per_sec = n_timed / dt_wall
-    elems_per_sec = steps_per_sec * mesh.n_elems
-    # measured single-core oracle x 8 ideal MPI ranks (PARITY.md section 4)
-    baseline_steps_per_sec = 0.64
     u = np.asarray(state["u"])
     assert np.isfinite(u).all() and (u >= 0).all()
-
-    print(json.dumps({
-        "metric": "PIHNA brain-scale (24.4k nodes/131.7k TET4, 5 vars) time steps/sec",
+    steps_per_sec = 120 / wall
+    return {
         "value": round(steps_per_sec, 4),
-        "unit": "steps/sec",
-        "vs_baseline": round(steps_per_sec / baseline_steps_per_sec, 2),
-        "elements_assembled_per_sec": round(elems_per_sec, 0),
-        "krylov_iters_last_step": int(iters),
-        "linear_residual": float(res),
+        "elements_assembled_per_sec": round(steps_per_sec * mesh.n_elems, 0),
+        "inner_iters_total": int(np.asarray(its).sum()),
+        "linear_residual": float(np.asarray(ress)[-1]),
         "n_nodes": mesh.n_nodes,
         "n_elems": mesh.n_elems,
+    }
+
+
+def adpm_bench():
+    """Solver-heavy regime: run/HCP102513 scale + params, taxis ACTIVE
+    (the shipped deck's `taxis/A_b` never reaches the solver due to the
+    documented taxis_1 key quirk; this bench spells the keys the way the
+    code reads them so the Krylov loop is genuinely exercised)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rdcfes_tpu.mesh import box_tet_mesh
+    from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,
+                                        default_params)
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    n = 28  # 24,389 nodes / 131,712 tets ~ HCP102513's 25,935 / 125,702
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
+    p = default_params()
+    p.update(
+        dt=0.05,
+        decay_PrP=1.0e-4, decay_PrP_pulse0=0.01, decay_PrP_pulse1=10.0,
+        taxis1_A_b=0.999999e3, taxis1_A_b_pulse0=-1.0,
+        taxis1_A_b_pulse1=0.01,
+        taxis1_Tau=0.999999e3, taxis1_Tau_pulse0=-1.0,
+        taxis1_Tau_pulse1=0.01,
+        decay_Tau=1.0e1, decay_Tau_pulse0=0.0005, decay_Tau_pulse1=1.0e20,
+        diffuse_A_b=2e-4, diffuse_A_b_pulse0=-1.0, diffuse_A_b_pulse1=1e20,
+    )
+    p = {k: float(v) for k, v in p.items()}
+    rng = np.random.default_rng(0)
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0 = np.zeros((N, 3))
+    u0[:, 0] = 1.0
+    u0[:, 1] = 1e-3 * np.exp(-r2 / (2 * 20.0**2))
+    u0[:, 2] = 1e-4 * np.exp(-r2 / (2 * 15.0**2))
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    tracts /= np.linalg.norm(tracts, axis=1, keepdims=True)
+
+    system = TransientRDCSystem(mesh, 3, adpm_physics,
+                                physics_blocks=adpm_blocks,
+                                precision="mixed", precond_refresh=10)
+    fields = {"tracts": jnp.asarray(tracts), "time": 1.0}
+    state, its, _ = system.run_steps(system.initial_state(u0), 50,
+                                     fields=fields, params=p)  # warmup
+    jax.block_until_ready(state["u"])
+    t0 = time.perf_counter()
+    state, its, ress = system.run_steps(system.initial_state(u0), 400,
+                                        fields=fields, params=p)
+    jax.block_until_ready(state["u"])
+    wall = time.perf_counter() - t0
+    u = np.asarray(state["u"])
+    assert np.isfinite(u).all()
+    return {
+        "adpm_steps_per_sec": round(400 / wall, 3),
+        "adpm_inner_iters_total": int(np.asarray(its).sum()),
+        "adpm_linear_residual": float(np.asarray(ress)[-1]),
+    }
+
+
+def solid_bench():
+    """One load step of the channel-first hyperelastic Newton path at
+    production scale (~110k HEX8) — the reference's solid hot loop
+    (solid_system.C:146-271) at ~150x the shipped cube case size."""
+    import jax
+
+    from rdcfes_tpu.mesh import box_hex_mesh
+    from rdcfes_tpu.solvers.newton import NewtonOptions
+    from rdcfes_tpu.systems.solid import SolidSystem
+
+    n = 48  # 48^3 = 110,592 HEX8, 117,649 nodes
+    mesh = box_hex_mesh(n, n, n, bounds=((0, 1.0), (0, 1.0), (0, 1.0)))
+    system = SolidSystem(
+        mesh,
+        materials={0: {"young": 1.0e3, "poisson": 0.3}},
+        bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.05)},
+        penalty=1.0e6,
+        newton=NewtonOptions(max_nonlinear_iterations=20,
+                             relative_residual_tolerance=1e-6),
+    )
+    x0 = system.initial_positions()
+    res = system.run_solver(x0, 0.5)  # warmup (compile) + first solve
+    t0 = time.perf_counter()
+    res = system.run_solver(x0, 0.5)
+    jax.block_until_ready(res.x)
+    wall = time.perf_counter() - t0
+    assert bool(np.isfinite(np.asarray(res.x)).all())
+    return {
+        "solid_hex8_elems": mesh.n_elems,
+        "solid_load_step_sec": round(wall, 2),
+        "solid_newton_iters": int(res.iters),
+        "solid_converged": bool(res.converged),
+    }
+
+
+def main():
+    import jax
+
+    out = {
+        "metric": "PIHNA brain-scale (24.4k nodes/131.7k TET4, 5 vars) time steps/sec",
+        "unit": "steps/sec",
         "device": str(jax.devices()[0]),
-    }))
+    }
+    pihna = pihna_bench()
+    out.update(pihna)
+    # measured single-core oracle x 8 ideal MPI ranks (PARITY.md section 4)
+    baseline_steps_per_sec = 0.64
+    out["vs_baseline"] = round(pihna["value"] / baseline_steps_per_sec, 2)
+    for fn in (adpm_bench, solid_bench):
+        try:
+            out.update(fn())
+        except Exception as e:  # secondary benches must not kill the line
+            out[fn.__name__ + "_error"] = f"{type(e).__name__}: {e}"
+            if os.environ.get("RDCFES_BENCH_DEBUG"):
+                traceback.print_exc()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

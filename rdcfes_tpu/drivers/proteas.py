@@ -25,7 +25,7 @@ from ..io import dat, provenance
 from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter
 from ..mesh import gmsh
-from ..models.proteas import PROTEAS_VARS, proteas_physics
+from ..models.proteas import PROTEAS_VARS, proteas_blocks, proteas_physics
 from .common import (PerfLog, make_rdc_system, maybe_profile,
                      output_time_points, step_banner)
 
@@ -107,7 +107,7 @@ def run(deck_path: str = "input.dat") -> str:
         # deck key parallel/n_devices > 1 routes through the halo-exchange
         # multi-chip system (reference: every case runs `mpiexec -n 4`)
         system, get_u, put_state = make_rdc_system(
-            mesh, 5, proteas_physics, deck)
+            mesh, 5, proteas_physics, deck, physics_blocks=proteas_blocks)
         state = put_state(u0)
     sharded = hasattr(system, "shard_elem_field")
 

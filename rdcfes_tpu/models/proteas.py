@@ -43,13 +43,22 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fem.weakform import WeakForm
+from ..fem.weakform import WeakForm, WeakFormBlocks
 from .response import heaviside
 
 PROTEAS_VARS = ("hos", "tum", "nec", "vsc", "oed")
 
 
-def proteas_physics(u_qp, grad_qp, fields, params):
+def _z(x) -> bool:
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def proteas_blocks(u_qp, grad_qp, fields, params):
+    """Block-sparse weak form (fem.weakform.WeakFormBlocks): the PROTEAS
+    Jacobian is structurally sparse (only tumour diffusion couples rows
+    spatially, only oedema adds a second Laplacian) and deck-zero
+    diffusivities drop their blocks at trace time.  Formulas identical to
+    proteas_physics (which is derived from this function)."""
     p = params
     dt2 = p["dt"] / 2.0
     RTD = fields["RTD"]  # (E, Q)
@@ -98,31 +107,28 @@ def proteas_physics(u_qp, grad_qp, fields, params):
     oed_RT = xi_e * (RTD / RT_max) ** p_RT_e
     oed_clear = psi_e * (1.0 - heaviside(vsc - u_e))
 
-    zero = jnp.zeros_like(hos)
-    zero3 = jnp.zeros_like(Ghos)
     one = jnp.ones_like(hos)
+    z = 0.0
+    dc_live = not _z(D_c)
+    dch_live = not _z(D_c_h)
+    de_live = not _z(D_e)
 
     # ---------------- RHS -------------------------------------------------
-    A = jnp.stack(
-        [
-            hos + dt2 * (host_prol * hos * (1.0 - hos) - host_RT_death * hos
-                         - host_nec * hos),
-            tum + dt2 * (tum_prol * tum - tum_RT_death * tum - tum_nec * tum),
-            nec + dt2 * (nec_prol * nec - nec_clear * nec),
-            vsc + dt2 * (vsc_prol * vsc - vsc_nec * vsc),
-            oed + dt2 * (oed_prol * oed - oed_RT * oed - oed_clear * oed),
-        ]
+    A = (
+        hos + dt2 * (host_prol * hos * (1.0 - hos) - host_RT_death * hos
+                     - host_nec * hos),
+        tum + dt2 * (tum_prol * tum - tum_RT_death * tum - tum_nec * tum),
+        nec + dt2 * (nec_prol * nec - nec_clear * nec),
+        vsc + dt2 * (vsc_prol * vsc - vsc_nec * vsc),
+        oed + dt2 * (oed_prol * oed - oed_RT * oed - oed_clear * oed),
     )
-    B = jnp.stack(
-        [
-            zero3,
-            dt2 * (-(D_c * Kappa)[..., None, :] * Gtum
-                   - (D_c_h * Kappa * tum)[..., None, :] * Ghos),
-            zero3,
-            zero3,
-            dt2 * (-D_e) * Goed,
-        ]
-    )
+    B1_terms = []
+    if dc_live:
+        B1_terms.append(-(D_c * Kappa)[..., None, :] * Gtum)
+    if dch_live:
+        B1_terms.append(-(D_c_h * Kappa * tum)[..., None, :] * Ghos)
+    B1 = dt2 * sum(B1_terms[1:], B1_terms[0]) if B1_terms else z
+    B = (z, B1, z, z, (dt2 * (-D_e) * Goed if de_live else z))
 
     # ---------------- Jacobian (src/proteas.C:566-697) --------------------
     hh = dhost_prol * hos * (1.0 - hos)
@@ -132,14 +138,18 @@ def proteas_physics(u_qp, grad_qp, fields, params):
     C02 = -dt2 * (hh - nu_h * hos)
     C03 = -dt2 * hh
 
-    Dkap_tum = -dt2 * ((-D_c * dKappa) * Gtum
-                       + (-D_c_h * dKappa) * tum[..., None, :] * Ghos)
+    Dk_terms = []
+    if dc_live:
+        Dk_terms.append((-D_c * dKappa) * Gtum)
+    if dch_live:
+        Dk_terms.append((-D_c_h * dKappa) * tum[..., None, :] * Ghos)
+    Dkap_tum = -dt2 * sum(Dk_terms[1:], Dk_terms[0]) if Dk_terms else z
     C10 = -dt2 * (dtum_prol * tum)
     D10 = Dkap_tum
-    E10 = dt2 * D_c_h * Kappa * tum
+    E10 = dt2 * D_c_h * Kappa * tum if dch_live else z
     C11 = one - dt2 * (dtum_prol * tum + tum_prol - tum_RT_death - tum_nec)
-    D11 = -dt2 * (-D_c * dKappa) * Gtum
-    E11 = dt2 * D_c * Kappa
+    D11 = -dt2 * (-D_c * dKappa) * Gtum if dc_live else z
+    E11 = dt2 * D_c * Kappa if dc_live else z
     C12 = -dt2 * (dtum_prol * tum - nu_c * tum)
     D12 = Dkap_tum
     C13 = -dt2 * (dtum_prol * tum)
@@ -157,36 +167,35 @@ def proteas_physics(u_qp, grad_qp, fields, params):
 
     C41 = -dt2 * (doed_prol_dc * oed)
     C44 = one - dt2 * (oed_prol - oed_RT - oed_clear)
-    E44 = dt2 * D_e * one
+    E44 = dt2 * D_e * one if de_live else z
 
-    C = jnp.stack(
-        [
-            jnp.stack([C00, C01, C02, C03, zero]),
-            jnp.stack([C10, C11, C12, C13, zero]),
-            jnp.stack([C20, C21, C22, C23, zero]),
-            jnp.stack([C30, C31, C32, C33, zero]),
-            jnp.stack([zero, C41, zero, zero, C44]),
-        ]
+    C = (
+        (C00, C01, C02, C03, z),
+        (C10, C11, C12, C13, z),
+        (C20, C21, C22, C23, z),
+        (C30, C31, C32, C33, z),
+        (z, C41, z, z, C44),
     )
-    D = jnp.stack(
-        [
-            jnp.stack([zero3] * 5),
-            jnp.stack([D10, D11, D12, D13, zero3]),
-            jnp.stack([zero3] * 5),
-            jnp.stack([zero3] * 5),
-            jnp.stack([zero3] * 5),
-        ]
+    D = (
+        (z, z, z, z, z),
+        (D10, D11, D12, D13, z),
+        (z, z, z, z, z),
+        (z, z, z, z, z),
+        (z, z, z, z, z),
     )
-    Em = jnp.stack(
-        [
-            jnp.stack([zero] * 5),
-            jnp.stack([E10, E11, zero, zero, zero]),
-            jnp.stack([zero] * 5),
-            jnp.stack([zero] * 5),
-            jnp.stack([zero, zero, zero, zero, E44]),
-        ]
+    Em = (
+        (z, z, z, z, z),
+        (E10, E11, z, z, z),
+        (z, z, z, z, z),
+        (z, z, z, z, z),
+        (z, z, z, z, E44),
     )
-    return WeakForm(A=A, B=B, C=C, D=D, E=Em)
+    return WeakFormBlocks(A=A, B=B, C=C, D=D, E=Em)
+
+
+def proteas_physics(u_qp, grad_qp, fields, params):
+    """Dense WeakForm (legacy stacked API) derived from the block form."""
+    return proteas_blocks(u_qp, grad_qp, fields, params).to_dense()
 
 
 def default_params():

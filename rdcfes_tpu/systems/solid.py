@@ -37,7 +37,7 @@ from ..fem.bcsr import bcsr_matvec
 from ..fem.geometry import face_geometry_factors, geometry_factors
 from ..mesh.core import FACE_TYPE, Mesh
 from ..models.eig3 import principal_stress_invariants
-from ..models.hyperelastic import stress_and_tangent
+from ..models.hyperelastic import stress_and_tangent_cf
 from ..solvers.newton import NewtonOptions, NewtonResult, NewtonSolver
 
 # B-matrix slot table: (axis v, voigt a) -> gradient component, for the
@@ -134,6 +134,9 @@ class SolidSystem:
         else:
             self.bc_faces = None
 
+        # channel-first undeformed element coordinates (K, 3, E)
+        self.X0e_cf = jnp.asarray(
+            np.transpose(mesh.coords[mesh.connectivity], (1, 2, 0)))
         self.face_type = FACE_TYPE[mesh.elem_type]
         self._newton = NewtonSolver(self.sp, newton)
         self._assemble_jit = jax.jit(self.assemble)
@@ -146,44 +149,103 @@ class SolidSystem:
     # ------------------------------------------------------------------
     def assemble(self, x_T: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Residual (3, N) and block tangent values (3, 3, nnz) at current
-        positions x_T (3, N) — channel-first at the solver boundary.
+        positions x_T (3, N) — channel-first throughout.
 
-        NOTE: the constitutive tensor algebra below keeps (E, Q, 3, 3)
-        layouts internally; on TPU those tile-pad ~8-25x, which is fine at
-        the shipped solid-case scales (<= O(10k) elements) but a
-        channel-first relayout of models/hyperelastic.py is the next step
-        for production-scale solid meshes."""
+        The constitutive algebra runs in the channel-first layout of
+        models/hyperelastic.stress_and_tangent_cf: every 3x3/6x6 tensor is
+        a nested list of (Q, E) arrays with the big axes minor, so nothing
+        tile-pads on TPU (the previous (E, Q, 3, 3) einsum layout padded
+        ~8-25x and overflowed HBM at production solid scales)."""
         mesh = self.mesh
         x = x_T.T  # (N, 3)
         phi, JxW, dphi = geometry_factors(x, self.conn, mesh.elem_type)
-        # dphi (Q, K, 3, E) -> element-leading view for the tensor kernels
-        dphi_eq = jnp.transpose(dphi, (3, 0, 1, 2))  # (E, Q, K, 3)
-        JxW_eq = JxW.T  # (E, Q)
-        X0e = self.X0[self.conn]  # (E, K, 3)
-        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi_eq, X0e)
-        lam = 1.0 + pseudo_time * self.rates  # (E, 3)
-        EQ = JxW_eq.shape
-        sigma, tangent, _F = stress_and_tangent(
-            grad_X,
-            jnp.broadcast_to(lam[:, None, :], EQ + (3,)),
-            jnp.broadcast_to(self.fibres[:, None, :], EQ + (3,)),
-            self.young[:, None],
-            self.poisson[:, None],
-            self.fibre_k[:, None],
+        Q, K = phi.shape
+        # grad_X[d][r] (Q, E) = d X0_d / d x_r
+        grad_X = [
+            [sum(dphi[:, k, r, :] * self.X0e_cf[k, d, :] for k in range(K))
+             for r in range(3)]
+            for d in range(3)
+        ]
+        lam_e = 1.0 + pseudo_time * self.rates  # (E, 3)
+        lam = [lam_e[:, d] for d in range(3)]   # broadcast (E,) vs (Q, E)
+        eta = [self.fibres[:, d] for d in range(3)]
+        sigma, tangent, _F = stress_and_tangent_cf(
+            grad_X, lam, eta, self.young, self.poisson, self.fibre_k,
             want_tangent=True,
         )
-        # residual: B_i^T sigma  == sigma . grad(phi_i)  -> Fe (3, K, E)
-        Fe = jnp.einsum("eq,eqvd,eqid->vie", JxW_eq, sigma, dphi_eq)
-        # geometric stiffness: (grad phi_i . sigma . grad phi_j) delta_vw
-        G = jnp.einsum("eq,eqic,eqcd,eqjd->ije", JxW_eq, dphi_eq, sigma, dphi_eq)
-        Kgeo = jnp.einsum("vw,ije->vwije", jnp.eye(3), G)
-        # material stiffness: B_i^T tangent B_j
-        E_, Q, K, _ = dphi_eq.shape
-        B = jnp.zeros((E_, Q, K, 3, 6))
-        for (v, a), comp in _B_SLOTS.items():
-            B = B.at[..., v, a].set(dphi_eq[..., comp])
-        Kmat = jnp.einsum("eq,eqiva,eqab,eqjwb->vwije", JxW_eq, B, tangent, B)
-        values = assemble_matrix(Kgeo + Kmat, self.slots_flat_cf, self.sp.nnz)
+        # residual: Fe[v, i] = sum_q JxW sum_d sigma[v][d] dphi[q, i, d]
+        Fe = jnp.stack([
+            jnp.stack([
+                sum(JxW[q] * (sigma[v][0][q] * dphi[q, i, 0]
+                              + sigma[v][1][q] * dphi[q, i, 1]
+                              + sigma[v][2][q] * dphi[q, i, 2])
+                    for q in range(Q))
+                for i in range(K)
+            ])
+            for v in range(3)
+        ])  # (3, K, E)
+
+        # geometric stiffness G[i][j] = sum_q JxW grad_i . sigma . grad_j
+        # staged: s1[d][i] = sum_c dphi[q, i, c] sigma[c][d]
+        G = [[None] * K for _ in range(K)]
+        for q in range(Q):
+            s1 = [
+                [dphi[q, i, 0] * sigma[0][d][q]
+                 + dphi[q, i, 1] * sigma[1][d][q]
+                 + dphi[q, i, 2] * sigma[2][d][q] for i in range(K)]
+                for d in range(3)
+            ]
+            for i in range(K):
+                for j in range(K):
+                    t = JxW[q] * (s1[0][i] * dphi[q, j, 0]
+                                  + s1[1][i] * dphi[q, j, 1]
+                                  + s1[2][i] * dphi[q, j, 2])
+                    G[i][j] = t if G[i][j] is None else G[i][j] + t
+
+        # material stiffness: B_i^T tangent B_j, staged through
+        # T1[a][w][j] = sum_b tangent[a][b] B_j[w, b]
+        slots_of = [[(a, comp) for (v, a), comp in _B_SLOTS.items() if v == vv]
+                    for vv in range(3)]
+        Kmat = [[[[None] * K for _ in range(K)] for _ in range(3)]
+                for _ in range(3)]
+        for q in range(Q):
+            Bq = [[None] * 6 for _ in range(3)]  # B[w][b] = dphi component
+            for (w, b), comp in _B_SLOTS.items():
+                Bq[w][b] = dphi[q, :, comp, :]  # (K, E) view per (w, b)
+            tq = [[tangent[a][b][q] for b in range(6)] for a in range(6)]
+            for w in range(3):
+                for j in range(K):
+                    T1 = [None] * 6
+                    for a in range(6):
+                        acc = None
+                        for (b, comp) in slots_of[w]:
+                            t = tq[a][b] * dphi[q, j, comp, :]
+                            acc = t if acc is None else acc + t
+                        T1[a] = acc
+                    for v in range(3):
+                        for i in range(K):
+                            acc = None
+                            for (a, comp) in slots_of[v]:
+                                t = dphi[q, i, comp, :] * T1[a]
+                                acc = t if acc is None else acc + t
+                            t = JxW[q] * acc
+                            cur = Kmat[v][w][i][j]
+                            Kmat[v][w][i][j] = t if cur is None else cur + t
+
+        Ke = jnp.stack([
+            jnp.stack([
+                jnp.stack([
+                    jnp.stack([
+                        Kmat[v][w][i][j] + (G[i][j] if v == w else 0.0)
+                        for j in range(K)
+                    ])
+                    for i in range(K)
+                ])
+                for w in range(3)
+            ])
+            for v in range(3)
+        ])  # (3, 3, K, K, E)
+        values = assemble_matrix(Ke, self.slots_flat_cf, self.sp.nnz)
         R = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
 
         if self.bc_faces is not None:
@@ -241,22 +303,32 @@ class SolidSystem:
         """Per-element pressure, Von Mises, current fibre vector
         (reference post_process, src/solid_system.C:394-538)."""
         phi, JxW, dphi = geometry_factors(x, self.conn, self.mesh.elem_type)
-        dphi_eq = jnp.transpose(dphi, (3, 0, 1, 2))  # (E, Q, K, 3)
-        X0e = self.X0[self.conn]
-        grad_X = jnp.einsum("eqkr,ekd->eqdr", dphi_eq, X0e)
-        lam = 1.0 + pseudo_time * self.rates
-        EQ = JxW.T.shape
-        sigma, _, F = stress_and_tangent(
-            grad_X,
-            jnp.broadcast_to(lam[:, None, :], EQ + (3,)),
-            jnp.broadcast_to(self.fibres[:, None, :], EQ + (3,)),
-            self.young[:, None], self.poisson[:, None], self.fibre_k[:, None],
-            want_tangent=False,
+        Q, K = phi.shape
+        grad_X = [
+            [sum(dphi[:, k, r, :] * self.X0e_cf[k, d, :] for k in range(K))
+             for r in range(3)]
+            for d in range(3)
+        ]
+        lam_e = 1.0 + pseudo_time * self.rates
+        sigma, _, F = stress_and_tangent_cf(
+            grad_X, [lam_e[:, d] for d in range(3)],
+            [self.fibres[:, d] for d in range(3)],
+            self.young, self.poisson, self.fibre_k, want_tangent=False,
         )
-        nq = sigma.shape[1]
-        sigma_avg = sigma.sum(axis=1) / nq  # arithmetic qp mean, as reference
+        # arithmetic qp mean, as the reference; back to (E, 3, 3) only for
+        # the tiny per-element eigensolver input
+        nq = Q
+        sigma_avg = jnp.stack([
+            jnp.stack([sigma[i][j].sum(axis=0) / nq for j in range(3)],
+                      axis=-1)
+            for i in range(3)
+        ], axis=-2)  # (E, 3, 3)
         p, vm = principal_stress_invariants(sigma_avg)
-        fibre_cur = jnp.einsum("eqij,ej->ei", F, self.fibres) / nq
+        fibre_cur = jnp.stack([
+            (F[i][0] * self.fibres[:, 0] + F[i][1] * self.fibres[:, 1]
+             + F[i][2] * self.fibres[:, 2]).sum(axis=0) / nq
+            for i in range(3)
+        ], axis=-1)  # (E, 3)
         return p, vm, fibre_cur
 
     def post_process(self, x: jnp.ndarray, pseudo_time: float):
