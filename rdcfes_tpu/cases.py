@@ -18,6 +18,24 @@ import numpy as np
 from .mesh import box_tet_mesh, gmsh
 
 
+def _write_makefile(directory: str, args: str) -> None:
+    """Run-harness parity: each reference case dir ships a Makefile whose
+    `run` target launches the solver and tees stdout to output.txt
+    (run/PIHNA/Makefile:6 `mpiexec -n 4 ../.././rdcFEs* -m pihna 2>&1 |
+    tee output.txt`).  The TPU equivalent launches the CLI; distribution
+    is selected by the deck key `parallel/n_devices` instead of mpiexec."""
+    with open(os.path.join(directory, "Makefile"), "w") as f:
+        f.write(
+            "default: run\n"
+            "#\n"
+            "run:\n"
+            f"\tpython3 -m rdcfes_tpu.cli {args} 2>&1 | tee output.txt\n"
+            "#\n"
+            "clean:\n"
+            "\trm -rf simulation output.txt\n"
+        )
+
+
 def _brain_mesh(n: int = 28):
     """~24k nodes / ~132k TET4 over a 150x180x150 mm box (the run/PIHNA
     patient mesh is 24,903 nodes / 134,646 elements)."""
@@ -101,6 +119,7 @@ decay/a = 5678.4
 """
     with open(os.path.join(directory, "input.dat"), "w") as f:
         f.write(deck)
+    _write_makefile(directory, "-m pihna")
     return directory
 
 
@@ -173,6 +192,7 @@ fb/haptotaxis=0.05
 """
     with open(os.path.join(directory, "input.dat"), "w") as f:
         f.write(deck)
+    _write_makefile(directory, "-m ripf")
     return directory
 
 
@@ -233,6 +253,7 @@ decay/Tau/pulse/0 = 0.0005
 """
     with open(os.path.join(directory, "input.dat"), "w") as f:
         f.write(deck)
+    _write_makefile(directory, "-m adpm")
     return directory
 
 
@@ -290,6 +311,7 @@ oedema/diffusion = 0.1
 """
     with open(os.path.join(directory, "input.dat"), "w") as f:
         f.write(deck)
+    _write_makefile(directory, "-m proteas input=input.dat")
     return directory
 
 
@@ -387,4 +409,5 @@ material/3002/Hyperelastic/VolumetricStretchRatio/rate_2 = 3.0e-1
 """
     with open(os.path.join(directory, "input.dat"), "w") as f:
         f.write(deck)
+    _write_makefile(directory, "-c hcc")
     return directory
