@@ -173,78 +173,51 @@ class SolidSystem:
             grad_X, lam, eta, self.young, self.poisson, self.fibre_k,
             want_tangent=True,
         )
-        # residual: Fe[v, i] = sum_q JxW sum_d sigma[v][d] dphi[q, i, d]
-        Fe = jnp.stack([
-            jnp.stack([
-                sum(JxW[q] * (sigma[v][0][q] * dphi[q, i, 0]
-                              + sigma[v][1][q] * dphi[q, i, 1]
-                              + sigma[v][2][q] * dphi[q, i, 2])
-                    for q in range(Q))
-                for i in range(K)
-            ])
-            for v in range(3)
-        ])  # (3, K, E)
+        # stack the nested-list tensors once: (3, 3, Q, E) / (6, 6, Q, E);
+        # all per-(i, j) contractions below are broadcast ops with the big
+        # E axis minor — O(100) HLO ops total (a fully unrolled i/j/q loop
+        # nest compiled for tens of minutes at HEX8)
+        sig = jnp.stack([jnp.stack(r) for r in sigma])        # (3, 3, Q, E)
+        tan = jnp.stack([jnp.stack(r) for r in tangent])      # (6, 6, Q, E)
 
-        # geometric stiffness G[i][j] = sum_q JxW grad_i . sigma . grad_j
-        # staged: s1[d][i] = sum_c dphi[q, i, c] sigma[c][d]
-        G = [[None] * K for _ in range(K)]
+        Fe = None
+        G = None
+        Kmat = None
+        zeroE = jnp.zeros_like(JxW[0])
         for q in range(Q):
-            s1 = [
-                [dphi[q, i, 0] * sigma[0][d][q]
-                 + dphi[q, i, 1] * sigma[1][d][q]
-                 + dphi[q, i, 2] * sigma[2][d][q] for i in range(K)]
-                for d in range(3)
-            ]
-            for i in range(K):
-                for j in range(K):
-                    t = JxW[q] * (s1[0][i] * dphi[q, j, 0]
-                                  + s1[1][i] * dphi[q, j, 1]
-                                  + s1[2][i] * dphi[q, j, 2])
-                    G[i][j] = t if G[i][j] is None else G[i][j] + t
-
-        # material stiffness: B_i^T tangent B_j, staged through
-        # T1[a][w][j] = sum_b tangent[a][b] B_j[w, b]
-        slots_of = [[(a, comp) for (v, a), comp in _B_SLOTS.items() if v == vv]
-                    for vv in range(3)]
-        Kmat = [[[[None] * K for _ in range(K)] for _ in range(3)]
-                for _ in range(3)]
-        for q in range(Q):
-            Bq = [[None] * 6 for _ in range(3)]  # B[w][b] = dphi component
-            for (w, b), comp in _B_SLOTS.items():
-                Bq[w][b] = dphi[q, :, comp, :]  # (K, E) view per (w, b)
-            tq = [[tangent[a][b][q] for b in range(6)] for a in range(6)]
-            for w in range(3):
-                for j in range(K):
-                    T1 = [None] * 6
-                    for a in range(6):
-                        acc = None
-                        for (b, comp) in slots_of[w]:
-                            t = tq[a][b] * dphi[q, j, comp, :]
-                            acc = t if acc is None else acc + t
-                        T1[a] = acc
-                    for v in range(3):
-                        for i in range(K):
-                            acc = None
-                            for (a, comp) in slots_of[v]:
-                                t = dphi[q, i, comp, :] * T1[a]
-                                acc = t if acc is None else acc + t
-                            t = JxW[q] * acc
-                            cur = Kmat[v][w][i][j]
-                            Kmat[v][w][i][j] = t if cur is None else cur + t
-
-        Ke = jnp.stack([
-            jnp.stack([
+            sig_q = sig[:, :, q, :] * JxW[q]                  # (3, 3, E)
+            dphi_q = dphi[q]                                  # (K, 3, E)
+            # residual: (3, K, E) = sum_d sig[v, d] dphi[i, d]
+            fe_q = (sig_q[:, None, :, :] * dphi_q[None, :, :, :]).sum(2)
+            Fe = fe_q if Fe is None else Fe + fe_q
+            # geometric stiffness: s1[i, d] = sum_c dphi[i, c] sig[c, d]
+            s1 = (dphi_q[:, :, None, :] * sig_q[None, :, :, :]).sum(1)
+            g_q = (s1[:, None, :, :] * dphi_q[None, :, :, :]).sum(2)
+            G = g_q if G is None else G + g_q                 # (K, K, E)
+            # material stiffness: B (3, 6, K, E) sparse placement of dphi
+            Bq = jnp.stack([
                 jnp.stack([
-                    jnp.stack([
-                        Kmat[v][w][i][j] + (G[i][j] if v == w else 0.0)
-                        for j in range(K)
-                    ])
-                    for i in range(K)
+                    (dphi_q[:, _B_SLOTS[(v, a)], :]
+                     if (v, a) in _B_SLOTS else
+                     jnp.zeros_like(dphi_q[:, 0, :]))
+                    for a in range(6)
                 ])
-                for w in range(3)
-            ])
-            for v in range(3)
-        ])  # (3, 3, K, K, E)
+                for v in range(3)
+            ])                                                # (3, 6, K, E)
+            tan_q = tan[:, :, q, :] * JxW[q]                  # (6, 6, E)
+            # T1[a, w, j] = sum_b tan[a, b] B[w, b, j]
+            T1 = None
+            for b in range(6):
+                t = (tan_q[:, b][:, None, None, :]
+                     * Bq[None, :, b, :, :])                  # (6, 3, K, E)
+                T1 = t if T1 is None else T1 + t
+            # Kmat[v, w, i, j] = sum_a B[v, a, i] T1[a, w, j]
+            for a in range(6):
+                t = (Bq[:, a][:, None, :, None, :]
+                     * T1[a][None, :, None, :, :])            # (3,3,K,K,E)
+                Kmat = t if Kmat is None else Kmat + t
+
+        Ke = Kmat + jnp.eye(3)[:, :, None, None, None] * G[None, None]
         values = assemble_matrix(Ke, self.slots_flat_cf, self.sp.nnz)
         R = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
 
