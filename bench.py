@@ -89,10 +89,14 @@ def pihna_bench():
 
 
 def adpm_bench():
-    """Solver-heavy regime: run/HCP102513 scale + params, taxis ACTIVE
-    (the shipped deck's `taxis/A_b` never reaches the solver due to the
-    documented taxis_1 key quirk; this bench spells the keys the way the
-    code reads them so the Krylov loop is genuinely exercised)."""
+    """Solver-heavy regime: run/HCP102513 scale, dt and response params,
+    taxis ACTIVE (the shipped deck's `taxis/A_b` never reaches the solver
+    due to the documented taxis_1 key quirk — the reference's effective
+    run is taxis-off).  Amplitude 50 instead of the deck's nominal 1e3:
+    at 1e3 the advection CFL is ~10 and the block-Jacobi/BiCGStab stack
+    does not converge (measured); 50 converges at ~24 inner iterations
+    per step — 4x the PIHNA bench — so this measures a genuinely
+    Krylov-bound regime."""
     import jax
     import jax.numpy as jnp
 
@@ -107,9 +111,9 @@ def adpm_bench():
     p.update(
         dt=0.05,
         decay_PrP=1.0e-4, decay_PrP_pulse0=0.01, decay_PrP_pulse1=10.0,
-        taxis1_A_b=0.999999e3, taxis1_A_b_pulse0=-1.0,
+        taxis1_A_b=50.0, taxis1_A_b_pulse0=-1.0,
         taxis1_A_b_pulse1=0.01,
-        taxis1_Tau=0.999999e3, taxis1_Tau_pulse0=-1.0,
+        taxis1_Tau=50.0, taxis1_Tau_pulse0=-1.0,
         taxis1_Tau_pulse1=0.01,
         decay_Tau=1.0e1, decay_Tau_pulse0=0.0005, decay_Tau_pulse1=1.0e20,
         diffuse_A_b=2e-4, diffuse_A_b_pulse0=-1.0, diffuse_A_b_pulse1=1e20,

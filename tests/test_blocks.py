@@ -1,0 +1,125 @@
+"""Block-sparse weak forms: the structural contracts.
+
+1. to_dense(blocks) == the legacy dense WeakForm for every model that has
+   both forms, with and without deck-zero parameters.
+2. The qp-apply matrix-free matvec equals the materialized element-matrix
+   matvec (same operator, applied two ways).
+3. block_rhs / block_diag match their dense counterparts.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rdcfes_tpu.fem.assembly import interpolate_at_qp
+from rdcfes_tpu.fem.weakform import (
+    block_diag,
+    block_element_matrices,
+    block_rhs,
+    element_matrices,
+    element_vectors,
+    qp_apply,
+)
+from rdcfes_tpu.mesh import box_tet_mesh
+
+
+def _pihna_setup(zero_deck):
+    from rdcfes_tpu.models.pihna import default_params, pihna_blocks
+
+    mesh = box_tet_mesh(3, 3, 3)
+    Kk = 2.39e5
+    p = default_params()
+    p.update(dt=0.1, cells_min_capacity=1.0, cells_max_capacity=Kk,
+             cells_max_capacity_exponent=3.0, cytokines_max_capacity=1e-8,
+             necrosis_c=500 / Kk, necrosis_h=200 / Kk, necrosis_v=300 / Kk,
+             produce_c=-2.5, switch_c2h=1.0, switch_h2c=1.82,
+             switch_h2n=0.5, produce_v=10.0, secrete_a_c=2.77e-13,
+             secrete_a_h=5.22e-10, uptake_a_v=1e-3, decay_a=5678.4)
+    if not zero_deck:
+        p.update(diffuse_c=0.5, taxis_c=2e-5, diffuse_h=1.0, taxis_h=4e-5,
+                 diffuse_v=0.2, taxis_v=1e-4)
+    rng = np.random.default_rng(0)
+    u = rng.uniform(0.0, 1000.0, (mesh.n_nodes, 5))
+    return mesh, p, u, pihna_blocks, 5, {}
+
+
+def _adpm_setup(zero_deck):
+    from rdcfes_tpu.models.adpm import adpm_blocks, default_params
+
+    mesh = box_tet_mesh(3, 3, 3)
+    p = default_params()
+    p.update(dt=0.05, decay_PrP=1e-4, decay_Tau=1.0)
+    if not zero_deck:
+        p.update(diffuse_A_b=0.05, taxis1_A_b=0.5, diffuse_Tau=0.01,
+                 taxis1_Tau=0.2)
+    rng = np.random.default_rng(1)
+    u = rng.uniform(0.0, 1.0, (mesh.n_nodes, 3))
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    return mesh, p, u, adpm_blocks, 3, {
+        "tracts": jnp.asarray(tracts), "time": 1.0}
+
+
+def _proteas_setup(zero_deck):
+    from rdcfes_tpu.models.proteas import default_params, proteas_blocks
+
+    mesh = box_tet_mesh(3, 3, 3)
+    p = default_params()
+    p.update(dt=0.01)
+    if zero_deck:
+        p.update(tumour_diffusion=0.0, tumour_diffusion_host=0.0,
+                 oedema_diffusion=0.0)
+    rng = np.random.default_rng(2)
+    u = rng.uniform(0.0, 0.4, (mesh.n_nodes, 5))
+    Q = 5
+    rtd = rng.uniform(0.0, 30.0, (Q, mesh.n_elems))
+    return mesh, p, u, proteas_blocks, 5, {"RTD": jnp.asarray(rtd)}
+
+
+SETUPS = {"pihna": _pihna_setup, "adpm": _adpm_setup, "proteas": _proteas_setup}
+
+
+@pytest.mark.parametrize("model", sorted(SETUPS))
+@pytest.mark.parametrize("zero_deck", [False, True])
+def test_qp_apply_equals_element_matrices(model, zero_deck):
+    mesh, p, u, blocks_fn, V, fields = SETUPS[model](zero_deck)
+    from rdcfes_tpu.fem.geometry import geometry_factors
+
+    conn_T = jnp.asarray(mesh.connectivity.T)
+    phi, JxW, dphi = geometry_factors(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
+        mesh.elem_type)
+    u_T = jnp.asarray(u.T)
+    u_qp, g_qp = interpolate_at_qp(u_T, conn_T, phi, dphi)
+    p = {k: float(v) for k, v in p.items()}
+    wfb = blocks_fn(u_qp, g_qp, fields, p)
+    wf = wfb.to_dense()
+
+    # dense element matrices from the two forms agree
+    Ke_dense = element_matrices(wf, phi, JxW, dphi, grad_const=True)
+    Ke_block = block_element_matrices(wfb, phi, JxW, dphi, grad_const=True)
+    assert np.allclose(np.asarray(Ke_dense), np.asarray(Ke_block),
+                       rtol=1e-12, atol=1e-12)
+
+    # rhs agrees
+    Fe_dense = element_vectors(wf, phi, JxW, dphi)
+    Fe_block = block_rhs(wfb, phi, JxW, dphi)
+    assert np.allclose(np.asarray(Fe_dense), np.asarray(Fe_block),
+                       rtol=1e-12, atol=1e-12)
+
+    # matrix-free qp application == materialized Ke application
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((V, mesh.n_nodes)))
+    x_qp, gx_qp = interpolate_at_qp(x, conn_T, phi, dphi)
+    Ye = qp_apply(wfb, phi, JxW, dphi, x_qp, gx_qp)          # (V, K, E)
+    xe = x[:, conn_T]                                         # (V, K, E)
+    Ye_ref = jnp.einsum("vwije,wje->vie", Ke_dense, xe)
+    scale = float(jnp.abs(Ye_ref).max()) + 1e-30
+    assert np.allclose(np.asarray(Ye), np.asarray(Ye_ref),
+                       rtol=1e-10, atol=1e-10 * scale)
+
+    # diagonal blocks agree with Ke's (i, i) entries
+    dg = block_diag(wfb, phi, JxW, dphi)
+    dg_ref = jnp.einsum("vwiie->vwie", Ke_dense)
+    assert np.allclose(np.asarray(dg), np.asarray(dg_ref),
+                       rtol=1e-11, atol=1e-11 * scale)
