@@ -291,22 +291,22 @@ class TransientRDCSystem:
         tol = self.rtol * safe_b
 
         def cond(s):
-            x, rnorm, iters, k = s
+            x, r, rnorm, iters, k = s
             return jnp.logical_and(rnorm > tol, k < 12)
 
         def body(s):
-            x, _, iters, k = s
-            r = pre_b - pre_matvec64(x)  # f64 preconditioned residual
+            # f64 residual carried (see _refine_mixed)
+            x, r, _, iters, k = s
             inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
             x = x + inner.x.astype(jnp.float64)
             r2 = pre_b - pre_matvec64(x)
-            return (x, jnp.sqrt(jnp.vdot(r2, r2).real), iters + inner.iters,
-                    k + 1)
+            return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real),
+                    iters + inner.iters, k + 1)
 
         r0 = pre_b - pre_matvec64(x0)
-        init = (x0, jnp.sqrt(jnp.vdot(r0, r0).real),
+        init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        x, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
+        x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
         return x, iters, rnorm / safe_b
 
     def _fresh_dinv(self, diag_e):
@@ -431,22 +431,23 @@ class TransientRDCSystem:
         tol = self.rtol * safe_b
 
         def cond(s):
-            x, rnorm, iters, k = s
+            x, r, rnorm, iters, k = s
             return jnp.logical_and(rnorm > tol, k < 12)
 
         def body(s):
-            x, _, iters, k = s
-            r = pre_b - pre_matvec64(x)
+            # the f64 preconditioned residual is CARRIED, not recomputed:
+            # one true-operator application per outer pass instead of two
+            x, r, _, iters, k = s
             inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
             x = x + inner.x.astype(jnp.float64)
             r2 = pre_b - pre_matvec64(x)
-            return (x, jnp.sqrt(jnp.vdot(r2, r2).real),
+            return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real),
                     iters + inner.iters, k + 1)
 
         r0 = pre_b - pre_matvec64(x0)
-        init = (x0, jnp.sqrt(jnp.vdot(r0, r0).real),
+        init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        x, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
+        x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
         return x, iters, rnorm / safe_b
 
     def _qp_multi_fn(self, params: Dict, n: int):
