@@ -140,7 +140,9 @@ def run(deck_path: str = "input.dat") -> str:
         with plog.scope("vtu output"):
             fields = [(name, u[:, i]) for i, name in enumerate(ADPM_VARS)]
             fields += tract_fields
-            paraview.update_pvd(fields, t)
+            paraview.update_pvd(
+                fields, t,
+                processor_id=getattr(system, "processor_id", None))
 
     # checkpoint/resume (capability upgrade over the reference)
     ckpt_step = deck("checkpoint/step", 0)

@@ -146,7 +146,9 @@ def run(deck_path: str = "input.dat") -> str:
         with plog.scope("vtu output"):
             fields = [(name, u[:, i]) for i, name in enumerate(PIHNA_VARS)]
             fields += [("HU", hu_nodal), ("RT", rt_nodal)]
-            paraview.update_pvd(fields, t)
+            paraview.update_pvd(
+                fields, t,
+                processor_id=getattr(system, "processor_id", None))
 
     start_step = 0
     time_value = 0.0

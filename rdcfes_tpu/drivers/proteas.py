@@ -136,7 +136,9 @@ def run(deck_path: str = "input.dat") -> str:
         with plog.scope("vtu output"):
             out_fields = [(name, u[:, i]) for i, name in enumerate(PROTEAS_VARS)]
             out_fields += [("HU", aux[:, 0]), ("RTD", aux[:, 1])]
-            paraview.update_pvd(out_fields, t)
+            paraview.update_pvd(
+                out_fields, t,
+                processor_id=getattr(system, "processor_id", None))
 
     # checkpoint/resume (capability upgrade over the reference)
     ckpt_step = deck("checkpoint/step", 0)

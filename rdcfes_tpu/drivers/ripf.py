@@ -203,7 +203,9 @@ def run(deck_path: str = "input.dat") -> str:
                 ("RT_dose/focus", rt[:, 1]),
                 ("RT_dose/total", rt_total),
             ]
-            paraview.update_pvd(fields, t)
+            paraview.update_pvd(
+                fields, t,
+                processor_id=getattr(system, "processor_id", None))
 
     ckpt_params = {k: v for k, v in params.items()
                    if not k.startswith("_") and k not in

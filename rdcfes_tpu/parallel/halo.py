@@ -355,6 +355,16 @@ class HaloShardedSystem:
             out[s, :, : hi - lo] = a[lo:hi].T
         return jax.device_put(jnp.asarray(out), self._state_sharding)
 
+    @property
+    def processor_id(self) -> np.ndarray:
+        """(E,) owning-shard id per element in ORIGINAL element order — the
+        reference exports this per element to VTU (paraview.h:113-117)."""
+        plan = self.plan
+        part_sorted = np.repeat(np.arange(plan.D), plan.elem_counts)
+        out = np.empty(plan.n_elems, dtype=np.int32)
+        out[plan.elem_order] = part_sorted
+        return out
+
     def gather_state(self, state: Dict) -> Dict:
         """Distributed state -> global (N, V) numpy arrays (original node
         order) for IO / AMR transfer / checkpointing."""
