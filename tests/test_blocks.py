@@ -123,3 +123,32 @@ def test_qp_apply_equals_element_matrices(model, zero_deck):
     dg_ref = jnp.einsum("vwiie->vwie", Ke_dense)
     assert np.allclose(np.asarray(dg), np.asarray(dg_ref),
                        rtol=1e-11, atol=1e-11 * scale)
+
+
+def test_run_steps_matches_per_step():
+    """The scan-batched multi-step advance equals the per-step path,
+    including element fields and the preconditioner refresh schedule."""
+    from rdcfes_tpu.models.adpm import adpm_blocks, adpm_physics, default_params
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    mesh = box_tet_mesh(4, 4, 4)
+    p = default_params()
+    p.update(dt=0.05, decay_PrP=1e-4, diffuse_A_b=0.05, taxis1_A_b=0.5,
+             decay_Tau=1.0)
+    p = {k: float(v) for k, v in p.items()}
+    rng = np.random.default_rng(3)
+    u0 = rng.uniform(0.0, 1.0, (mesh.n_nodes, 3))
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    fields = {"tracts": jnp.asarray(tracts), "time": 1.0}
+
+    a = TransientRDCSystem(mesh, 3, adpm_physics, physics_blocks=adpm_blocks,
+                           precond_refresh=3)
+    b = TransientRDCSystem(mesh, 3, adpm_physics, physics_blocks=adpm_blocks,
+                           precond_refresh=3)
+    sa, sb = a.initial_state(u0), b.initial_state(u0)
+    for _ in range(7):
+        sa, _, _ = a.step(sa, fields=fields, params=p)
+    sb, its, ress = b.run_steps(sb, 7, fields=fields, params=p)
+    ua, ub = np.asarray(sa["u"]), np.asarray(sb["u"])
+    assert np.linalg.norm(ua - ub) / np.linalg.norm(ua) < 1e-12
+    assert np.isfinite(np.asarray(ress)).all()
