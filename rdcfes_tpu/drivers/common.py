@@ -108,6 +108,8 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
         kw = {}
         if clamp is not None:
             kw["clamp"] = clamp
+        if physics_blocks is not None:
+            kw["physics_blocks"] = physics_blocks
         system = HaloShardedSystem(mesh, n_vars, physics, dmesh, **kw)
         return system, (lambda st: system.gather(st["u"])), system.initial_state
     from ..systems import TransientRDCSystem

@@ -45,12 +45,19 @@ PIHNA_VARS = ("n", "c", "h", "v", "a")
 
 def crowding_factor(total_over_kappa, kappa_k, ek):
     """(Tau, dTau/d rho_i) with the reference's clamped branches
-    (src/pihna.C:446-472).  The derivative is identical for every species."""
+    (src/pihna.C:446-472).  The derivative is identical for every species.
+
+    One pow instead of two: tau = base**ek = base**(ek-1) * base — pow is
+    the dominant transcendental of the coefficient build (measured), and
+    the factored form is exact (pow(b, e) is itself exp(e log b), so
+    b**(e-1) * b and b**e agree to round-off; the oracle parity test keeps
+    this honest)."""
     Te = total_over_kappa
     base = jnp.clip(1.0 - Te, 1e-300, 1.0)
     interior = jnp.logical_and(Te > 0.0, Te < 1.0)
-    tau = jnp.where(Te <= 0.0, 1.0, jnp.where(interior, base**ek, 0.0))
-    dtau = jnp.where(interior, (-ek / kappa_k) * base ** (ek - 1.0), 0.0)
+    pe1 = base ** (ek - 1.0)
+    tau = jnp.where(Te <= 0.0, 1.0, jnp.where(interior, pe1 * base, 0.0))
+    dtau = jnp.where(interior, (-ek / kappa_k) * pe1, 0.0)
     return tau, dtau
 
 

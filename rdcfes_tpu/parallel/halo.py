@@ -49,7 +49,13 @@ except ImportError:  # older jax
 
 from ..fem.assembly import interpolate_at_qp
 from ..fem.geometry import geometry_factors
-from ..fem.weakform import element_matrices, element_vectors
+from ..fem.weakform import (
+    block_diag,
+    block_rhs,
+    element_matrices,
+    element_vectors,
+    qp_apply,
+)
 from ..mesh.core import Mesh
 from ..native import partition_rcb
 from ..solvers.krylov import DEFAULT_MAXITER, DEFAULT_RTOL, small_block_inverse
@@ -254,10 +260,17 @@ class HaloShardedSystem:
         clamp: Callable = clamp_nonnegative,
         rtol: float = DEFAULT_RTOL,
         maxiter: int = DEFAULT_MAXITER,
+        physics_blocks: Optional[Callable] = None,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
         self.physics = physics
+        # block-sparse physics: when provided and step params are plain
+        # Python scalars, the shard program uses the matrix-free qp-apply
+        # path (same design as the single-chip production step) — no
+        # per-shard element-matrix materialization
+        self.physics_blocks = physics_blocks
+        self._qp_cache = {}
         self.clamp = clamp
         self.rtol = rtol
         self.maxiter = maxiter
@@ -497,13 +510,105 @@ class HaloShardedSystem:
         return new_blk, iters, res
 
     # ------------------------------------------------------------------
+    def _step_shard_qp_fn(self, params: Dict):
+        """Per-shard program with static params and the qp-apply matvec
+        (block-sparse physics; no Ke materialization)."""
+        V = self.n_vars
+
+        def step_shard(u_blk, efields, scalars, conn_local, JxW, dphi,
+                       node_gather, rev_gather, mask, *send_tabs):
+            u = u_blk["u"][0]
+            u_old = u_blk["u_old"][0]
+            ng = node_gather[0]
+            msk = mask[0]
+            conn = conn_local[0]
+            JxW_ = JxW[:, 0]
+            dphi_ = dphi[:, :, :, 0]
+            fields = {k: v[0] for k, v in efields.items()}
+            fields.update(scalars)
+
+            def restrict(flat_local):
+                pad = jnp.zeros(flat_local.shape[:-1] + (1,),
+                                flat_local.dtype)
+                f = jnp.concatenate([flat_local, pad], axis=-1)
+                acc = f[..., ng[0]]
+                for c in range(1, ng.shape[0]):
+                    acc = acc + f[..., ng[c]]
+                return acc
+
+            def pdot(a, b):
+                return lax.psum(jnp.vdot(a, b), "d")
+
+            ug = self._ghost_fill(u, send_tabs)
+            u_qp, grad_qp = interpolate_at_qp(ug, conn, self.phi, dphi_)
+            wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
+            Fe = block_rhs(wfb, self.phi, JxW_, dphi_)
+            b = self._reverse_add(restrict(Fe.reshape(V, -1)), rev_gather)
+            diag_e = block_diag(wfb, self.phi, JxW_, dphi_)
+            diag = self._reverse_add(
+                restrict(diag_e.reshape(V, V, -1)).reshape(V * V, -1),
+                rev_gather,
+            ).reshape(V, V, -1)
+            empty = jnp.abs(diag).sum(axis=(0, 1)) == 0.0
+            diag = jnp.where(
+                empty[None, None, :],
+                jnp.broadcast_to(jnp.eye(V)[:, :, None], diag.shape), diag,
+            )
+            Dinv = small_block_inverse(diag, pivot=False)
+
+            def matvec(x):
+                xg = self._ghost_fill(x, send_tabs)
+                x_qp, gx_qp = interpolate_at_qp(xg, conn, self.phi, dphi_)
+                Ye = qp_apply(wfb, self.phi, JxW_, dphi_, x_qp, gx_qp)
+                return self._reverse_add(
+                    restrict(Ye.reshape(V, -1)), rev_gather)
+
+            def precond(r):
+                return jnp.sum(Dinv * r[None], axis=1)
+
+            pre_matvec = lambda x: precond(matvec(x))
+            pre_b = precond(b) * msk
+            x0 = (2.0 * u - u_old) * msk
+            x, iters, res = _bicgstab_dist(
+                pre_matvec, pre_b, x0, msk, pdot, self.rtol, self.maxiter)
+            u_raw = x * msk
+            u_new = self.clamp(u_raw)
+            new_blk = {
+                "u": u_new[None], "u_old": u_blk["u"],
+                "u_older": u_blk["u_old"], "u_raw": u_raw[None],
+            }
+            return new_blk, iters, res
+
+        in_specs = (
+            P("d"), P("d"), P(),
+            P("d"), P(None, "d"), P(None, None, None, "d"),
+            P("d"), P("d"), P("d"),
+        ) + tuple(P("d") for _ in self.plan.send_idx)
+        fn = shard_map(step_shard, mesh=self.dmesh,
+                       in_specs=in_specs, out_specs=(P("d"), P(), P()))
+        return jax.jit(fn)
+
+    # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
              params: Optional[Dict] = None,
              scalars: Optional[Dict] = None):
         """fields: dict of element-sharded arrays from shard_elem_field
         (leading shard axis); scalars: replicated per-step values (e.g.
         "time")."""
-        out = self._step(state, fields or {}, scalars or {}, params or {},
+        params = params or {}
+        if (self.physics_blocks is not None and params
+                and all(isinstance(v, (int, float)) for v in params.values())):
+            key = tuple(sorted((k, float(v)) for k, v in params.items()))
+            fn = self._qp_cache.get(key)
+            if fn is None:
+                fn = self._step_shard_qp_fn(
+                    {k: float(v) for k, v in params.items()})
+                self._qp_cache[key] = fn
+            return fn(state, fields or {}, scalars or {},
+                      self.conn_local_s, self.JxW_s, self.dphi_s,
+                      self.node_gather_s, self.rev_gather_s, self.mask_s,
+                      *self.send_idx_s)
+        out = self._step(state, fields or {}, scalars or {}, params,
                          self.conn_local_s, self.JxW_s, self.dphi_s,
                          self.node_gather_s, self.rev_gather_s, self.mask_s,
                          *self.send_idx_s)

@@ -62,10 +62,19 @@ def test_scatter_gather_roundtrip(dmesh8):
     assert np.abs(halo.gather(st["u"]) - u0).max() == 0.0
 
 
-def test_halo_step_matches_single_chip(dmesh8):
-    """8-device halo solve == single-chip solve at 1e-8 over 5 steps."""
+@pytest.mark.parametrize("use_blocks", [False, True])
+def test_halo_step_matches_single_chip(dmesh8, use_blocks):
+    """8-device halo solve == single-chip solve at 1e-8 over 5 steps,
+    through both the dense and the qp-apply (block-sparse) shard
+    programs."""
+    from rdcfes_tpu.models.pihna import pihna_blocks
+
     mesh, p, u0 = _pihna_case(6)
-    halo = HaloShardedSystem(mesh, 5, pihna_physics, dmesh8)
+    halo = HaloShardedSystem(
+        mesh, 5, pihna_physics, dmesh8,
+        physics_blocks=pihna_blocks if use_blocks else None)
+    if use_blocks:
+        p = {k: float(v) for k, v in p.items()}
     ref = TransientRDCSystem(mesh, 5, pihna_physics)
     st_r, st_h = ref.initial_state(u0), halo.initial_state(u0)
     for _ in range(5):
