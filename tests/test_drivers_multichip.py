@@ -108,3 +108,25 @@ def test_ripf_multichip(in_tmp):
         )
 
     _run_both(ripf, prep, {"csv": _csv_rows})
+
+
+def test_pihna_multichip_with_amr(in_tmp):
+    """Selective AMR under distributed execution: flags are computed from
+    the gathered state, the mesh adapts identically, and the halo system
+    is rebuilt on the refined mesh — final artifacts match single-device."""
+    from rdcfes_tpu.drivers import pihna
+
+    def prep():
+        cases.make_pihna_case(".", n=4, n_steps=3)
+        deck = open("input.dat").read().replace("output_step = 10",
+                                                "output_step = 3")
+        deck += ("refinement_step = 2\n"
+                 "mesh/AMR/max_steps = 1\n"
+                 "mesh/AMR/max_level = 1\n")
+        return deck
+
+    _run_both(pihna, prep, {
+        "csv": _csv_rows,
+        "c": lambda o: _vtu_field(
+            os.path.join(o, "Brain_Model-3.vtu"), "c"),
+    })
