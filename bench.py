@@ -196,6 +196,8 @@ def solid_bench():
 def main():
     import jax
 
+    t_start = time.perf_counter()
+    budget = float(os.environ.get("RDCFES_BENCH_BUDGET", "1500"))
     out = {
         "metric": "PIHNA brain-scale (24.4k nodes/131.7k TET4, 5 vars) time steps/sec",
         "unit": "steps/sec",
@@ -207,6 +209,11 @@ def main():
     baseline_steps_per_sec = 0.64
     out["vs_baseline"] = round(pihna["value"] / baseline_steps_per_sec, 2)
     for fn in (adpm_bench, solid_bench):
+        if time.perf_counter() - t_start > budget:
+            # remote-tunnel compiles are slow; guarantee the JSON line
+            # lands even under a tight harness timeout
+            out[fn.__name__ + "_skipped"] = "bench time budget exhausted"
+            continue
         try:
             out.update(fn())
         except Exception as e:  # secondary benches must not kill the line
