@@ -20,7 +20,6 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem import elements
 from ..io import dat, provenance
 from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter

@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fem.weakform import WeakForm, WeakFormBlocks
+from ..fem.weakform import WeakFormBlocks
 from . import response as rf
 
 ADPM_VARS = ("PrP", "A_b", "Tau")

@@ -43,7 +43,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fem.weakform import WeakForm, WeakFormBlocks
+from ..fem.weakform import WeakFormBlocks
 from .response import heaviside
 
 PROTEAS_VARS = ("hos", "tum", "nec", "vsc", "oed")

@@ -23,17 +23,14 @@ reference (psi_i psi_j * penalty only, geometry treated as frozen).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem import elements
 from ..fem.assembly import assemble_matrix, assemble_vector, build_sparsity
-from ..fem.bcsr import bcsr_matvec
 from ..fem.geometry import face_geometry_factors, geometry_factors
 from ..mesh.core import FACE_TYPE, Mesh
 from ..models.eig3 import principal_stress_invariants
