@@ -87,3 +87,61 @@ def test_trajectory_parity():
         worst = max(worst, rel)
     assert np.isfinite(uo).all()
     assert worst < 1e-8, f"parity violated: worst rel L2 {worst:.3e}"
+
+
+def test_adpm_trajectory_parity():
+    """ADPM vs the independent scipy oracle: assembly at machine eps and
+    a 30-step trajectory under the 1e-8 bar, with response functions,
+    tract-gated taxis and diffusion all active."""
+    import jax.numpy as jnp
+
+    from oracle.adpm_numpy import AdpmOracle
+
+    from rdcfes_tpu.models.adpm import adpm_physics, default_params
+    from tests.helpers import dense_from_bcsr
+
+    mesh = box_tet_mesh(4, 4, 4, bounds=((0, 20.0), (0, 20.0), (0, 20.0)))
+    p = default_params()
+    p.update(dt=0.05,
+             decay_PrP=1e-4, decay_PrP_pulse0=0.01, decay_PrP_pulse1=10.0,
+             diffuse_A_b=0.05, taxis1_A_b=0.5, taxis2_A_b=0.2,
+             produce_A_b=0.3, produce_A_b_s0=0.2, produce_A_b_s1=0.8,
+             transform_A_b=0.1, transform_A_b_t0=0.01, transform_A_b_t1=0.1,
+             transform_A_b_t2=0.5, transform_A_b_t3=0.9,
+             decay_A_b=0.05,
+             diffuse_Tau=0.02, taxis1_Tau=0.3, decay_Tau=1.0)
+    rng = np.random.default_rng(5)
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(1)
+    u0 = np.zeros((N, 3))
+    u0[:, 0] = 1.0
+    u0[:, 1] = 0.3 * np.exp(-r2 / 30.0)
+    u0[:, 2] = 0.1 * np.exp(-r2 / 20.0)
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    tracts /= np.linalg.norm(tracts, axis=1, keepdims=True)
+
+    orc = AdpmOracle(mesh.coords, mesh.connectivity, tracts, p)
+    system = TransientRDCSystem(mesh, 3, adpm_physics)
+    fields = {"tracts": jnp.asarray(tracts), "time": 1.0}
+
+    # single-step assembly agreement
+    Ko, Fo = orc.assemble(u0, time=1.0)
+    vals, b = system.assemble(jnp.asarray(u0).T, fields, p)
+    Kr = dense_from_bcsr(vals, system.sp, 3)
+    operm = (np.arange(3)[None, :] * N + np.arange(N)[:, None]).ravel()
+    Ko_nm = Ko.toarray()[np.ix_(operm, operm)]
+    assert np.abs(Kr - Ko_nm).max() / np.abs(Ko_nm).max() < 1e-13
+    assert np.abs(np.asarray(b).T.ravel() - Fo[operm]).max() \
+        / np.abs(Fo).max() < 1e-13
+
+    # trajectory
+    state = system.initial_state(u0)
+    uo = u0.copy()
+    worst = 0.0
+    for _ in range(30):
+        state, _, _ = system.step(state, fields=fields, params=p)
+        uo, _ = orc.step(uo, time=1.0)
+        rel = np.linalg.norm(np.asarray(state["u"]) - uo) / np.linalg.norm(uo)
+        worst = max(worst, rel)
+    assert np.isfinite(uo).all()
+    assert worst < 1e-8, f"ADPM parity violated: worst rel L2 {worst:.3e}"
