@@ -145,3 +145,65 @@ def test_adpm_trajectory_parity():
         worst = max(worst, rel)
     assert np.isfinite(uo).all()
     assert worst < 1e-8, f"ADPM parity violated: worst rel L2 {worst:.3e}"
+
+
+def test_proteas_trajectory_parity():
+    """PROTEAS vs the independent scipy oracle: assembly at machine eps
+    and a 30-step trajectory under the 1e-8 bar, all terms active incl.
+    the reference's Ke[1][1]/Ke[3][1] omission quirks on both sides."""
+    import jax.numpy as jnp
+
+    from oracle.proteas_numpy import ProteasOracle
+
+    from rdcfes_tpu.fem.elements import tabulate
+    from rdcfes_tpu.models.proteas import default_params, proteas_physics
+    from tests.helpers import dense_from_bcsr
+
+    mesh = box_tet_mesh(4, 4, 4, bounds=((0, 20.0), (0, 20.0), (0, 20.0)))
+    p = default_params()
+    p.update(dt=0.01, cells_total_capacity=2.0,
+             radiotherapy_max_dosage=60.0,
+             host_proliferation=0.4, host_vsc_threshold=0.05,
+             tumour_diffusion=0.1, tumour_diffusion_host=0.05,
+             tumour_proliferation=0.5, tumour_vsc_threshold=0.05,
+             necrosis_slope=2.0, oedema_diffusion=0.1)
+    rng = np.random.default_rng(6)
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(1)
+    u0 = np.stack([
+        np.clip(0.8 - 0.4 * np.exp(-r2 / 30.0), 0, None),
+        0.4 * np.exp(-r2 / 30.0),
+        0.1 * np.exp(-r2 / 20.0),
+        0.12 * np.ones(N),
+        0.02 * np.exp(-r2 / 40.0),
+    ], axis=1)
+    aux = np.stack([rng.uniform(20, 80, N),
+                    60.0 * np.exp(-r2 / 50.0)], axis=1)
+
+    orc = ProteasOracle(mesh.coords, mesh.connectivity, aux, p)
+    system = TransientRDCSystem(mesh, 5, proteas_physics)
+    # the framework takes RTD sampled at qp (full interpolation mode)
+    phi = tabulate(mesh.elem_type)[0]
+    RTD_qp = np.einsum("qk,ek->qe", phi, aux[mesh.connectivity, 1])
+    fields = {"RTD": jnp.asarray(RTD_qp)}
+    p = {k: float(v) for k, v in p.items()}
+
+    Ko, Fo = orc.assemble(u0)
+    vals, b = system.assemble(jnp.asarray(u0).T, fields, p)
+    Kr = dense_from_bcsr(vals, system.sp, 5)
+    operm = (np.arange(5)[None, :] * N + np.arange(N)[:, None]).ravel()
+    Ko_nm = Ko.toarray()[np.ix_(operm, operm)]
+    assert np.abs(Kr - Ko_nm).max() / np.abs(Ko_nm).max() < 1e-13
+    assert np.abs(np.asarray(b).T.ravel() - Fo[operm]).max() \
+        / np.abs(Fo).max() < 1e-13
+
+    state = system.initial_state(u0)
+    uo = u0.copy()
+    worst = 0.0
+    for _ in range(30):
+        state, _, _ = system.step(state, fields=fields, params=p)
+        uo, _ = orc.step(uo)
+        rel = np.linalg.norm(np.asarray(state["u"]) - uo) / np.linalg.norm(uo)
+        worst = max(worst, rel)
+    assert np.isfinite(uo).all()
+    assert worst < 1e-8, f"PROTEAS parity violated: worst rel L2 {worst:.3e}"
