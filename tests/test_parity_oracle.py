@@ -207,3 +207,104 @@ def test_proteas_trajectory_parity():
         worst = max(worst, rel)
     assert np.isfinite(uo).all()
     assert worst < 1e-8, f"PROTEAS parity violated: worst rel L2 {worst:.3e}"
+
+
+def test_ripf_trajectory_parity():
+    """RIPF vs the independent scipy oracle: assembly at machine eps and a
+    20-step trajectory under the 1e-8 bar, with the FD time-derivative
+    bookkeeping (TD from pre-clamp raw solutions, src/ripf.C:770)
+    replicated on both sides from their own states."""
+    import jax.numpy as jnp
+
+    from oracle.ripf_numpy import RipfOracle
+
+    from rdcfes_tpu.fem.assembly import interpolate_at_qp
+    from rdcfes_tpu.fem.geometry import geometry_factors
+    from rdcfes_tpu.models.ripf import default_params, ripf_physics
+    from tests.helpers import dense_from_bcsr
+
+    mesh = box_tet_mesh(4, 4, 4, bounds=((0, 40.0), (0, 40.0), (0, 40.0)))
+    p = default_params()
+    p.update(dt=0.1,
+             volfr_stroma=0.30, volfr_parenchyma=0.20, volfr_exponent=2.5,
+             volfr_min_vacant=1e-5,
+             phi_cc_build=20.0, phi_cc_decay=-10.0, phi_cc_rate=5.0,
+             phi_fb_build=30.0, phi_fb_decay=-15.0, phi_fb_rate=8.0,
+             phi_tolerance=1e-3,
+             cc_kappa=0.2, cc_kappa_RT_c=0.02,
+             cc_delta=0.0864, cc_delta_RT_a=0.3, cc_delta_RT_b=0.03,
+             fb_lambda=0.01, lambda_RT_r=56.0, lambda_HU_r=-500.0,
+             fb_omicro=0.05, omicro_RT_r=56.0, omicro_fb_b=0.1,
+             fb_omega=0.1, fb_diffusion=0.02, fb_haptotaxis=1e-4,
+             fb_radiotaxis=0.01)
+    rng = np.random.default_rng(8)
+    N = mesh.n_nodes
+    u0 = np.stack([
+        rng.uniform(-500, -100, N),
+        rng.uniform(0.1, 0.3, N),
+        rng.uniform(0.1, 0.3, N),
+    ], axis=1)
+    rt_total = 40.0 + 16.0 * np.exp(
+        -((mesh.coords - 20.0) ** 2).sum(1) / 200.0)
+    hu_min, hu_max = -1000.0, 0.0
+
+    def clamp(u):
+        HU = jnp.clip(u[0], hu_min, hu_max)
+        return jnp.concatenate([HU[None, :], jnp.maximum(u[1:], 0.0)], axis=0)
+
+    orc = RipfOracle(mesh.coords, mesh.connectivity, p)
+    system = TransientRDCSystem(mesh, 3, ripf_physics, clamp=clamp)
+    conn_T = jnp.asarray(mesh.connectivity.T)
+    phi, JxW, dphi = geometry_factors(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
+        mesh.elem_type)
+
+    def qp_fields(td):
+        stacked = jnp.asarray(np.stack([td[:, 1], td[:, 2], rt_total],
+                                       axis=0))
+        vals_qp, grads_qp = interpolate_at_qp(stacked, conn_T, phi, dphi)
+        g = grads_qp[2]
+        norm = jnp.linalg.norm(g, axis=-2, keepdims=True)
+        return {
+            "cc_dtime": vals_qp[0],
+            "fb_dtime": vals_qp[1],
+            "RT": vals_qp[2],
+            "RT_grad_unit": jnp.where(
+                norm > 0.0, g / jnp.where(norm == 0, 1.0, norm), 0.0),
+        }
+
+    # single-step assembly agreement (TD = zero fields initially)
+    td = np.zeros((N, 3))
+    p = {k: float(v) for k, v in p.items()}
+    Ko, Fo = orc.assemble(u0, td, rt_total)
+    vals, bvec = system.assemble(jnp.asarray(u0).T, qp_fields(td), p)
+    Kr = dense_from_bcsr(vals, system.sp, 3)
+    operm = (np.arange(3)[None, :] * N + np.arange(N)[:, None]).ravel()
+    Ko_nm = Ko.toarray()[np.ix_(operm, operm)]
+    assert np.abs(Kr - Ko_nm).max() / np.abs(Ko_nm).max() < 1e-13
+    assert np.abs(np.asarray(bvec).T.ravel() - Fo[operm]).max() \
+        / np.abs(Fo).max() < 1e-13
+
+    # trajectory with TD bookkeeping on both sides
+    state = system.initial_state(u0)
+    td_r = np.zeros((N, 3))
+    prev_raw_r = u0.copy()
+    uo = u0.copy()
+    td_o = np.zeros((N, 3))
+    prev_raw_o = u0.copy()
+    worst = 0.0
+    for _ in range(20):
+        state, _, _ = system.step(state, fields=qp_fields(td_r), params=p)
+        clamped_r = np.asarray(state["u"])
+        raw_r = np.asarray(state["u_raw"])
+        td_r = (clamped_r - prev_raw_r) / p["dt"]
+        prev_raw_r = raw_r
+
+        uo, raw_o = orc.step(uo, td_o, rt_total, hu_min, hu_max)
+        td_o = (uo - prev_raw_o) / p["dt"]
+        prev_raw_o = raw_o
+
+        rel = np.linalg.norm(clamped_r - uo) / np.linalg.norm(uo)
+        worst = max(worst, rel)
+    assert np.isfinite(uo).all()
+    assert worst < 1e-8, f"RIPF parity violated: worst rel L2 {worst:.3e}"
