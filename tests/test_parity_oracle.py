@@ -308,3 +308,45 @@ def test_ripf_trajectory_parity():
         worst = max(worst, rel)
     assert np.isfinite(uo).all()
     assert worst < 1e-8, f"RIPF parity violated: worst rel L2 {worst:.3e}"
+
+
+def test_hcc_trajectory_parity():
+    """Coupled-HCC transport step vs the independent scipy oracle, on a
+    DEFORMED configuration (geometry rebuilt per call on both sides) —
+    locks the anomalous capacity blocks and the doubled Ke[1][1] too."""
+    import jax.numpy as jnp
+
+    from oracle.hcc_numpy import HccOracle
+
+    from rdcfes_tpu.models.hcc import hcc_physics
+
+    mesh = box_tet_mesh(4, 4, 4, bounds=((0, 10.0), (0, 10.0), (0, 10.0)))
+    p = {"dt": 0.01, "cells_min_capacity": 0.0, "cells_max_capacity": 1.0,
+         "cells_max_capacity_exponent": 3.0, "produce_l": 0.2,
+         "diffuse_c": 0.01, "mechano_c": 0.5, "produce_c": 0.5,
+         "necrosis_l": 0.1, "necrosis_c": 0.1, "necrosis_pressure": 0.0}
+    rng = np.random.default_rng(9)
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - 5.0) ** 2).sum(1)
+    u0 = np.stack([
+        np.clip(0.6 - 0.4 * np.exp(-r2 / 4.0), 0, None),
+        0.4 * np.exp(-r2 / 4.0),
+        0.05 * np.exp(-r2 / 2.0),
+    ], axis=1)
+    # a smoothly deformed configuration (moving-mesh assembly)
+    coords = mesh.coords + 0.05 * np.sin(mesh.coords / 3.0)
+
+    orc = HccOracle(mesh.connectivity, p)
+    system = TransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True)
+
+    state = system.initial_state(u0)
+    uo = u0.copy()
+    worst = 0.0
+    cj = jnp.asarray(coords)
+    for _ in range(20):
+        state, _, _ = system.step(state, params=p, coords=cj)
+        uo, _ = orc.step(coords, uo)
+        rel = np.linalg.norm(np.asarray(state["u"]) - uo) / np.linalg.norm(uo)
+        worst = max(worst, rel)
+    assert np.isfinite(uo).all()
+    assert worst < 1e-8, f"HCC parity violated: worst rel L2 {worst:.3e}"
