@@ -121,3 +121,24 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
         kw["physics_blocks"] = physics_blocks
     system = TransientRDCSystem(mesh, n_vars, physics, **kw)
     return system, (lambda st: np.asarray(st["u"])), system.initial_state
+
+
+def make_solid_device_mesh(deck):
+    """Device mesh for the solid path when the deck asks for one
+    (`parallel/n_devices`): the constitutive assembly is element-sharded
+    owner-computes (systems/solid.py)."""
+    import numpy as np
+
+    n_dev = int(deck("parallel/n_devices", 0))
+    if n_dev <= 1:
+        return None
+    import jax
+    from jax.sharding import Mesh as DeviceMesh
+
+    devs = jax.devices()
+    if len(devs) < n_dev:
+        raise RuntimeError(
+            f"parallel/n_devices = {n_dev} but only {len(devs)} "
+            f"devices are visible"
+        )
+    return DeviceMesh(np.array(devs[:n_dev]), ("d",))

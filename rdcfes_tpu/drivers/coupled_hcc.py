@@ -23,7 +23,7 @@ from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
 from ..models.hcc import HCC_VARS, hcc_physics
 from ..systems import SolidSystem, TransientRDCSystem
-from .common import PerfLog, step_banner
+from .common import make_solid_device_mesh, PerfLog, step_banner
 from .solid import load_bcs, load_fibres, load_materials, load_newton_options
 
 
@@ -92,6 +92,7 @@ def run(deck_path: str = "input.dat") -> str:
     params = load_params(deck)
     fibres = load_fibres(deck, mesh)
 
+    dmesh = make_solid_device_mesh(deck)
     with plog.scope("system setup"):
         rds = TransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True)
         solid = SolidSystem(
@@ -101,6 +102,7 @@ def run(deck_path: str = "input.dat") -> str:
             penalty=deck("BCs/displacement_penalty", 1.0e5),
             fibres=fibres,
             newton=load_newton_options(deck),
+            device_mesh=dmesh,
         )
     state = rds.initial_state(u0)
     x = solid.initial_positions()
@@ -166,6 +168,7 @@ def run(deck_path: str = "input.dat") -> str:
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
                 fibres=fibres, newton=load_newton_options(deck),
+                device_mesh=dmesh,
             )
             paraview.mesh = mesh
             print(f"resumed on remeshed grid ({mesh.n_elems} elements)")
@@ -252,6 +255,7 @@ def run(deck_path: str = "input.dat") -> str:
                         penalty=deck("BCs/displacement_penalty", 1.0e5),
                         fibres=fibres,
                         newton=load_newton_options(deck),
+                        device_mesh=dmesh,
                     )
                     state = {k: jnp.asarray(r.prolong(np.asarray(v)))
                              for k, v in state.items()}

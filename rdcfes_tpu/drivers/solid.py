@@ -26,7 +26,7 @@ from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
 from ..solvers.newton import NewtonOptions
 from ..systems import SolidSystem
-from .common import PerfLog, step_banner
+from .common import make_solid_device_mesh, PerfLog, step_banner
 
 
 def load_newton_options(deck: Deck) -> NewtonOptions:
@@ -128,6 +128,7 @@ def run(deck_path: str = "input.dat") -> str:
     ckpt_resume = deck("checkpoint/resume", "")
 
     fibres = load_fibres(deck, mesh)
+    dmesh = make_solid_device_mesh(deck)
     with plog.scope("system setup"):
         system = SolidSystem(
             mesh,
@@ -136,6 +137,7 @@ def run(deck_path: str = "input.dat") -> str:
             penalty=deck("BCs/displacement_penalty", 1.0e5),
             fibres=fibres,
             newton=load_newton_options(deck),
+            device_mesh=dmesh,
         )
     x = system.initial_positions()
 
@@ -194,6 +196,7 @@ def run(deck_path: str = "input.dat") -> str:
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
                 fibres=fibres, newton=load_newton_options(deck),
+                device_mesh=dmesh,
             )
             paraview.mesh = mesh
             print(f"resumed on remeshed grid ({mesh.n_elems} elements)")
@@ -267,6 +270,7 @@ def run(deck_path: str = "input.dat") -> str:
                         penalty=deck("BCs/displacement_penalty", 1.0e5),
                         fibres=fibres,
                         newton=load_newton_options(deck),
+                        device_mesh=dmesh,
                     )
                     x = jnp.asarray(x_new)
                     paraview.mesh = mesh

@@ -65,6 +65,7 @@ class SolidSystem:
         penalty: float = 1.0e5,
         fibres: Optional[np.ndarray] = None,
         newton: NewtonOptions = NewtonOptions(),
+        device_mesh=None,
     ):
         self.mesh = mesh
         self.newton = newton
@@ -136,7 +137,17 @@ class SolidSystem:
             np.transpose(mesh.coords[mesh.connectivity], (1, 2, 0)))
         self.face_type = FACE_TYPE[mesh.elem_type]
         self._newton = NewtonSolver(self.sp, newton)
-        self._assemble_jit = jax.jit(self.assemble)
+        # multi-chip assembly: the constitutive hot loop
+        # (solid_system.C:146-271) is owner-computes element-sharded; the
+        # assembled residual/values are psum-reduced and kept replicated
+        # for the Newton/linear stage (assembly is the O(E) cost; the
+        # reference's solid runs the same owner-computes split under MPI)
+        self.dmesh = device_mesh
+        if device_mesh is not None:
+            self._build_sharded_tables(device_mesh)
+            self._assemble_jit = jax.jit(self._assemble_sharded)
+        else:
+            self._assemble_jit = jax.jit(self.assemble)
         self._post = jax.jit(self._post_impl)
 
     # ------------------------------------------------------------------
@@ -144,30 +155,26 @@ class SolidSystem:
         return self.X0
 
     # ------------------------------------------------------------------
-    def assemble(self, x_T: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Residual (3, N) and block tangent values (3, 3, nnz) at current
-        positions x_T (3, N) — channel-first throughout.
-
-        The constitutive algebra runs in the channel-first layout of
-        models/hyperelastic.stress_and_tangent_cf: every 3x3/6x6 tensor is
-        a nested list of (Q, E) arrays with the big axes minor, so nothing
-        tile-pads on TPU (the previous (E, Q, 3, 3) einsum layout padded
-        ~8-25x and overflowed HBM at production solid scales)."""
-        mesh = self.mesh
-        x = x_T.T  # (N, 3)
-        phi, JxW, dphi = geometry_factors(x, self.conn, mesh.elem_type)
+    def _element_kernels_cf(self, x, conn, X0e_cf, young, poisson,
+                            fibre_k, rates, fibres, pseudo_time):
+        """Element residual/tangent blocks (Fe (3, K, E), Ke (3,3,K,K,E))
+        from current positions x (N, 3) and per-element tables — the
+        constitutive hot loop, channel-first throughout (every 3x3/6x6
+        tensor is a nested list of (Q, E) arrays with the big axes minor,
+        so nothing tile-pads on TPU)."""
+        phi, JxW, dphi = geometry_factors(x, conn, self.mesh.elem_type)
         Q, K = phi.shape
         # grad_X[d][r] (Q, E) = d X0_d / d x_r
         grad_X = [
-            [sum(dphi[:, k, r, :] * self.X0e_cf[k, d, :] for k in range(K))
+            [sum(dphi[:, k, r, :] * X0e_cf[k, d, :] for k in range(K))
              for r in range(3)]
             for d in range(3)
         ]
-        lam_e = 1.0 + pseudo_time * self.rates  # (E, 3)
+        lam_e = 1.0 + pseudo_time * rates  # (E, 3)
         lam = [lam_e[:, d] for d in range(3)]   # broadcast (E,) vs (Q, E)
-        eta = [self.fibres[:, d] for d in range(3)]
+        eta = [fibres[:, d] for d in range(3)]
         sigma, tangent, _F = stress_and_tangent_cf(
-            grad_X, lam, eta, self.young, self.poisson, self.fibre_k,
+            grad_X, lam, eta, young, poisson, fibre_k,
             want_tangent=True,
         )
         # stack the nested-list tensors once: (3, 3, Q, E) / (6, 6, Q, E);
@@ -180,7 +187,6 @@ class SolidSystem:
         Fe = None
         G = None
         Kmat = None
-        zeroE = jnp.zeros_like(JxW[0])
         for q in range(Q):
             sig_q = sig[:, :, q, :] * JxW[q]                  # (3, 3, E)
             dphi_q = dphi[q]                                  # (K, 3, E)
@@ -215,6 +221,16 @@ class SolidSystem:
                 Kmat = t if Kmat is None else Kmat + t
 
         Ke = Kmat + jnp.eye(3)[:, :, None, None, None] * G[None, None]
+        return Fe, Ke
+
+    # ------------------------------------------------------------------
+    def assemble(self, x_T: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Residual (3, N) and block tangent values (3, 3, nnz) at current
+        positions x_T (3, N) — channel-first at the solver boundary."""
+        x = x_T.T  # (N, 3)
+        Fe, Ke = self._element_kernels_cf(
+            x, self.conn, self.X0e_cf, self.young, self.poisson,
+            self.fibre_k, self.rates, self.fibres, pseudo_time)
         values = assemble_matrix(Ke, self.slots_flat_cf, self.sp.nnz)
         R = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
 
@@ -255,6 +271,110 @@ class SolidSystem:
             ])
             for v in range(3)
         ])
+        return R, values
+
+    # ------------------------------------------------------------------
+    def _build_sharded_tables(self, device_mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self.mesh
+        D = int(device_mesh.devices.size)
+        E, K = mesh.n_elems, mesh.nodes_per_elem
+        Eb = -(-E // D)
+        Epad = Eb * D
+
+        def pad_e(arr, fill=0):
+            out = np.full((Epad,) + arr.shape[1:], fill, dtype=arr.dtype)
+            out[:E] = arr
+            return out
+
+        # padded elements reuse element 0's geometry (valid jacobians) and
+        # are masked out of the scatter below
+        connp = pad_e(np.asarray(mesh.connectivity))
+        connp[E:] = np.asarray(mesh.connectivity)[0]
+        emask = np.zeros(Epad)
+        emask[:E] = 1.0
+        X0e = np.transpose(mesh.coords[connp], (1, 2, 0))       # (K, 3, Epad)
+        slots = np.asarray(self.sp.slots_flat_cf()).reshape(K * K, E)
+        slotsp = np.full((K * K, Epad), self.sp.nnz, dtype=slots.dtype)
+        slotsp[:, :E] = slots                                    # pad -> dump
+        connfp = np.full((K, Epad), mesh.n_nodes, dtype=np.int64)
+        connfp[:, :E] = np.asarray(mesh.connectivity).T
+
+        dshard = lambda spec: NamedSharding(device_mesh, spec)
+        put = jax.device_put
+        self._sh = {
+            "conn": put(connp.reshape(D, Eb, K), dshard(P("d"))),
+            "X0e": put(X0e.reshape(K, 3, D, Eb), dshard(P(None, None, "d"))),
+            "young": put(pad_e(np.asarray(self.young)).reshape(D, Eb),
+                         dshard(P("d"))),
+            "poisson": put(pad_e(np.asarray(self.poisson)).reshape(D, Eb),
+                           dshard(P("d"))),
+            "fibre_k": put(pad_e(np.asarray(self.fibre_k)).reshape(D, Eb),
+                           dshard(P("d"))),
+            "rates": put(pad_e(np.asarray(self.rates)).reshape(D, Eb, 3),
+                         dshard(P("d"))),
+            "fibres": put(pad_e(np.asarray(self.fibres)).reshape(D, Eb, 3),
+                          dshard(P("d"))),
+            "slots": put(slotsp.reshape(K * K, D, Eb),
+                         dshard(P(None, "d"))),
+            "connf": put(connfp.reshape(K, D, Eb), dshard(P(None, "d"))),
+            "emask": put(emask.reshape(D, Eb), dshard(P("d"))),
+        }
+        from jax.sharding import PartitionSpec as PS
+
+        try:
+            from jax import shard_map
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+
+        nnz, N = self.sp.nnz, mesh.n_nodes
+
+        def kernel(x_T, pt, conn, X0e, young, poisson, fibre_k, rates,
+                   fibres, slots, connf, emask):
+            x = x_T.T
+            Fe, Ke = self._element_kernels_cf(
+                x, conn[0], X0e[:, :, 0], young[0], poisson[0],
+                fibre_k[0], rates[0], fibres[0], pt)
+            Fe = Fe * emask[0][None, None, :]
+            Ke = Ke * emask[0][None, None, None, None, :]
+            # per-shard partial global assembly into dump-padded arrays,
+            # then psum — the MPI add_matrix/add_vector reduction
+            sl = slots[:, 0].reshape(-1)
+            cf = connf[:, 0].reshape(-1)
+            vals = jnp.stack([
+                jnp.stack([
+                    jnp.zeros((nnz + 1,), Ke.dtype)
+                    .at[sl].add(Ke[v, w].reshape(-1))[:nnz]
+                    for w in range(3)
+                ])
+                for v in range(3)
+            ])
+            R = jnp.stack([
+                jnp.zeros((N + 1,), Fe.dtype)
+                .at[cf].add(Fe[v].reshape(-1))[:N]
+                for v in range(3)
+            ])
+            from jax import lax
+
+            return lax.psum(R, "d"), lax.psum(vals, "d")
+
+        self._sharded_kernel = shard_map(
+            kernel, mesh=device_mesh,
+            in_specs=(PS(), PS(), PS("d"), PS(None, None, "d"), PS("d"),
+                      PS("d"), PS("d"), PS("d"), PS("d"), PS(None, "d"),
+                      PS(None, "d"), PS("d")),
+            out_specs=(PS(), PS()),
+        )
+
+    def _assemble_sharded(self, x_T, pseudo_time):
+        t = self._sh
+        R, values = self._sharded_kernel(
+            x_T, pseudo_time, t["conn"], t["X0e"], t["young"], t["poisson"],
+            t["fibre_k"], t["rates"], t["fibres"], t["slots"], t["connf"],
+            t["emask"])
+        if self.bc_faces is not None:
+            R, values = self._apply_penalty_bcs(x_T.T, pseudo_time, R, values)
         return R, values
 
     # ------------------------------------------------------------------

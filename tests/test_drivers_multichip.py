@@ -130,3 +130,55 @@ def test_pihna_multichip_with_amr(in_tmp):
         "c": lambda o: _vtu_field(
             os.path.join(o, "Brain_Model-3.vtu"), "c"),
     })
+
+
+def test_solid_multichip(in_tmp):
+    """Solid driver with element-sharded constitutive assembly
+    (parallel/n_devices): identical displacements to single-device."""
+    from rdcfes_tpu.drivers import solid as solid_driver
+    from rdcfes_tpu.mesh import box_hex_mesh, gmsh
+
+    mesh = box_hex_mesh(3, 3, 3, bounds=((0, 1.5), (0, 1.5), (0, 1.5)))
+    gmsh.write(mesh, "input.msh")
+    deck = """
+directory = simulation
+input_GMSH = input.msh
+output_PARAVIEW = out
+loading_step = 0.5
+output_step = 2
+BCs = ' 0 5 '
+BC/0/displacement/0 = 0.0
+BC/0/displacement/1 = 0.0
+BC/0/displacement/2 = 0.0
+BC/5/displacement/0 = NAN
+BC/5/displacement/1 = NAN
+BC/5/displacement/2 = -0.1
+BCs/displacement_penalty = 1.0e6
+materials = ' 0 '
+material/0/Hyperelastic/Young = 1000.0
+material/0/Hyperelastic/Poisson = 0.3
+"""
+
+    def prep():
+        return deck
+
+    _run_both(solid_driver, prep, {
+        "u_z": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "u_z"),
+        "VM": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "VM"),
+    })
+
+
+def test_hcc_multichip(in_tmp):
+    """Coupled HCC with the solid side element-sharded: final fields match
+    the single-device run."""
+    from rdcfes_tpu.drivers import coupled_hcc
+
+    def prep():
+        cases.make_hcc_case(".", n=3, n_steps=2, n_loading=1)
+        return open("input.dat").read().replace("output_step = 1",
+                                                "output_step = 2")
+
+    _run_both(coupled_hcc, prep, {
+        "c": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "c"),
+        "u_z": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "u_z"),
+    })
