@@ -586,7 +586,56 @@ class HaloShardedSystem:
         ) + tuple(P("d") for _ in self.plan.send_idx)
         fn = shard_map(step_shard, mesh=self.dmesh,
                        in_specs=in_specs, out_specs=(P("d"), P(), P()))
+        return jax.jit(fn), step_shard, in_specs
+
+    def _multi_shard_qp_fn(self, params: Dict, n: int):
+        """n steps as ONE scan inside the shard program: the multi-chip
+        counterpart of TransientRDCSystem.run_steps — collectives
+        (ppermute/psum) run inside the scan body; per-step dispatch
+        vanishes."""
+        _, step_shard, in_specs = self._qp_parts(params)
+
+        def multi_shard(u_blk, efields, scalars, *tables):
+            def body(carry, _):
+                new_blk, it, res = step_shard(carry, efields, scalars,
+                                              *tables)
+                return new_blk, (it, res)
+
+            final, (its, ress) = lax.scan(body, u_blk, None, length=n)
+            return final, its, ress
+
+        fn = shard_map(multi_shard, mesh=self.dmesh,
+                       in_specs=in_specs, out_specs=(P("d"), P(), P()))
         return jax.jit(fn)
+
+    def _qp_parts(self, params: Dict):
+        key = ("__parts__",) + tuple(sorted(params.items()))
+        parts = self._qp_cache.get(key)
+        if parts is None:
+            parts = self._step_shard_qp_fn(params)
+            self._qp_cache[key] = parts
+        return parts
+
+    def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
+                  params: Optional[Dict] = None,
+                  scalars: Optional[Dict] = None):
+        """Advance n steps as one compiled scan over the sharded step
+        (static scalar params + block physics required).  Returns
+        (state, iters_per_step, residual_per_step)."""
+        assert self.physics_blocks is not None, "run_steps needs physics_blocks"
+        assert params and all(
+            isinstance(v, (int, float)) for v in params.values()
+        ), "run_steps needs plain-scalar params"
+        p = {k: float(v) for k, v in params.items()}
+        key = ("__multi__", int(n)) + tuple(sorted(p.items()))
+        fn = self._qp_cache.get(key)
+        if fn is None:
+            fn = self._multi_shard_qp_fn(p, int(n))
+            self._qp_cache[key] = fn
+        return fn(state, fields or {}, scalars or {},
+                  self.conn_local_s, self.JxW_s, self.dphi_s,
+                  self.node_gather_s, self.rev_gather_s, self.mask_s,
+                  *self.send_idx_s)
 
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
@@ -598,12 +647,8 @@ class HaloShardedSystem:
         params = params or {}
         if (self.physics_blocks is not None and params
                 and all(isinstance(v, (int, float)) for v in params.values())):
-            key = tuple(sorted((k, float(v)) for k, v in params.items()))
-            fn = self._qp_cache.get(key)
-            if fn is None:
-                fn = self._step_shard_qp_fn(
-                    {k: float(v) for k, v in params.items()})
-                self._qp_cache[key] = fn
+            fn, _, _ = self._qp_parts(
+                {k: float(v) for k, v in params.items()})
             return fn(state, fields or {}, scalars or {},
                       self.conn_local_s, self.JxW_s, self.dphi_s,
                       self.node_gather_s, self.rev_gather_s, self.mask_s,
