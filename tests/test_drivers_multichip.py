@@ -182,3 +182,24 @@ def test_hcc_multichip(in_tmp):
         "c": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "c"),
         "u_z": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "u_z"),
     })
+
+
+def test_pihna_multichip_checkpoint_resume(in_tmp):
+    """Checkpoints store the gathered global state, so a distributed run
+    resumes correctly (scatter on load) and reproduces the uninterrupted
+    distributed run's final CSV row."""
+    from rdcfes_tpu.drivers import pihna
+
+    cases.make_pihna_case(".", n=4, n_steps=4)
+    deck = open("input.dat").read().replace("output_step = 10",
+                                            "output_step = 1")
+    deck += "parallel/n_devices = 8\ncheckpoint/step = 3\n"
+    open("input.dat", "w").write(deck)
+    out1 = pihna.run("input.dat")
+    full_csv = open(os.path.join(out1, "output.csv")).read()
+    shutil.copy(os.path.join(out1, "checkpoint.npz"), "ck.npz")
+    shutil.move(out1, out1 + "_full")
+    open("input.dat", "w").write(deck + "checkpoint/resume = ck.npz\n")
+    out2 = pihna.run("input.dat")
+    resumed_csv = open(os.path.join(out2, "output.csv")).read()
+    assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
