@@ -223,7 +223,11 @@ def stress_and_tangent_cf(grad_X, lam, eta, young, poisson, fibre_k,
     lame = young * poisson / ((1.0 + poisson) * (1.0 - 2.0 * poisson))
     koppa = fibre_k / 2.0
 
-    F, J = _inv3_cf(grad_X)          # F = (dX/dx)^-1
+    F, det_gradX = _inv3_cf(grad_X)  # F = (dX/dx)^-1
+    # J = det F = 1 / det(grad_X): _inv3_cf's determinant is of its INPUT
+    # (this line once scaled sigma by det(F)^2 — caught by the
+    # reference-chain oracle, tests/test_parity_oracle.py)
+    J = 1.0 / det_gradX
     w = [1.0 / lam[d] for d in range(3)]
     Fe = _m3(lambda i, j: F[i][j] * w[j])
     Ce = _m3(lambda i, j: Fe[0][i] * Fe[0][j] + Fe[1][i] * Fe[1][j]

@@ -350,3 +350,56 @@ def test_hcc_trajectory_parity():
         worst = max(worst, rel)
     assert np.isfinite(uo).all()
     assert worst < 1e-8, f"HCC parity violated: worst rel L2 {worst:.3e}"
+
+
+def test_hyperelastic_cf_matches_reference_chain():
+    """Both constitutive evaluators (the batched einsum stress_and_tangent
+    and the rank-structured channel-first stress_and_tangent_cf) match a
+    LITERAL transcription of the reference's derivation chain
+    (hyperlastic_inline.h:17-189) on random states with growth (Fp != I)
+    and active fibres — this pins the cf reduction against the
+    reference's own math, not just against autodiff."""
+    import jax.numpy as jnp
+
+    from oracle.hyperelastic_numpy import calculate_stress
+
+    from rdcfes_tpu.models.hyperelastic import (stress_and_tangent,
+                                                stress_and_tangent_cf)
+
+    rng = np.random.default_rng(11)
+    B = 40
+    grad_X = np.eye(3)[None] + 0.15 * rng.standard_normal((B, 3, 3))
+    F = np.linalg.inv(grad_X)
+    lam = 1.0 + 0.2 * rng.random((B, 3))
+    eta = rng.standard_normal((B, 3))
+    eta /= np.linalg.norm(eta, axis=1, keepdims=True)
+    young = rng.uniform(500.0, 2000.0, B)
+    poisson = rng.uniform(0.2, 0.45, B)
+    fibre_k = np.where(rng.random(B) < 0.5, rng.uniform(10.0, 100.0, B), 0.0)
+
+    # reference-chain oracle, pointwise
+    sig_ref = np.zeros((B, 3, 3))
+    tan_ref = np.zeros((B, 6, 6))
+    for b in range(B):
+        sig_ref[b], tan_ref[b] = calculate_stress(
+            F[b], np.diag(lam[b]), eta[b], young[b], poisson[b], fibre_k[b])
+
+    # batched einsum evaluator (leading batch axis)
+    sig_a, tan_a, _ = stress_and_tangent(
+        jnp.asarray(grad_X), jnp.asarray(lam), jnp.asarray(eta),
+        jnp.asarray(young), jnp.asarray(poisson), jnp.asarray(fibre_k))
+    assert np.allclose(np.asarray(sig_a), sig_ref, rtol=1e-10, atol=1e-10)
+    assert np.allclose(np.asarray(tan_a), tan_ref, rtol=1e-9, atol=1e-8)
+
+    # channel-first evaluator (trailing batch axis, nested lists)
+    gx = [[jnp.asarray(grad_X[:, d, r]) for r in range(3)] for d in range(3)]
+    sig_c, tan_c, _ = stress_and_tangent_cf(
+        gx, [jnp.asarray(lam[:, d]) for d in range(3)],
+        [jnp.asarray(eta[:, d]) for d in range(3)],
+        jnp.asarray(young), jnp.asarray(poisson), jnp.asarray(fibre_k))
+    sig_c = np.stack([np.stack([np.asarray(sig_c[i][j]) for j in range(3)],
+                               axis=-1) for i in range(3)], axis=-2)
+    tan_c = np.stack([np.stack([np.asarray(tan_c[r][c]) for c in range(6)],
+                               axis=-1) for r in range(6)], axis=-2)
+    assert np.allclose(sig_c, sig_ref, rtol=1e-10, atol=1e-10)
+    assert np.allclose(tan_c, tan_ref, rtol=1e-9, atol=1e-8)
