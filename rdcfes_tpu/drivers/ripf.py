@@ -28,7 +28,7 @@ from ..io.csv_metrics import ripf_row
 from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter
 from ..mesh import gmsh
-from ..models.ripf import RIPF_VARS, ripf_physics, rt_dose_schedule
+from ..models.ripf import ripf_blocks, RIPF_VARS, ripf_physics, rt_dose_schedule
 from .common import (PerfLog, make_rdc_system, maybe_profile,
                      output_time_points, step_banner)
 
@@ -131,7 +131,8 @@ def run(deck_path: str = "input.dat") -> str:
         # deck key parallel/n_devices > 1 routes through the halo-exchange
         # multi-chip system (reference: every case runs `mpiexec -n 4`)
         system, get_u, put_state = make_rdc_system(
-            mesh, 3, ripf_physics, deck, clamp=clamp)
+            mesh, 3, ripf_physics, deck, clamp=clamp,
+            physics_blocks=ripf_blocks)
         state = put_state(u0)
     sharded = hasattr(system, "shard_elem_field")
     # driver-local geometry for the TD qp fields (system-independent)
@@ -237,10 +238,17 @@ def run(deck_path: str = "input.dat") -> str:
     for t in range(start_step + 1, n_steps + 1):
         time_value += dt
         step_banner(t, n_steps, time_value)
-        step_params = {k: v for k, v in params.items() if not k.startswith("_")}
+        # the RT-schedule-resolved rates travel as per-step SCALARS so the
+        # deck params stay static (enables the qp matrix-free path)
+        step_params = {k: v for k, v in params.items()
+                       if not k.startswith("_")
+                       and k not in ("lambda_RT_r", "omicro_RT_r")}
+        step_scalars = {"lambda_RT_r": params["lambda_RT_r"],
+                        "omicro_RT_r": params["omicro_RT_r"]}
         with plog.scope("solve"):
             state, iters, res = system.step(state, fields=qp_fields(),
-                                            params=step_params)
+                                            params=step_params,
+                                            scalars=step_scalars)
         check(time_value)
         if ckpt_step and t % ckpt_step == 0:
             from ..utils import save_checkpoint

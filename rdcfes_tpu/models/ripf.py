@@ -30,18 +30,31 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fem.weakform import WeakForm
+from ..fem.weakform import WeakFormBlocks
 
 RIPF_VARS = ("HU", "cc", "fb")
 
 
-def ripf_physics(u_qp, grad_qp, fields, params):
+def _z(x) -> bool:
+    return isinstance(x, (int, float)) and x == 0.0
+
+
+def ripf_blocks(u_qp, grad_qp, fields, params):
+    """Block-sparse weak form (fem.weakform.WeakFormBlocks) for RIPF.
+
+    Structurally sparse: only the fibroblast row carries transport.
+    `lambda_RT_r` / `omicro_RT_r` are read from `fields` when present
+    (the driver resolves them per RT-schedule step and passes them as
+    scalars so the deck params stay static for the qp path), else from
+    `params` (legacy dense callers)."""
     p = params
     dt2 = p["dt"] / 2.0
     cc_dt = fields["cc_dtime"]
     fb_dt = fields["fb_dtime"]
     RT = fields["RT"]
     GRT = fields["RT_grad_unit"]
+    lam_r = fields.get("lambda_RT_r", p.get("lambda_RT_r"))
+    omi_r = fields.get("omicro_RT_r", p.get("omicro_RT_r"))
 
     HU, cc, fb = u_qp[0], u_qp[1], u_qp[2]
     GHU, Gfb = grad_qp[0], grad_qp[2]
@@ -50,8 +63,8 @@ def ripf_physics(u_qp, grad_qp, fields, params):
     delta_RT = p["cc_delta"] * (
         1.0 - jnp.exp(-p["cc_delta_RT_a"] * RT - p["cc_delta_RT_b"] * RT**2)
     )
-    lam_RT = p["fb_lambda"] * (RT / p["lambda_RT_r"])
-    x = RT / p["omicro_RT_r"]
+    lam_RT = p["fb_lambda"] * (RT / lam_r)
+    x = RT / omi_r
     omi_RT = p["fb_omicro"] * jnp.maximum(0.0, 4.0 * (x - x**2))
 
     eps_cc = jnp.where(cc_dt > p["phi_tolerance"], p["phi_cc_build"],
@@ -105,30 +118,34 @@ def ripf_physics(u_qp, grad_qp, fields, params):
     dif = p["fb_diffusion"]
     hap = p["fb_haptotaxis"]
     rad = p["fb_radiotaxis"]
+    dif_live, hap_live, rad_live = (not _z(dif), not _z(hap), not _z(rad))
 
-    zero = jnp.zeros_like(HU)
-    zero3 = jnp.zeros_like(GHU)
     one = jnp.ones_like(HU)
+    z = 0.0
+
+    def acc3(*ts):
+        live = [t for t in ts if t is not None]
+        if not live:
+            return z
+        out = live[0]
+        for t in live[1:]:
+            out = out + t
+        return out
 
     # ---------------- RHS (src/ripf.C:566-594) ----------------------------
-    A = jnp.stack(
-        [
-            HU + dt2 * (eps_cc * cc + eps_fb * fb
-                        + p["phi_cc_rate"] * cc_dt + p["phi_fb_rate"] * fb_dt),
-            cc + dt2 * (kappa_RT * tau * Koppa - delta_RT * cc),
-            fb + dt2 * (lam_RT * tau * Lombda + omi_RT * tau * Omecro
-                        - omega * fb),
-        ]
+    A = (
+        HU + dt2 * (eps_cc * cc + eps_fb * fb
+                    + p["phi_cc_rate"] * cc_dt + p["phi_fb_rate"] * fb_dt),
+        cc + dt2 * (kappa_RT * tau * Koppa - delta_RT * cc),
+        fb + dt2 * (lam_RT * tau * Lombda + omi_RT * tau * Omecro
+                    - omega * fb),
     )
-    B = jnp.stack(
-        [
-            zero3,
-            zero3,
-            dt2 * (-(dif * tau)[..., None, :] * Gfb
-                   - (hap * tau * fb)[..., None, :] * GHU
-                   - (rad * tau * fb)[..., None, :] * GRT),
-        ]
+    B2 = acc3(
+        dt2 * (-(dif * tau)[..., None, :] * Gfb) if dif_live else None,
+        dt2 * (-(hap * tau * fb)[..., None, :] * GHU) if hap_live else None,
+        dt2 * (-(rad * tau * fb)[..., None, :] * GRT) if rad_live else None,
     )
+    B = (z, z, B2)
 
     # ---------------- Jacobian (src/ripf.C:596-662) -----------------------
     C00 = one
@@ -138,10 +155,12 @@ def ripf_physics(u_qp, grad_qp, fields, params):
                        - delta_RT)
     C12 = -dt2 * (kappa_RT * dtau * Koppa)
     C20 = -dt2 * (lam_RT * tau * L_dHU)
-    E20 = dt2 * hap * tau * fb
-    Dtau_fb = -dt2 * (-(dif * dtau)[..., None, :] * Gfb
-                      - (hap * dtau * fb)[..., None, :] * GHU
-                      - (rad * dtau * fb)[..., None, :] * GRT)
+    E20 = dt2 * hap * tau * fb if hap_live else z
+    Dtau_fb = acc3(
+        -dt2 * (-(dif * dtau)[..., None, :] * Gfb) if dif_live else None,
+        -dt2 * (-(hap * dtau * fb)[..., None, :] * GHU) if hap_live else None,
+        -dt2 * (-(rad * dtau * fb)[..., None, :] * GRT) if rad_live else None,
+    )
     # Lombda__dcc and Omecro__dcc are identically zero in every reference
     # branch (src/ripf.C:536-552), so only the dtau parts survive here
     C21 = -dt2 * (lam_RT * dtau * Lombda + omi_RT * dtau * Omecro)
@@ -149,35 +168,22 @@ def ripf_physics(u_qp, grad_qp, fields, params):
     C22 = one - dt2 * (lam_RT * dtau * Lombda + lam_RT * tau * L_dfb
                        + omi_RT * dtau * Omecro + omi_RT * tau * O_dfb
                        - omega)
-    D22 = -dt2 * (-(dif * dtau)[..., None, :] * Gfb
-                  - (hap * dtau * fb)[..., None, :] * GHU
-                  - (hap * tau)[..., None, :] * GHU
-                  - (rad * dtau * fb)[..., None, :] * GRT
-                  - (rad * tau)[..., None, :] * GRT)
-    E22 = dt2 * dif * tau
+    D22 = acc3(
+        Dtau_fb if not _z(Dtau_fb) else None,
+        -dt2 * (-(hap * tau)[..., None, :] * GHU) if hap_live else None,
+        -dt2 * (-(rad * tau)[..., None, :] * GRT) if rad_live else None,
+    )
+    E22 = dt2 * dif * tau if dif_live else z
 
-    C = jnp.stack(
-        [
-            jnp.stack([C00, C01, C02]),
-            jnp.stack([zero, C11, C12]),
-            jnp.stack([C20, C21, C22]),
-        ]
-    )
-    D = jnp.stack(
-        [
-            jnp.stack([zero3, zero3, zero3]),
-            jnp.stack([zero3, zero3, zero3]),
-            jnp.stack([zero3, D21, D22]),
-        ]
-    )
-    Em = jnp.stack(
-        [
-            jnp.stack([zero, zero, zero]),
-            jnp.stack([zero, zero, zero]),
-            jnp.stack([E20, zero, E22]),
-        ]
-    )
-    return WeakForm(A=A, B=B, C=C, D=D, E=Em)
+    C = ((C00, C01, C02), (z, C11, C12), (C20, C21, C22))
+    D = ((z, z, z), (z, z, z), (z, D21, D22))
+    Em = ((z, z, z), (z, z, z), (E20, z, E22))
+    return WeakFormBlocks(A=A, B=B, C=C, D=D, E=Em)
+
+
+def ripf_physics(u_qp, grad_qp, fields, params):
+    """Dense WeakForm (legacy stacked API) derived from the block form."""
+    return ripf_blocks(u_qp, grad_qp, fields, params).to_dense()
 
 
 def rt_dose_schedule(RT_broad, RT_focus, time, broad_fractions, focus_fractions):
