@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mesh.core import ELEMENT_FACES, Mesh
-from .geometry import geometry_factors
 
 
 def _face_areas_normals_h(mesh: Mesh, elem: np.ndarray, side: np.ndarray):
@@ -52,9 +51,9 @@ def _face_areas_normals_h(mesh: Mesh, elem: np.ndarray, side: np.ndarray):
     return area, normal, h
 
 
-def interior_face_table(mesh: Mesh):
-    """(elem_a, elem_b, area, normal, h_a) for every interior face, each
-    face listed once (host precompute)."""
+def interior_face_table(mesh: Mesh, return_sides: bool = False):
+    """(elem_a, elem_b, area, normal, h_a[, side_a, side_b]) for every
+    interior face, each face listed once (host precompute)."""
     from ..mesh.core import element_neighbors
 
     nbr = element_neighbors(mesh.connectivity, mesh.elem_type)
@@ -65,27 +64,56 @@ def interior_face_table(mesh: Mesh):
     keep = other > elems  # interior faces once
     elems, sides, other = elems[keep], sides[keep], other[keep]
     area, normal, h = _face_areas_normals_h(mesh, elems, sides)
-    return elems, other, area, normal, h
+    if not return_sides:
+        return elems, other, area, normal, h
+    # neighbour's side index facing back (conforming: exactly one match)
+    side_b = np.argmax(nbr[other] == elems[:, None], axis=1)
+    return elems, other, area, normal, h, sides, side_b
+
+
+def _face_center_gradients(mesh: Mesh, u: np.ndarray) -> np.ndarray:
+    """Per-(element, side) physical gradients at the FACE CENTER:
+    grad (E, S, V, 3), host NumPy.
+
+    For trilinear HEX8 fields the gradient varies over the element, so the
+    Kelly flux jump must be sampled on the face itself (libMesh's
+    JumpErrorEstimator reinits a face FE on both sides); the face-center
+    value is the one-point version of that face quadrature.  For affine
+    TET4 this reproduces the constant gradient exactly."""
+    from .elements import shape_gradients
+
+    faces_def = ELEMENT_FACES[mesh.elem_type]
+    if mesh.elem_type == "HEX8":
+        sx = np.array([-1, 1, 1, -1, -1, 1, 1, -1])
+        sy = np.array([-1, -1, 1, 1, -1, -1, 1, 1])
+        sz = np.array([-1, -1, -1, -1, 1, 1, 1, 1])
+        ref = np.stack([sx, sy, sz], axis=1).astype(float)  # (8, 3)
+    else:  # TET4 reference vertices
+        ref = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    pts = np.array([ref[list(f)].mean(axis=0) for f in faces_def])  # (S, 3)
+    dN = shape_gradients(mesh.elem_type, pts)  # (S, K, 3)
+    X = mesh.coords[mesh.connectivity]  # (E, K, 3)
+    J = np.einsum("ekd,qkr->eqdr", X, dN)  # (E, S, 3, 3)
+    Jinv = np.linalg.inv(J)  # (E, S, 3, 3): [r, d]
+    dphi = np.einsum("qkr,eqrd->eqkd", dN, Jinv)  # (E, S, K, 3)
+    ue = u[mesh.connectivity]  # (E, K, V)
+    return np.einsum("eqkd,ekv->eqvd", dphi, ue)  # (E, S, V, 3)
 
 
 def kelly_error_indicator(mesh: Mesh, u: jnp.ndarray,
                           variables: Sequence[int]) -> np.ndarray:
     """Per-element Kelly indicator eta (E,), accumulating the flagged
     variables into one vector (matching the shared-ErrorVector pattern of
-    src/pihna.C:826-831)."""
-    conn = jnp.asarray(mesh.connectivity)
-    conn_T = jnp.asarray(mesh.connectivity.T)
-    phi, JxW, dphi = geometry_factors(jnp.asarray(mesh.coords), conn,
-                                      mesh.elem_type)
-    ue = jnp.asarray(u).T[:, conn_T]  # (V, K, E)
-    # P1: element-constant gradient = gradient at qp 0; dphi (Q, K, 3, E)
-    grad = jnp.einsum("kde,vke->evd", dphi[0], ue)  # (E, V, 3)
-    grad = np.asarray(grad)
-
-    ea, eb, area, normal, h = interior_face_table(mesh)
+    src/pihna.C:826-831).  The flux jump is sampled at each interior face's
+    center from BOTH adjacent elements — exact for P1 TET4 (constant
+    gradients) and first-order-correct for trilinear HEX8."""
+    ea, eb, area, normal, h, sa, sb = interior_face_table(mesh,
+                                                          return_sides=True)
+    grad = _face_center_gradients(mesh, np.asarray(u))  # (E, S, V, 3)
     eta2 = np.zeros(mesh.n_elems)
     for v in variables:
-        jump = np.einsum("fd,fd->f", grad[ea, v] - grad[eb, v], normal)
+        jump = np.einsum(
+            "fd,fd->f", grad[ea, sa, v] - grad[eb, sb, v], normal)
         contrib = (h / 24.0) * area * jump**2
         np.add.at(eta2, ea, contrib)
         np.add.at(eta2, eb, contrib)

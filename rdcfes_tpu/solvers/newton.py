@@ -90,9 +90,17 @@ class NewtonSolver:
         self._linear_solve = jax.jit(linear_solve)
 
     def solve(self, assemble: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
-              x0: jnp.ndarray) -> NewtonResult:
+              x0: jnp.ndarray,
+              residual_only: Callable[[jnp.ndarray], jnp.ndarray] = None,
+              ) -> NewtonResult:
         """Solve R(x) = 0 given jit-compiled
-        `assemble(x) -> (R (N,V), K values (nnz,V,V))`."""
+        `assemble(x) -> (R (N,V), K values (nnz,V,V))`.
+
+        `residual_only(x) -> R`, when provided, is used for line-search
+        backtracking trials so the (much more expensive) tangent assembly
+        runs exactly once per ACCEPTED Newton step — libMesh's NewtonSolver
+        likewise only re-evaluates the residual during backtracking
+        (its line search calls assembly with Jacobian disabled)."""
         opts = self.opts
         x = x0
         R, values = assemble(x)
@@ -118,27 +126,32 @@ class NewtonSolver:
                 # than poisoning x (the reference's PETSc KSP would abort the
                 # run here)
                 break
+            # line-search trials only need ||R||; use the residual-only
+            # assembly when the caller provides one (the tangent assembly
+            # then runs once per ACCEPTED step, below)
+            trial_R = residual_only if residual_only is not None else (
+                lambda y: assemble(y)[0])
             if float(lin_res) > 1.0 and not opts.require_residual_reduction:
                 # the linear solve diverged (residual grew): a full step is
                 # garbage.  Safeguard with a residual-reduction bisection even
                 # when the deck does not require one — PETSc would have
                 # reported KSP_DIVERGED instead of handing back this step.
                 for _ in range(opts.max_line_search_steps):
-                    R_new, values_new = assemble(x + lam * dx)
+                    R_new = trial_R(x + lam * dx)
                     if float(jnp.linalg.norm(R_new)) < rnorm:
                         break
                     lam *= 0.5
                 else:
                     break  # no usable step in this direction
                 x = x + lam * dx
-                R, values = R_new, values_new
+                R, values = assemble(x)
                 rnorm = float(jnp.linalg.norm(R))
                 k += 1
                 continue
             if opts.require_residual_reduction:
                 reduced = False
                 for _ in range(opts.max_line_search_steps):
-                    R_new, values_new = assemble(x + lam * dx)
+                    R_new = trial_R(x + lam * dx)
                     if float(jnp.linalg.norm(R_new)) < rnorm:
                         reduced = True
                         break
@@ -149,11 +162,9 @@ class NewtonSolver:
                     # iterate flagged diverged instead of accepting a
                     # residual-increasing step
                     break
-            else:
-                R_new, values_new = assemble(x + lam * dx)
 
             x = x + lam * dx
-            R, values = R_new, values_new
+            R, values = assemble(x)
             rnorm = float(jnp.linalg.norm(R))
             k += 1
 

@@ -148,6 +148,7 @@ class SolidSystem:
             self._assemble_jit = jax.jit(self._assemble_sharded)
         else:
             self._assemble_jit = jax.jit(self.assemble)
+        self._residual_jit = jax.jit(self.assemble_residual)
         self._post = jax.jit(self._post_impl)
 
     # ------------------------------------------------------------------
@@ -238,23 +239,62 @@ class SolidSystem:
             R, values = self._apply_penalty_bcs(x, pseudo_time, R, values)
         return R, values
 
+    def _element_residual_cf(self, x, pseudo_time):
+        """Residual-only element kernel Fe (3, K, E): the constitutive
+        evaluation without the (much larger) tangent contraction — used by
+        Newton line-search backtracking trials, which only need ||R||."""
+        phi, JxW, dphi = geometry_factors(x, self.conn, self.mesh.elem_type)
+        Q, K = phi.shape
+        grad_X = [
+            [sum(dphi[:, k, r, :] * self.X0e_cf[k, d, :] for k in range(K))
+             for r in range(3)]
+            for d in range(3)
+        ]
+        lam_e = 1.0 + pseudo_time * self.rates
+        sigma, _, _F = stress_and_tangent_cf(
+            grad_X, [lam_e[:, d] for d in range(3)],
+            [self.fibres[:, d] for d in range(3)],
+            self.young, self.poisson, self.fibre_k, want_tangent=False,
+        )
+        sig = jnp.stack([jnp.stack(r) for r in sigma])  # (3, 3, Q, E)
+        Fe = None
+        for q in range(Q):
+            sig_q = sig[:, :, q, :] * JxW[q]
+            fe_q = (sig_q[:, None, :, :] * dphi[q][None, :, :, :]).sum(2)
+            Fe = fe_q if Fe is None else Fe + fe_q
+        return Fe
+
+    def assemble_residual(self, x_T: jnp.ndarray, pseudo_time) -> jnp.ndarray:
+        """Residual (3, N) only — no tangent assembly (line-search path)."""
+        x = x_T.T
+        Fe = self._element_residual_cf(x, pseudo_time)
+        R = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
+        if self.bc_faces is not None:
+            R = self._penalty_bc_residual(x, pseudo_time, R)
+        return R
+
+    def _penalty_bc_residual(self, x, pseudo_time, R):
+        """The residual half of _apply_penalty_bcs."""
+        ratio = pseudo_time * 1.000001
+        psi, JxWf, xyz, _ = face_geometry_factors(x, self.bc_faces,
+                                                  self.face_type)
+        orig = jnp.einsum("qk,fkd->fqd", psi, self.X0[self.bc_faces])
+        target = ratio * self.bc_disp
+        diff = xyz - orig - target[:, None, :]
+        masked = diff * self.bc_mask[:, None, :]
+        Rf = self.penalty * jnp.einsum("fq,qi,fqv->vfi", JxWf, psi, masked)
+        bcf = self.bc_faces.reshape(-1)
+        return jnp.stack([
+            R[v].at[bcf].add(Rf[v].reshape(-1)) for v in range(3)
+        ])
+
     def _apply_penalty_bcs(self, x, pseudo_time, R, values):
         """Penalty Dirichlet contributions (src/solid_system.C:273-371).
 
         R (3, N); values (3, 3, nnz) — channel-first scatter targets."""
-        ratio = pseudo_time * 1.000001
-        psi, JxWf, xyz, _ = face_geometry_factors(x, self.bc_faces, self.face_type)
-        orig = jnp.einsum("qk,fkd->fqd", psi, self.X0[self.bc_faces])
-        target = ratio * self.bc_disp  # (F, 3)
-        diff = xyz - orig - target[:, None, :]  # (F, Q, 3)
-        masked = diff * self.bc_mask[:, None, :]
-        # residual: penalty * psi_i * diff  -> (3, F, Kf)
-        Rf = self.penalty * jnp.einsum("fq,qi,fqv->vfi", JxWf, psi, masked)
-        Fn, Kf = self.bc_faces.shape
-        bcf = self.bc_faces.reshape(-1)
-        R = jnp.stack([
-            R[v].at[bcf].add(Rf[v].reshape(-1)) for v in range(3)
-        ])
+        R = self._penalty_bc_residual(x, pseudo_time, R)
+        psi, JxWf, _, _ = face_geometry_factors(x, self.bc_faces,
+                                                self.face_type)
         # jacobian: penalty * psi_i psi_j on constrained axes (diagonal blocks)
         Kf_pen = self.penalty * jnp.einsum("fq,qi,qj->fij", JxWf, psi, psi)
         # (3, 3, F, i, j): delta_vw * mask[f, v] * Kf_pen[f, i, j]
@@ -385,7 +425,9 @@ class SolidSystem:
         solvers.newton for why).  Public x is (N, 3); the solver works
         channel-first internally."""
         pt = jnp.asarray(pseudo_time, jnp.float64)
-        res = self._newton.solve(lambda y: self._assemble_jit(y, pt), x.T)
+        res = self._newton.solve(
+            lambda y: self._assemble_jit(y, pt), x.T,
+            residual_only=lambda y: self._residual_jit(y, pt))
         return res._replace(x=res.x.T)
 
     # ------------------------------------------------------------------

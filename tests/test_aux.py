@@ -62,6 +62,28 @@ def test_kelly_indicator_flags_gradient_jumps():
     assert set(np.nonzero(refine)[0]).issubset(set(np.nonzero(near)[0]))
 
 
+def test_kelly_hex8_face_gradient():
+    """HEX8 Kelly uses face-center gradients, not the qp-0 volume gradient:
+    on a 2x1x1 hex pair with u = x on [0,1] and u = 1 + 3(x-1) on [1,2],
+    the normal-flux jump at the shared face is exactly 2, so
+    eta^2 = (h/24) * area * jump^2 = (1/24) * 1 * 4 per element."""
+    from rdcfes_tpu.mesh import box_hex_mesh
+
+    mesh = box_hex_mesh(2, 1, 1, bounds=((0.0, 2.0), (0.0, 1.0), (0.0, 1.0)))
+    x = mesh.coords[:, 0]
+    u = np.where(x < 1.0, x, 1.0 + 3.0 * (x - 1.0))[:, None]
+    eta = kelly_error_indicator(mesh, jnp.asarray(u), [0])
+    np.testing.assert_allclose(eta, np.sqrt(4.0 / 24.0), rtol=1e-12)
+
+    # a y-dependent field bends the trilinear gradient within each element;
+    # the face-center sample must still see the exact midline jump 2*(1+y)
+    # at y = 0.5 -> jump 3, eta^2 = 9/24
+    u2 = (np.where(x < 1.0, x, 1.0 + 3.0 * (x - 1.0))
+          * (1.0 + mesh.coords[:, 1]))[:, None]
+    eta2 = kelly_error_indicator(mesh, jnp.asarray(u2), [0])
+    np.testing.assert_allclose(eta2, np.sqrt(9.0 / 24.0), rtol=1e-12)
+
+
 def test_exodus_writer_roundtrip(tmp_path):
     """ExodusII export (reference surface: ExodusII_IO write,
     src/process_mesh.C:169): dims/coords/connectivity re-read via NetCDF."""
