@@ -205,10 +205,14 @@ def main():
     }
     pihna = pihna_bench()
     out.update(pihna)
-    # measured single-core oracle x 8 ideal MPI ranks (PARITY.md section 4)
+    # measured single-core oracle x 8 ideal MPI ranks (PARITY.md section 4,
+    # BASELINE_MEASURED.json) for all three workloads
     baseline_steps_per_sec = 0.64
     out["vs_baseline"] = round(pihna["value"] / baseline_steps_per_sec, 2)
-    for fn in (adpm_bench, solid_bench):
+    # solid before ADPM so all three benches land in the JSON even when the
+    # time budget truncates the run (round-2 verdict: the solid number was
+    # squeezed out)
+    for fn in (solid_bench, adpm_bench):
         if time.perf_counter() - t_start > budget:
             # remote-tunnel compiles are slow; guarantee the JSON line
             # lands even under a tight harness timeout
@@ -220,6 +224,12 @@ def main():
             out[fn.__name__ + "_error"] = f"{type(e).__name__}: {e}"
             if os.environ.get("RDCFES_BENCH_DEBUG"):
                 traceback.print_exc()
+    if "adpm_steps_per_sec" in out:
+        # ADPM oracle 0.1565 steps/s single-core x 8 ideal ranks
+        out["adpm_vs_baseline"] = round(out["adpm_steps_per_sec"] / 1.252, 2)
+    if "solid_load_step_sec" in out:
+        # solid oracle 3470.5 s extrapolated single-core / 8 ideal ranks
+        out["solid_vs_baseline"] = round(433.8 / out["solid_load_step_sec"], 2)
     print(json.dumps(out))
 
 

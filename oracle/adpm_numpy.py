@@ -234,10 +234,24 @@ class AdpmOracle:
         return Kmat, F
 
     # ------------------------------------------------------------------
-    def step(self, u_old: np.ndarray, time: float):
-        """Assemble at u_old, direct-solve, clamp >= 0
-        (src/adpm.C:654-688)."""
+    def step(self, u_old: np.ndarray, time: float, solver: str = "direct"):
+        """Assemble at u_old, solve, clamp >= 0 (src/adpm.C:654-688).
+
+        solver="jacobi-bicgstab" is the Krylov path used for wall-clock
+        baseline measurement — same solver class as the reference's PETSc
+        KSP (see pihna_numpy.PihnaOracle.step)."""
         Kmat, F = self.assemble(u_old, time)
-        x = spla.spsolve(Kmat, F)
+        if solver == "direct":
+            x = spla.spsolve(Kmat, F)
+        elif solver == "jacobi-bicgstab":
+            d = Kmat.diagonal()
+            d = np.where(d == 0.0, 1.0, d)
+            M = spla.LinearOperator(Kmat.shape, lambda r: r / d)
+            x, info = spla.bicgstab(Kmat, F, M=M, rtol=1e-10, atol=0.0,
+                                    maxiter=2000)
+            if info != 0:
+                x = spla.spsolve(Kmat, F)
+        else:
+            raise ValueError(solver)
         u_raw = x.reshape(3, self.N).T
         return np.maximum(u_raw, 0.0), u_raw

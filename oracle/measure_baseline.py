@@ -48,7 +48,38 @@ def bench_case():
     return mesh, params, u0
 
 
-def main():
+def adpm_bench_case():
+    """The bench.py adpm_bench workload (run/HCP102513 scale + params)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from rdcfes_tpu.mesh import box_tet_mesh
+    from rdcfes_tpu.models.adpm import default_params
+
+    n = 28
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
+    p = default_params()
+    p.update(
+        dt=0.05,
+        decay_PrP=1.0e-4, decay_PrP_pulse0=0.01, decay_PrP_pulse1=10.0,
+        taxis1_A_b=50.0, taxis1_A_b_pulse0=-1.0, taxis1_A_b_pulse1=0.01,
+        taxis1_Tau=50.0, taxis1_Tau_pulse0=-1.0, taxis1_Tau_pulse1=0.01,
+        decay_Tau=1.0e1, decay_Tau_pulse0=0.0005, decay_Tau_pulse1=1.0e20,
+        diffuse_A_b=2e-4, diffuse_A_b_pulse0=-1.0, diffuse_A_b_pulse1=1e20,
+    )
+    rng = np.random.default_rng(0)
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0 = np.zeros((N, 3))
+    u0[:, 0] = 1.0
+    u0[:, 1] = 1e-3 * np.exp(-r2 / (2 * 20.0**2))
+    u0[:, 2] = 1e-4 * np.exp(-r2 / (2 * 15.0**2))
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    tracts /= np.linalg.norm(tracts, axis=1, keepdims=True)
+    return mesh, p, u0, tracts
+
+
+def measure_pihna():
     mesh, params, u0 = bench_case()
     orc = PihnaOracle(mesh.coords, mesh.connectivity, params)
     u = u0.copy()
@@ -60,13 +91,83 @@ def main():
         u, _ = orc.step(u, solver="jacobi-bicgstab")
     wall = time.perf_counter() - t0
     assert np.isfinite(u).all()
-    print(json.dumps({
+    return {
+        "workload": "pihna",
         "oracle_steps_per_sec": round(n_steps / wall, 4),
         "sec_per_step": round(wall / n_steps, 3),
         "n_steps": n_steps,
         "n_nodes": mesh.n_nodes,
         "n_elems": mesh.n_elems,
-    }))
+    }
+
+
+def measure_adpm():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from oracle.adpm_numpy import AdpmOracle
+
+    mesh, params, u0, tracts = adpm_bench_case()
+    orc = AdpmOracle(mesh.coords, mesh.connectivity, tracts, params)
+    u = u0.copy()
+    u, _ = orc.step(u, 1.0, solver="jacobi-bicgstab")  # warm
+    n_steps = 5
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        u, _ = orc.step(u, 1.0, solver="jacobi-bicgstab")
+    wall = time.perf_counter() - t0
+    assert np.isfinite(u).all()
+    return {
+        "workload": "adpm",
+        "oracle_steps_per_sec": round(n_steps / wall, 4),
+        "sec_per_step": round(wall / n_steps, 3),
+        "n_steps": n_steps,
+        "n_nodes": mesh.n_nodes,
+        "n_elems": mesh.n_elems,
+    }
+
+
+def measure_solid(n=12):
+    """One solid load step at n^3 HEX8 via the nested-loop oracle, with a
+    per-element extrapolation hook to the bench's 110,592-HEX8 case: the
+    element loop is O(E) and the sparse solve superlinear, so scaling the
+    measured per-element cost linearly UNDERSTATES the full-size reference
+    cost (conservative for vs_baseline)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from rdcfes_tpu.mesh import box_hex_mesh
+
+    from oracle.solid_numpy import SolidOracle
+
+    mesh = box_hex_mesh(n, n, n, bounds=((0, 1.0), (0, 1.0), (0, 1.0)))
+    orc = SolidOracle(mesh, young=1.0e3, poisson=0.3, penalty=1.0e6,
+                      bcs={0: (0.0, 0.0, 0.0),
+                           5: (np.nan, np.nan, -0.05)})
+    x0 = np.asarray(mesh.coords)
+    t0 = time.perf_counter()
+    x, iters, rnorm = orc.load_step(x0, 0.5)
+    wall = time.perf_counter() - t0
+    assert np.isfinite(x).all()
+    bench_E = 110_592
+    return {
+        "workload": "solid",
+        "oracle_load_step_sec": round(wall, 2),
+        "newton_iters": int(iters),
+        "n_elems": mesh.n_elems,
+        "extrapolated_bench_scale_sec": round(wall * bench_E / mesh.n_elems,
+                                              1),
+        "bench_elems": bench_E,
+    }
+
+
+def main():
+    import sys
+
+    which = sys.argv[1] if len(sys.argv) > 1 else "pihna"
+    fn = {"pihna": measure_pihna, "adpm": measure_adpm,
+          "solid": measure_solid}[which]
+    print(json.dumps(fn()))
 
 
 if __name__ == "__main__":

@@ -183,11 +183,43 @@ def run(deck_path: str = "input.dat") -> str:
 
     _profile_cm = maybe_profile()
     _profile_cm.__enter__()
-    for t in range(start_step + 1, n_steps + 1):
-        time_value += dt
-        step_banner(t, n_steps, time_value)
-        with plog.scope("solve"):
-            state, iters, res = system.step(state, params=params)
+    # production stepping: scan-batched run_steps between event points
+    # (output / checkpoint / AMR), falling back to per-step system.step
+    # when the system has no block-physics scan path.  The scan path is
+    # the same compiled program bench.py measures — drivers no longer pay
+    # a per-step host dispatch loop (PIHNA has no per-step scalars, so
+    # whole segments are parameter-static).
+    use_scan = (getattr(system, "physics_blocks", None) is not None
+                and hasattr(system, "run_steps"))
+
+    def next_event(t: int) -> int:
+        nxt = n_steps
+        if refinement_step > 0 and amr_done < amr_max_steps:
+            nxt = min(nxt, ((t // refinement_step) + 1) * refinement_step)
+        if ckpt_step:
+            nxt = min(nxt, ((t // ckpt_step) + 1) * ckpt_step)
+        future = [s for s in otp if s > t]
+        if future:
+            nxt = min(nxt, min(future))
+        return nxt
+
+    t = start_step
+    while t < n_steps:
+        seg = next_event(t) - t
+        if use_scan and seg > 1:
+            with plog.scope("solve"):
+                state, _its, _res = system.run_steps(state, seg,
+                                                     params=params)
+            for j in range(seg):
+                time_value += dt
+                step_banner(t + 1 + j, n_steps, time_value)
+            t += seg
+        else:
+            t += 1
+            time_value += dt
+            step_banner(t, n_steps, time_value)
+            with plog.scope("solve"):
+                state, iters, res = system.step(state, params=params)
         if (refinement_step > 0 and t % refinement_step == 0
                 and amr_done < amr_max_steps):
             amr_done += 1

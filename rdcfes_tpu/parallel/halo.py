@@ -243,7 +243,53 @@ class HaloPlan:
         )
 
 
-class HaloShardedSystem:
+class HaloExchangeMixin:
+    """Shard-program halo-exchange primitives over a HaloPlan (`self.plan`).
+
+    Shared by the transient RDC system below and the multi-chip solid
+    (parallel/solid_halo.py) — one implementation of the VecScatter
+    forward/reverse contract."""
+
+    def _ghost_fill(self, x, send_tabs):
+        """x (V, No_max) -> xg (V, No_max + Gtot) with ghosts filled by one
+        ppermute per offset class (VecScatter-forward)."""
+        D = self.plan.D
+        parts = [x]
+        for d, tab in zip(self.plan.deltas, send_tabs):
+            buf = x[:, tab[0]]  # (V, S_d) sender-local gather
+            buf = lax.ppermute(
+                buf, "d", [(i, (i + d) % D) for i in range(D)]
+            )
+            parts.append(buf)
+        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
+
+    def _reverse_add(self, y_all, rev_gather):
+        """Return ghost partial sums to owners (VecScatter-reverse) and add
+        into the owned slab.  y_all (V, No_max + Gtot)."""
+        plan = self.plan
+        y = y_all[:, : plan.No_max]
+        if not plan.deltas:
+            return y
+        D = plan.D
+        bufs = []
+        off = plan.No_max
+        for d, S in zip(plan.deltas, plan.seg_sizes):
+            seg = y_all[:, off: off + S]
+            off += S
+            bufs.append(lax.ppermute(
+                seg, "d", [(i, (i - d) % D) for i in range(D)]
+            ))
+        rcat = jnp.concatenate(
+            bufs + [jnp.zeros((y.shape[0], 1), y.dtype)], axis=-1
+        )
+        rg = rev_gather[0]  # (Cr, No_max)
+        acc = rcat[:, rg[0]]
+        for c in range(1, rg.shape[0]):
+            acc = acc + rcat[:, rg[c]]
+        return y + acc
+
+
+class HaloShardedSystem(HaloExchangeMixin):
     """Distributed linearized-CN transient system (drop-in multi-chip step).
 
     State is node-partitioned: each device holds a (V, No_max) slab.  Same
@@ -397,45 +443,6 @@ class HaloShardedSystem:
         out = np.empty_like(full)
         out[plan.node_order] = full
         return out
-
-    # ------------------------------------------------------------------
-    def _ghost_fill(self, x, send_tabs):
-        """x (V, No_max) -> xg (V, No_max + Gtot) with ghosts filled by one
-        ppermute per offset class (VecScatter-forward)."""
-        D = self.plan.D
-        parts = [x]
-        for d, tab in zip(self.plan.deltas, send_tabs):
-            buf = x[:, tab[0]]  # (V, S_d) sender-local gather
-            buf = lax.ppermute(
-                buf, "d", [(i, (i + d) % D) for i in range(D)]
-            )
-            parts.append(buf)
-        return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
-
-    def _reverse_add(self, y_all, rev_gather):
-        """Return ghost partial sums to owners (VecScatter-reverse) and add
-        into the owned slab.  y_all (V, No_max + Gtot)."""
-        plan = self.plan
-        y = y_all[:, : plan.No_max]
-        if not plan.deltas:
-            return y
-        D = plan.D
-        bufs = []
-        off = plan.No_max
-        for d, S in zip(plan.deltas, plan.seg_sizes):
-            seg = y_all[:, off: off + S]
-            off += S
-            bufs.append(lax.ppermute(
-                seg, "d", [(i, (i - d) % D) for i in range(D)]
-            ))
-        rcat = jnp.concatenate(
-            bufs + [jnp.zeros((y.shape[0], 1), y.dtype)], axis=-1
-        )
-        rg = rev_gather[0]  # (Cr, No_max)
-        acc = rcat[:, rg[0]]
-        for c in range(1, rg.shape[0]):
-            acc = acc + rcat[:, rg[c]]
-        return y + acc
 
     # ------------------------------------------------------------------
     def _step_shard(self, u_blk, efields, scalars, params, conn_local, JxW,
@@ -618,24 +625,49 @@ class HaloShardedSystem:
 
     def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
                   params: Optional[Dict] = None,
-                  scalars: Optional[Dict] = None):
-        """Advance n steps as one compiled scan over the sharded step
+                  scalars: Optional[Dict] = None,
+                  segment: Optional[int] = None):
+        """Advance n steps through compiled scans over the sharded step
         (static scalar params + block physics required).  Returns
-        (state, iters_per_step, residual_per_step)."""
+        (state, iters_per_step, residual_per_step).
+
+        Chained in device programs of at most `segment` steps (default 50,
+        env RDCFES_SCAN_SEGMENT) to stay under the TPU watchdog — same
+        policy as TransientRDCSystem.run_steps."""
         assert self.physics_blocks is not None, "run_steps needs physics_blocks"
         assert params and all(
             isinstance(v, (int, float)) for v in params.values()
         ), "run_steps needs plain-scalar params"
         p = {k: float(v) for k, v in params.items()}
-        key = ("__multi__", int(n)) + tuple(sorted(p.items()))
-        fn = self._qp_cache.get(key)
-        if fn is None:
-            fn = self._multi_shard_qp_fn(p, int(n))
-            self._qp_cache[key] = fn
-        return fn(state, fields or {}, scalars or {},
-                  self.conn_local_s, self.JxW_s, self.dphi_s,
-                  self.node_gather_s, self.rev_gather_s, self.mask_s,
-                  *self.send_idx_s)
+        if segment is None:
+            import os as _os
+
+            segment = int(_os.environ.get("RDCFES_SCAN_SEGMENT", "50"))
+        segment = max(1, int(segment))
+
+        def run_one(st, m):
+            key = ("__multi__", int(m)) + tuple(sorted(p.items()))
+            fn = self._qp_cache.get(key)
+            if fn is None:
+                fn = self._multi_shard_qp_fn(p, int(m))
+                self._qp_cache[key] = fn
+            return fn(st, fields or {}, scalars or {},
+                      self.conn_local_s, self.JxW_s, self.dphi_s,
+                      self.node_gather_s, self.rev_gather_s, self.mask_s,
+                      *self.send_idx_s)
+
+        n = int(n)
+        if n <= segment:
+            return run_one(state, n)
+        its_all, ress_all = [], []
+        remaining = n
+        while remaining > 0:
+            m = min(segment, remaining)
+            state, its, ress = run_one(state, m)
+            its_all.append(its)
+            ress_all.append(ress)
+            remaining -= m
+        return state, jnp.concatenate(its_all), jnp.concatenate(ress_all)
 
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,

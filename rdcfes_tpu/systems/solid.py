@@ -54,6 +54,86 @@ class SolidBC:
     displacement: Tuple[float, float, float]
 
 
+def element_kernels_cf(elem_type, x, conn, X0e_cf, young, poisson,
+                       fibre_k, rates, fibres, pseudo_time,
+                       want_tangent=True):
+    """Element residual/tangent blocks (Fe (3, K, E)[, Ke (3,3,K,K,E)])
+    from current positions x (N, 3) and per-element tables — the
+    constitutive hot loop, channel-first throughout (every 3x3/6x6
+    tensor is a nested list of (Q, E) arrays with the big axes minor,
+    so nothing tile-pads on TPU).  Module-level so both the single-chip
+    SolidSystem and the node-partitioned multi-chip solid (parallel/
+    solid_halo.py) share one constitutive code path
+    (reference src/solid_system.C:146-271)."""
+    phi, JxW, dphi = geometry_factors(x, conn, elem_type)
+    Q, K = phi.shape
+    # grad_X[d][r] (Q, E) = d X0_d / d x_r
+    grad_X = [
+        [sum(dphi[:, k, r, :] * X0e_cf[k, d, :] for k in range(K))
+         for r in range(3)]
+        for d in range(3)
+    ]
+    lam_e = 1.0 + pseudo_time * rates  # (E, 3)
+    lam = [lam_e[:, d] for d in range(3)]   # broadcast (E,) vs (Q, E)
+    eta = [fibres[:, d] for d in range(3)]
+    sigma, tangent, _F = stress_and_tangent_cf(
+        grad_X, lam, eta, young, poisson, fibre_k,
+        want_tangent=want_tangent,
+    )
+    # stack the nested-list tensors once: (3, 3, Q, E) / (6, 6, Q, E);
+    # all per-(i, j) contractions below are broadcast ops with the big
+    # E axis minor — O(100) HLO ops total (a fully unrolled i/j/q loop
+    # nest compiled for tens of minutes at HEX8)
+    sig = jnp.stack([jnp.stack(r) for r in sigma])        # (3, 3, Q, E)
+    if not want_tangent:
+        Fe = None
+        for q in range(Q):
+            sig_q = sig[:, :, q, :] * JxW[q]
+            fe_q = (sig_q[:, None, :, :] * dphi[q][None, :, :, :]).sum(2)
+            Fe = fe_q if Fe is None else Fe + fe_q
+        return Fe, None
+    tan = jnp.stack([jnp.stack(r) for r in tangent])      # (6, 6, Q, E)
+
+    Fe = None
+    G = None
+    Kmat = None
+    for q in range(Q):
+        sig_q = sig[:, :, q, :] * JxW[q]                  # (3, 3, E)
+        dphi_q = dphi[q]                                  # (K, 3, E)
+        # residual: (3, K, E) = sum_d sig[v, d] dphi[i, d]
+        fe_q = (sig_q[:, None, :, :] * dphi_q[None, :, :, :]).sum(2)
+        Fe = fe_q if Fe is None else Fe + fe_q
+        # geometric stiffness: s1[i, d] = sum_c dphi[i, c] sig[c, d]
+        s1 = (dphi_q[:, :, None, :] * sig_q[None, :, :, :]).sum(1)
+        g_q = (s1[:, None, :, :] * dphi_q[None, :, :, :]).sum(2)
+        G = g_q if G is None else G + g_q                 # (K, K, E)
+        # material stiffness: B (3, 6, K, E) sparse placement of dphi
+        Bq = jnp.stack([
+            jnp.stack([
+                (dphi_q[:, _B_SLOTS[(v, a)], :]
+                 if (v, a) in _B_SLOTS else
+                 jnp.zeros_like(dphi_q[:, 0, :]))
+                for a in range(6)
+            ])
+            for v in range(3)
+        ])                                                # (3, 6, K, E)
+        tan_q = tan[:, :, q, :] * JxW[q]                  # (6, 6, E)
+        # T1[a, w, j] = sum_b tan[a, b] B[w, b, j]
+        T1 = None
+        for b in range(6):
+            t = (tan_q[:, b][:, None, None, :]
+                 * Bq[None, :, b, :, :])                  # (6, 3, K, E)
+            T1 = t if T1 is None else T1 + t
+        # Kmat[v, w, i, j] = sum_a B[v, a, i] T1[a, w, j]
+        for a in range(6):
+            t = (Bq[:, a][:, None, :, None, :]
+                 * T1[a][None, :, None, :, :])            # (3,3,K,K,E)
+            Kmat = t if Kmat is None else Kmat + t
+
+    Ke = Kmat + jnp.eye(3)[:, :, None, None, None] * G[None, None]
+    return Fe, Ke
+
+
 class SolidSystem:
     """Quasi-static hyperelastic equilibrium with load stepping."""
 
@@ -92,6 +172,23 @@ class SolidSystem:
             fibre_k[sel] = mat.get("fibre_stiffness", 0.0)
             for d in range(3):
                 rates[sel, d] = mat.get(f"stretch_rate_{d}", 0.0)
+        if fibres is None:
+            fibres = np.zeros((E, 3))
+        # multi-chip: the node-partitioned halo Newton (parallel/
+        # solid_halo.py) — element tangents stay shard-local, the inner
+        # Krylov iterates on distributed slabs with ppermute ghost
+        # exchange; per-device memory O(N/D + boundary), replacing the
+        # round-2 replicated-Newton design that psummed the full global
+        # (3, 3, nnz) values to every device
+        self._halo = None
+        if device_mesh is not None:
+            from ..parallel.solid_halo import HaloSolidSystem
+
+            self._halo = HaloSolidSystem(
+                mesh, young, poisson, fibre_k, rates, np.asarray(fibres),
+                bcs={k: tuple(v) for k, v in bcs.items()},
+                penalty=self.penalty, newton=newton,
+                device_mesh=device_mesh)
         self.young = jnp.asarray(young)
         self.poisson = jnp.asarray(poisson)
         self.fibre_k = jnp.asarray(fibre_k)
@@ -137,17 +234,8 @@ class SolidSystem:
             np.transpose(mesh.coords[mesh.connectivity], (1, 2, 0)))
         self.face_type = FACE_TYPE[mesh.elem_type]
         self._newton = NewtonSolver(self.sp, newton)
-        # multi-chip assembly: the constitutive hot loop
-        # (solid_system.C:146-271) is owner-computes element-sharded; the
-        # assembled residual/values are psum-reduced and kept replicated
-        # for the Newton/linear stage (assembly is the O(E) cost; the
-        # reference's solid runs the same owner-computes split under MPI)
         self.dmesh = device_mesh
-        if device_mesh is not None:
-            self._build_sharded_tables(device_mesh)
-            self._assemble_jit = jax.jit(self._assemble_sharded)
-        else:
-            self._assemble_jit = jax.jit(self.assemble)
+        self._assemble_jit = jax.jit(self.assemble)
         self._residual_jit = jax.jit(self.assemble_residual)
         self._post = jax.jit(self._post_impl)
 
@@ -158,71 +246,11 @@ class SolidSystem:
     # ------------------------------------------------------------------
     def _element_kernels_cf(self, x, conn, X0e_cf, young, poisson,
                             fibre_k, rates, fibres, pseudo_time):
-        """Element residual/tangent blocks (Fe (3, K, E), Ke (3,3,K,K,E))
-        from current positions x (N, 3) and per-element tables — the
-        constitutive hot loop, channel-first throughout (every 3x3/6x6
-        tensor is a nested list of (Q, E) arrays with the big axes minor,
-        so nothing tile-pads on TPU)."""
-        phi, JxW, dphi = geometry_factors(x, conn, self.mesh.elem_type)
-        Q, K = phi.shape
-        # grad_X[d][r] (Q, E) = d X0_d / d x_r
-        grad_X = [
-            [sum(dphi[:, k, r, :] * X0e_cf[k, d, :] for k in range(K))
-             for r in range(3)]
-            for d in range(3)
-        ]
-        lam_e = 1.0 + pseudo_time * rates  # (E, 3)
-        lam = [lam_e[:, d] for d in range(3)]   # broadcast (E,) vs (Q, E)
-        eta = [fibres[:, d] for d in range(3)]
-        sigma, tangent, _F = stress_and_tangent_cf(
-            grad_X, lam, eta, young, poisson, fibre_k,
-            want_tangent=True,
-        )
-        # stack the nested-list tensors once: (3, 3, Q, E) / (6, 6, Q, E);
-        # all per-(i, j) contractions below are broadcast ops with the big
-        # E axis minor — O(100) HLO ops total (a fully unrolled i/j/q loop
-        # nest compiled for tens of minutes at HEX8)
-        sig = jnp.stack([jnp.stack(r) for r in sigma])        # (3, 3, Q, E)
-        tan = jnp.stack([jnp.stack(r) for r in tangent])      # (6, 6, Q, E)
-
-        Fe = None
-        G = None
-        Kmat = None
-        for q in range(Q):
-            sig_q = sig[:, :, q, :] * JxW[q]                  # (3, 3, E)
-            dphi_q = dphi[q]                                  # (K, 3, E)
-            # residual: (3, K, E) = sum_d sig[v, d] dphi[i, d]
-            fe_q = (sig_q[:, None, :, :] * dphi_q[None, :, :, :]).sum(2)
-            Fe = fe_q if Fe is None else Fe + fe_q
-            # geometric stiffness: s1[i, d] = sum_c dphi[i, c] sig[c, d]
-            s1 = (dphi_q[:, :, None, :] * sig_q[None, :, :, :]).sum(1)
-            g_q = (s1[:, None, :, :] * dphi_q[None, :, :, :]).sum(2)
-            G = g_q if G is None else G + g_q                 # (K, K, E)
-            # material stiffness: B (3, 6, K, E) sparse placement of dphi
-            Bq = jnp.stack([
-                jnp.stack([
-                    (dphi_q[:, _B_SLOTS[(v, a)], :]
-                     if (v, a) in _B_SLOTS else
-                     jnp.zeros_like(dphi_q[:, 0, :]))
-                    for a in range(6)
-                ])
-                for v in range(3)
-            ])                                                # (3, 6, K, E)
-            tan_q = tan[:, :, q, :] * JxW[q]                  # (6, 6, E)
-            # T1[a, w, j] = sum_b tan[a, b] B[w, b, j]
-            T1 = None
-            for b in range(6):
-                t = (tan_q[:, b][:, None, None, :]
-                     * Bq[None, :, b, :, :])                  # (6, 3, K, E)
-                T1 = t if T1 is None else T1 + t
-            # Kmat[v, w, i, j] = sum_a B[v, a, i] T1[a, w, j]
-            for a in range(6):
-                t = (Bq[:, a][:, None, :, None, :]
-                     * T1[a][None, :, None, :, :])            # (3,3,K,K,E)
-                Kmat = t if Kmat is None else Kmat + t
-
-        Ke = Kmat + jnp.eye(3)[:, :, None, None, None] * G[None, None]
-        return Fe, Ke
+        """See module-level element_kernels_cf (shared with the multi-chip
+        solid)."""
+        return element_kernels_cf(
+            self.mesh.elem_type, x, conn, X0e_cf, young, poisson,
+            fibre_k, rates, fibres, pseudo_time, want_tangent=True)
 
     # ------------------------------------------------------------------
     def assemble(self, x_T: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -243,25 +271,10 @@ class SolidSystem:
         """Residual-only element kernel Fe (3, K, E): the constitutive
         evaluation without the (much larger) tangent contraction — used by
         Newton line-search backtracking trials, which only need ||R||."""
-        phi, JxW, dphi = geometry_factors(x, self.conn, self.mesh.elem_type)
-        Q, K = phi.shape
-        grad_X = [
-            [sum(dphi[:, k, r, :] * self.X0e_cf[k, d, :] for k in range(K))
-             for r in range(3)]
-            for d in range(3)
-        ]
-        lam_e = 1.0 + pseudo_time * self.rates
-        sigma, _, _F = stress_and_tangent_cf(
-            grad_X, [lam_e[:, d] for d in range(3)],
-            [self.fibres[:, d] for d in range(3)],
-            self.young, self.poisson, self.fibre_k, want_tangent=False,
-        )
-        sig = jnp.stack([jnp.stack(r) for r in sigma])  # (3, 3, Q, E)
-        Fe = None
-        for q in range(Q):
-            sig_q = sig[:, :, q, :] * JxW[q]
-            fe_q = (sig_q[:, None, :, :] * dphi[q][None, :, :, :]).sum(2)
-            Fe = fe_q if Fe is None else Fe + fe_q
+        Fe, _ = element_kernels_cf(
+            self.mesh.elem_type, x, self.conn, self.X0e_cf, self.young,
+            self.poisson, self.fibre_k, self.rates, self.fibres,
+            pseudo_time, want_tangent=False)
         return Fe
 
     def assemble_residual(self, x_T: jnp.ndarray, pseudo_time) -> jnp.ndarray:
@@ -314,109 +327,6 @@ class SolidSystem:
         return R, values
 
     # ------------------------------------------------------------------
-    def _build_sharded_tables(self, device_mesh):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        mesh = self.mesh
-        D = int(device_mesh.devices.size)
-        E, K = mesh.n_elems, mesh.nodes_per_elem
-        Eb = -(-E // D)
-        Epad = Eb * D
-
-        def pad_e(arr, fill=0):
-            out = np.full((Epad,) + arr.shape[1:], fill, dtype=arr.dtype)
-            out[:E] = arr
-            return out
-
-        # padded elements reuse element 0's geometry (valid jacobians) and
-        # are masked out of the scatter below
-        connp = pad_e(np.asarray(mesh.connectivity))
-        connp[E:] = np.asarray(mesh.connectivity)[0]
-        emask = np.zeros(Epad)
-        emask[:E] = 1.0
-        X0e = np.transpose(mesh.coords[connp], (1, 2, 0))       # (K, 3, Epad)
-        slots = np.asarray(self.sp.slots_flat_cf()).reshape(K * K, E)
-        slotsp = np.full((K * K, Epad), self.sp.nnz, dtype=slots.dtype)
-        slotsp[:, :E] = slots                                    # pad -> dump
-        connfp = np.full((K, Epad), mesh.n_nodes, dtype=np.int64)
-        connfp[:, :E] = np.asarray(mesh.connectivity).T
-
-        dshard = lambda spec: NamedSharding(device_mesh, spec)
-        put = jax.device_put
-        self._sh = {
-            "conn": put(connp.reshape(D, Eb, K), dshard(P("d"))),
-            "X0e": put(X0e.reshape(K, 3, D, Eb), dshard(P(None, None, "d"))),
-            "young": put(pad_e(np.asarray(self.young)).reshape(D, Eb),
-                         dshard(P("d"))),
-            "poisson": put(pad_e(np.asarray(self.poisson)).reshape(D, Eb),
-                           dshard(P("d"))),
-            "fibre_k": put(pad_e(np.asarray(self.fibre_k)).reshape(D, Eb),
-                           dshard(P("d"))),
-            "rates": put(pad_e(np.asarray(self.rates)).reshape(D, Eb, 3),
-                         dshard(P("d"))),
-            "fibres": put(pad_e(np.asarray(self.fibres)).reshape(D, Eb, 3),
-                          dshard(P("d"))),
-            "slots": put(slotsp.reshape(K * K, D, Eb),
-                         dshard(P(None, "d"))),
-            "connf": put(connfp.reshape(K, D, Eb), dshard(P(None, "d"))),
-            "emask": put(emask.reshape(D, Eb), dshard(P("d"))),
-        }
-        from jax.sharding import PartitionSpec as PS
-
-        try:
-            from jax import shard_map
-        except ImportError:
-            from jax.experimental.shard_map import shard_map
-
-        nnz, N = self.sp.nnz, mesh.n_nodes
-
-        def kernel(x_T, pt, conn, X0e, young, poisson, fibre_k, rates,
-                   fibres, slots, connf, emask):
-            x = x_T.T
-            Fe, Ke = self._element_kernels_cf(
-                x, conn[0], X0e[:, :, 0], young[0], poisson[0],
-                fibre_k[0], rates[0], fibres[0], pt)
-            Fe = Fe * emask[0][None, None, :]
-            Ke = Ke * emask[0][None, None, None, None, :]
-            # per-shard partial global assembly into dump-padded arrays,
-            # then psum — the MPI add_matrix/add_vector reduction
-            sl = slots[:, 0].reshape(-1)
-            cf = connf[:, 0].reshape(-1)
-            vals = jnp.stack([
-                jnp.stack([
-                    jnp.zeros((nnz + 1,), Ke.dtype)
-                    .at[sl].add(Ke[v, w].reshape(-1))[:nnz]
-                    for w in range(3)
-                ])
-                for v in range(3)
-            ])
-            R = jnp.stack([
-                jnp.zeros((N + 1,), Fe.dtype)
-                .at[cf].add(Fe[v].reshape(-1))[:N]
-                for v in range(3)
-            ])
-            from jax import lax
-
-            return lax.psum(R, "d"), lax.psum(vals, "d")
-
-        self._sharded_kernel = shard_map(
-            kernel, mesh=device_mesh,
-            in_specs=(PS(), PS(), PS("d"), PS(None, None, "d"), PS("d"),
-                      PS("d"), PS("d"), PS("d"), PS("d"), PS(None, "d"),
-                      PS(None, "d"), PS("d")),
-            out_specs=(PS(), PS()),
-        )
-
-    def _assemble_sharded(self, x_T, pseudo_time):
-        t = self._sh
-        R, values = self._sharded_kernel(
-            x_T, pseudo_time, t["conn"], t["X0e"], t["young"], t["poisson"],
-            t["fibre_k"], t["rates"], t["fibres"], t["slots"], t["connf"],
-            t["emask"])
-        if self.bc_faces is not None:
-            R, values = self._apply_penalty_bcs(x_T.T, pseudo_time, R, values)
-        return R, values
-
     # ------------------------------------------------------------------
     def run_solver(self, x: jnp.ndarray, pseudo_time: float) -> NewtonResult:
         """One load step: Newton-solve equilibrium at the given pseudo-time
@@ -424,6 +334,9 @@ class SolidSystem:
         runs on the host over jitted assemble/linear-solve stages (see
         solvers.newton for why).  Public x is (N, 3); the solver works
         channel-first internally."""
+        if self._halo is not None:
+            # node-partitioned multi-chip Newton (parallel/solid_halo.py)
+            return self._halo.run_solver(np.asarray(x), pseudo_time)
         pt = jnp.asarray(pseudo_time, jnp.float64)
         res = self._newton.solve(
             lambda y: self._assemble_jit(y, pt), x.T,

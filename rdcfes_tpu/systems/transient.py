@@ -142,6 +142,12 @@ class TransientRDCSystem:
         slot_gather, node_gather = gather_tables(self.sp, mesh.connectivity)
         self.slot_gather = jnp.asarray(slot_gather)
         self.node_gather = jnp.asarray(node_gather)
+        # flat restriction index: ONE batched gather + (C, N) reshape-sum
+        # instead of C sequential gathers — in-program gather ops carry a
+        # large fixed cost on TPU (measured: the C-loop restrict is ~3.5 ms
+        # while a single fused gather of the same volume is ~0.03 ms), so
+        # the restrict must be one gather op, not C
+        self.node_gather_flat = jnp.asarray(node_gather.reshape(-1))
         self.diag_slots = jnp.asarray(self.sp.diag_slots)
         self.phi, JxW, dphi = geometry_factors(
             jnp.asarray(mesh.coords), self.conn, mesh.elem_type
@@ -481,9 +487,17 @@ class TransientRDCSystem:
 
     def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
                   params: Optional[Dict] = None,
-                  scalars: Optional[Dict] = None):
-        """Advance n steps as one compiled scan (static scalar params
-        required).  Returns (state, iters_per_step, residual_per_step)."""
+                  scalars: Optional[Dict] = None, segment: Optional[int] = None):
+        """Advance n steps through compiled scans (static scalar params
+        required).  Returns (state, iters_per_step, residual_per_step).
+
+        The n steps are chained as device programs of at most `segment`
+        steps each (default 50, env RDCFES_SCAN_SEGMENT): a single scan
+        program running ≳40 s trips the TPU device watchdog (observed
+        UNAVAILABLE kernel faults on 400-step ADPM scans — PERF.md
+        section 4), so segmentation is built into the production path
+        rather than left to callers.  Identical math: segments chain the
+        carried state; equal-size segments reuse one compiled program."""
         assert self.physics_blocks is not None, "run_steps needs physics_blocks"
         assert params and all(
             isinstance(v, (int, float)) for v in params.values()
@@ -491,12 +505,32 @@ class TransientRDCSystem:
         if scalars:
             fields = {**(fields or {}), **scalars}
         p = {k: float(v) for k, v in params.items()}
-        key = ("__multi__", int(n)) + tuple(sorted(p.items()))
-        fn = self._qp_step_cache.get(key)
-        if fn is None:
-            fn = self._qp_multi_fn(p, int(n))
-            self._qp_step_cache[key] = fn
-        return fn(state, fields or {})
+        if segment is None:
+            import os as _os
+
+            segment = int(_os.environ.get("RDCFES_SCAN_SEGMENT", "50"))
+        segment = max(1, int(segment))
+
+        def run_one(st, m):
+            key = ("__multi__", int(m)) + tuple(sorted(p.items()))
+            fn = self._qp_step_cache.get(key)
+            if fn is None:
+                fn = self._qp_multi_fn(p, int(m))
+                self._qp_step_cache[key] = fn
+            return fn(st, fields or {})
+
+        n = int(n)
+        if n <= segment:
+            return run_one(state, n)
+        its_all, ress_all = [], []
+        remaining = n
+        while remaining > 0:
+            m = min(segment, remaining)
+            state, its, ress = run_one(state, m)
+            its_all.append(its)
+            ress_all.append(ress)
+            remaining -= m
+        return state, jnp.concatenate(its_all), jnp.concatenate(ress_all)
 
     def _step_qp(self, state, fields, params):
         key = tuple(sorted((k, float(v)) for k, v in params.items()))
