@@ -110,6 +110,8 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
             kw["clamp"] = clamp
         if physics_blocks is not None:
             kw["physics_blocks"] = physics_blocks
+        if kwargs.get("moving_mesh"):
+            kw["moving_mesh"] = True
         system = HaloShardedSystem(mesh, n_vars, physics, dmesh, **kw)
         return system, (lambda st: system.gather(st["u"])), system.initial_state
     from ..systems import TransientRDCSystem

@@ -22,8 +22,9 @@ from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
 from ..models.hcc import HCC_VARS, hcc_physics
-from ..systems import SolidSystem, TransientRDCSystem
-from .common import make_solid_device_mesh, PerfLog, step_banner
+from ..systems import SolidSystem
+from .common import (make_rdc_system, make_solid_device_mesh, PerfLog,
+                     step_banner)
 from .solid import load_bcs, load_fibres, load_materials, load_newton_options
 
 
@@ -94,7 +95,12 @@ def run(deck_path: str = "input.dat") -> str:
 
     dmesh = make_solid_device_mesh(deck)
     with plog.scope("system setup"):
-        rds = TransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True)
+        # parallel/n_devices routes BOTH halves through the distributed
+        # machinery: the RDC transport through the moving-mesh halo step
+        # (geometry from current coords inside the shard program) and the
+        # solid through the node-partitioned halo Newton
+        rds, get_u, put_state = make_rdc_system(
+            mesh, 3, hcc_physics, deck, moving_mesh=True)
         solid = SolidSystem(
             mesh,
             materials=load_materials(deck),
@@ -104,7 +110,7 @@ def run(deck_path: str = "input.dat") -> str:
             newton=load_newton_options(deck),
             device_mesh=dmesh,
         )
-    state = rds.initial_state(u0)
+    state = put_state(u0)
     x = solid.initial_positions()
 
     # checkpoint/resume (capability upgrade — SURVEY.md section 5); the
@@ -124,7 +130,7 @@ def run(deck_path: str = "input.dat") -> str:
     fibre_cur = fibres.copy()
 
     def save(t: int):
-        u = np.asarray(state["u"])
+        u = get_u(state)
         xs = np.asarray(x)
         disp = np.asarray(solid.displacement(x))
         with plog.scope("vtu output"):
@@ -163,7 +169,8 @@ def run(deck_path: str = "input.dat") -> str:
             mesh = gmsh.read(ck_mesh)
             amr_done = int(extra["amr_done"])
             fibres = extra["fibres"]
-            rds = TransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True)
+            rds, get_u, put_state = make_rdc_system(
+                mesh, 3, hcc_physics, deck, moving_mesh=True)
             solid = SolidSystem(
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
@@ -177,7 +184,7 @@ def run(deck_path: str = "input.dat") -> str:
         p_elem = extra.get("p_elem", p_elem)
         vm_elem = extra.get("vm_elem", vm_elem)
         fibre_cur = extra.get("fibre_cur", fibre_cur)
-        state = {k: jnp.asarray(v) for k, v in st.items()}
+        state = rds.scatter_state(st)
         print(f"resumed from {ckpt_resume} at step {start_step}")
     else:
         save(0)
@@ -246,8 +253,9 @@ def run(deck_path: str = "input.dat") -> str:
                     vm_elem = r.restrict_elemental(vm_elem)
                     fibre_cur = r.restrict_elemental(fibre_cur)
                     x_new = r.prolong(np.asarray(x))
-                    rds = TransientRDCSystem(mesh, 3, hcc_physics,
-                                             moving_mesh=True)
+                    gstate = rds.gather_state(state)
+                    rds, get_u, put_state = make_rdc_system(
+                        mesh, 3, hcc_physics, deck, moving_mesh=True)
                     solid = SolidSystem(
                         mesh,
                         materials=load_materials(deck),
@@ -257,8 +265,9 @@ def run(deck_path: str = "input.dat") -> str:
                         newton=load_newton_options(deck),
                         device_mesh=dmesh,
                     )
-                    state = {k: jnp.asarray(r.prolong(np.asarray(v)))
-                             for k, v in state.items()}
+                    state = rds.scatter_state(
+                        {k: r.prolong(np.asarray(v))
+                         for k, v in gstate.items()})
                     x = jnp.asarray(x_new)
                     paraview.mesh = mesh
         if ckpt_step and t % ckpt_step == 0:
@@ -274,7 +283,8 @@ def run(deck_path: str = "input.dat") -> str:
                                os.path.join(DIR, "checkpoint_mesh.msh"))
                     ck_extras["amr_done"] = np.asarray(amr_done)
                 save_checkpoint(
-                    os.path.join(DIR, "checkpoint.npz"), state, t,
+                    os.path.join(DIR, "checkpoint.npz"),
+                    rds.gather_state(state), t,
                     time_value, ck_params, **ck_extras,
                 )
         if t in otp:

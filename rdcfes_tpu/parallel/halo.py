@@ -307,6 +307,7 @@ class HaloShardedSystem(HaloExchangeMixin):
         rtol: float = DEFAULT_RTOL,
         maxiter: int = DEFAULT_MAXITER,
         physics_blocks: Optional[Callable] = None,
+        moving_mesh: bool = False,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
@@ -378,6 +379,17 @@ class HaloShardedSystem(HaloExchangeMixin):
             in_specs=in_specs, out_specs=(P("d"), P(), P()),
         )
         self._step = jax.jit(fn)
+        # moving-mesh path (coupled RDC<->solid): padded element columns
+        # clone the shard's element 0 so per-step geometry from current
+        # coords stays non-degenerate; restriction tables never read them
+        self.moving_mesh = moving_mesh
+        conn_mv = plan.conn_local.copy()
+        for s in range(D):
+            n_s = plan.elem_counts[s]
+            conn_mv[s, :, n_s:] = conn_mv[s, :, :1]
+        self.conn_moving_s = jax.device_put(conn_mv, shard_last(P("d")))
+        self._step_moving = None    # jitted on first use
+        self._coords_cache = None   # (id(host coords), distributed slab)
 
     # ------------------------------------------------------------------
     def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
@@ -445,20 +457,13 @@ class HaloShardedSystem(HaloExchangeMixin):
         return out
 
     # ------------------------------------------------------------------
-    def _step_shard(self, u_blk, efields, scalars, params, conn_local, JxW,
-                    dphi, node_gather, rev_gather, mask, *send_tabs):
-        plan = self.plan
+    def _linear_stage(self, u_blk, Fe, Ke, diag_e, ng, msk, rev_gather,
+                      send_tabs, conn):
+        """Shared linear stage of the dense-Ke shard step: assemble rhs /
+        block-Jacobi from element kernels, distributed-BiCGStab, clamp."""
         V = self.n_vars
-        u = u_blk["u"][0]          # (V, No_max) this shard's slab
+        u = u_blk["u"][0]
         u_old = u_blk["u_old"][0]
-        ng = node_gather[0]        # (C, Nloc)
-        msk = mask[0]              # (No_max,)
-        conn = conn_local[0]       # (K, Eb)
-        JxW = JxW[:, 0]            # (Q, Eb) — squeeze the shard axis
-        dphi = dphi[:, :, :, 0]    # (Q, K, 3, Eb)
-        # physics sees this shard's element-field blocks + shared scalars
-        fields = {k: v[0] for k, v in efields.items()}
-        fields.update(scalars)
 
         def restrict(flat_local):
             pad = jnp.zeros(flat_local.shape[:-1] + (1,), flat_local.dtype)
@@ -470,16 +475,6 @@ class HaloShardedSystem(HaloExchangeMixin):
 
         def pdot(a, b):
             return lax.psum(jnp.vdot(a, b), "d")
-
-        # ---- element kernels on ghost-filled old solution -----------------
-        ug = self._ghost_fill(u, send_tabs)
-        u_qp, grad_qp = interpolate_at_qp(ug, conn, self.phi, dphi)
-        wf = self.physics(u_qp, grad_qp, fields, params)
-        Fe = element_vectors(wf, self.phi, JxW, dphi)
-        Ke, diag_e = element_matrices(
-            wf, self.phi, JxW, dphi,
-            grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
-        )
 
         b = self._reverse_add(restrict(Fe.reshape(V, -1)), rev_gather)
         diag = self._reverse_add(
@@ -515,6 +510,63 @@ class HaloShardedSystem(HaloExchangeMixin):
             "u_raw": u_raw[None],
         }
         return new_blk, iters, res
+
+    def _step_shard(self, u_blk, efields, scalars, params, conn_local, JxW,
+                    dphi, node_gather, rev_gather, mask, *send_tabs):
+        V = self.n_vars
+        u = u_blk["u"][0]          # (V, No_max) this shard's slab
+        ng = node_gather[0]        # (C, Nloc)
+        msk = mask[0]              # (No_max,)
+        conn = conn_local[0]       # (K, Eb)
+        JxW = JxW[:, 0]            # (Q, Eb) — squeeze the shard axis
+        dphi = dphi[:, :, :, 0]    # (Q, K, 3, Eb)
+        # physics sees this shard's element-field blocks + shared scalars
+        fields = {k: v[0] for k, v in efields.items()}
+        fields.update(scalars)
+
+        # ---- element kernels on ghost-filled old solution -----------------
+        ug = self._ghost_fill(u, send_tabs)
+        u_qp, grad_qp = interpolate_at_qp(ug, conn, self.phi, dphi)
+        wf = self.physics(u_qp, grad_qp, fields, params)
+        Fe = element_vectors(wf, self.phi, JxW, dphi)
+        Ke, diag_e = element_matrices(
+            wf, self.phi, JxW, dphi,
+            grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
+        )
+        return self._linear_stage(u_blk, Fe, Ke, diag_e, ng, msk,
+                                  rev_gather, send_tabs, conn)
+
+    def _step_shard_moving(self, u_blk, coords_blk, efields, scalars, params,
+                           conn_mv, node_gather, rev_gather, mask,
+                           *send_tabs):
+        """Moving-mesh shard step: geometry factors are computed INSIDE the
+        shard program from ghost-filled current node positions — the
+        multi-chip counterpart of TransientRDCSystem._step_moving_impl
+        (the coupled RDC<->solid path assembles on the CURRENT deformed
+        configuration every step, reference src/coupled_hcc.C:114).
+        `conn_mv` pads with a clone of the shard's element 0 so padded
+        elements keep non-degenerate Jacobians; the plan's restriction
+        tables never gather padded slots, so they contribute nothing."""
+        V = self.n_vars
+        u = u_blk["u"][0]
+        ng = node_gather[0]
+        msk = mask[0]
+        conn = conn_mv[0]
+        xg = self._ghost_fill(coords_blk[0], send_tabs)   # (3, Nloc)
+        phi, JxW, dphi = geometry_factors(xg.T, conn.T, self.mesh.elem_type)
+        fields = {k: v[0] for k, v in efields.items()}
+        fields.update(scalars)
+
+        ug = self._ghost_fill(u, send_tabs)
+        u_qp, grad_qp = interpolate_at_qp(ug, conn, phi, dphi)
+        wf = self.physics(u_qp, grad_qp, fields, params)
+        Fe = element_vectors(wf, phi, JxW, dphi)
+        Ke, diag_e = element_matrices(
+            wf, phi, JxW, dphi,
+            grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
+        )
+        return self._linear_stage(u_blk, Fe, Ke, diag_e, ng, msk,
+                                  rev_gather, send_tabs, conn)
 
     # ------------------------------------------------------------------
     def _step_shard_qp_fn(self, params: Dict):
@@ -670,13 +722,42 @@ class HaloShardedSystem(HaloExchangeMixin):
         return state, jnp.concatenate(its_all), jnp.concatenate(ress_all)
 
     # ------------------------------------------------------------------
+    def scatter_coords(self, coords) -> jnp.ndarray:
+        """Current node positions (N, 3) -> distributed (D, 3, No_max)
+        slab for the moving-mesh step, cached by host-array identity (the
+        coupled driver's positions only change at loading points)."""
+        if isinstance(coords, jnp.ndarray) and coords.ndim == 3:
+            return coords  # already distributed
+        key = id(coords)
+        if self._coords_cache is not None and self._coords_cache[0] == key:
+            return self._coords_cache[1]
+        blk = self.scatter_nodal(np.asarray(coords))
+        self._coords_cache = (key, blk)
+        return blk
+
     def step(self, state: Dict, fields: Optional[Dict] = None,
              params: Optional[Dict] = None,
-             scalars: Optional[Dict] = None):
+             scalars: Optional[Dict] = None,
+             coords=None):
         """fields: dict of element-sharded arrays from shard_elem_field
         (leading shard axis); scalars: replicated per-step values (e.g.
-        "time")."""
+        "time"); coords: current node positions for the moving-mesh path
+        ((N, 3) global or an already-distributed (D, 3, No_max) slab)."""
         params = params or {}
+        if coords is not None:
+            if self._step_moving is None:
+                in_specs = (
+                    P("d"), P("d"), P("d"), P(), P(),
+                    P("d"), P("d"), P("d"), P("d"),
+                ) + tuple(P("d") for _ in self.plan.send_idx)
+                self._step_moving = jax.jit(shard_map(
+                    self._step_shard_moving, mesh=self.dmesh,
+                    in_specs=in_specs, out_specs=(P("d"), P(), P())))
+            return self._step_moving(
+                state, self.scatter_coords(coords), fields or {},
+                scalars or {}, params, self.conn_moving_s,
+                self.node_gather_s, self.rev_gather_s, self.mask_s,
+                *self.send_idx_s)
         if (self.physics_blocks is not None and params
                 and all(isinstance(v, (int, float)) for v in params.values())):
             fn, _, _ = self._qp_parts(
