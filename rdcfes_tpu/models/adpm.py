@@ -30,6 +30,10 @@ transform_Tau, transform_Tau_t0..t3, diffuse_A_b(+_pulse0/1),
 taxis1_A_b(+_pulse0/1), taxis2_A_b(+_pulse0/1), produce_A_b(+_s0/_s1),
 decay_A_b(+_pulse0/1), same for Tau, omega_A_b, omega_Tau (cosines of the
 tolerance angles).
+
+Note: the reference carries a boundary-flux penalty block that is
+compiled out behind `if(0)` (src/adpm.C:595-644); it is inert there and
+has no counterpart here (VERDICT r2, residual delta 5).
 """
 
 from __future__ import annotations

@@ -165,3 +165,25 @@ def test_refined_mesh_solves():
     st, it, res = sys2.step(st, params={"dt": 0.02})
     u = np.asarray(st["u"])
     assert np.isfinite(u).all() and float(res) < 1e-10
+
+
+def test_mixed_mesh_rejected_with_census(tmp_path):
+    """A mixed TET4/HEX8 mesh is rejected with a precise element census
+    (documented scope limit; libMesh reads mixed meshes — reference
+    surface src/paraview.h:210-234)."""
+    import pytest
+
+    from rdcfes_tpu.mesh import box_tet_mesh, gmsh
+
+    m = box_tet_mesh(2, 2, 2)
+    p = str(tmp_path / "mix.msh")
+    gmsh.write(m, p)
+    lines = open(p).read().splitlines()
+    i = lines.index("$Elements")
+    n = int(lines[i + 1])
+    lines[i + 1] = str(n + 1)
+    j = lines.index("$EndElements")
+    lines.insert(j, f"{n + 1} 5 2 0 0 1 2 3 4 5 6 7 8")
+    open(p, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match=r"1 HEX8, 48 TET4"):
+        gmsh.read(p)
