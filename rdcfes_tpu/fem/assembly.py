@@ -247,6 +247,15 @@ def interpolate_at_qp(
     tile padding of small-dim contractions).
     """
     ue = u[:, conn_T]  # (V, K, E)
+    return interpolate_ue(ue, phi, dphi)
+
+
+def interpolate_ue(
+    ue: jnp.ndarray, phi: jnp.ndarray, dphi: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """interpolate_at_qp from already-gathered corner values ue (V, K, E)
+    — the entry point of the Pallas fast-gather path, where the corner
+    gather runs through the Beneš kernels (fem/pallas_perm.py)."""
     Q, K = phi.shape
     phi_host = phi if isinstance(phi, np.ndarray) else np.asarray(phi)
     uq = []

@@ -1,0 +1,90 @@
+"""Fast-gather plans: FEM corner gather / restriction as grid bijections.
+
+Builds the two Beneš permutation plans (fem/benes.py) that replace the
+XLA gathers of the matrix-free qp matvec (systems/transient.py):
+
+  P_fwd : ue[k, e] = x[conn[k, e]]
+          source grid = the C_x-fold broadcast of the padded nodal vector
+          (rows r hold x-row r mod NR — free in VMEM), target grid = the
+          k-major corner-slot layout (K, E_pad).
+  P_rev : g[c, n] = ye[k, e] for the c-th incidence of node n; the
+          restriction is then a plain sum over c (scatter-free, no
+          gather at all).
+
+Both are bijections of one (A, 128, 128) grid with
+T = A*16384 = C_x * N_pad:  C_x >= max node degree, chosen so the
+broadcast tiling divides evenly and the corner layout fits
+(E_pad = T/K >= E).  Pad slots route pads -> pads; the ye pad region is
+zero-filled by the caller so padded restrict targets contribute zeros.
+
+Replaces the gather under the reference's PETSc SpMV (src/pihna.C:80).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from .benes import GridPermPlan, build_grid_permutation
+
+
+class FastGatherPlans(NamedTuple):
+    A: int
+    C_x: int          # broadcast factor / incidence rows
+    NR: int           # padded nodal rows (N_pad = NR * 128)
+    E_pad: int        # corner slots per k-plane (T / K)
+    K: int
+    N: int
+    E: int
+    fwd: GridPermPlan
+    rev: GridPermPlan
+
+
+def build_fast_plans(conn: np.ndarray, n_nodes: int) -> FastGatherPlans:
+    conn = np.asarray(conn)
+    E, K = conn.shape
+    N = n_nodes
+    NR = -(-N // 128)
+    deg = np.bincount(conn.reshape(-1), minlength=N)
+    C = int(deg.max())
+    C_x = None
+    for c in range(max(C, 1), max(C, 1) + 513):
+        if (c * NR) % 128 == 0 and (c * NR * 128) // K >= E:
+            C_x = c
+            break
+    assert C_x is not None, "no feasible broadcast factor"
+    A = (C_x * NR) // 128
+    T = A * 128 * 128
+    E_pad = T // K
+    N_pad = NR * 128
+
+    # incidence ranks: c_of[k*E + e] = rank of (k, e) among the incidences
+    # of node conn[e, k] (stable k-major order — same enumeration for both
+    # plans, and c_of < deg <= C_x everywhere)
+    flat_nodes = conn.T.reshape(-1).astype(np.int64)  # k-major
+    order = np.argsort(flat_nodes, kind="stable")
+    counts = np.bincount(flat_nodes, minlength=N)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    c_of = np.empty(K * E, dtype=np.int64)
+    c_of[order] = np.arange(K * E) - starts[flat_nodes[order]]
+
+    ks = np.repeat(np.arange(K, dtype=np.int64), E)
+    es = np.tile(np.arange(E, dtype=np.int64), K)
+    dst_slots = ks * E_pad + es                 # corner-slot grid ids
+    src_slots = c_of * N_pad + flat_nodes      # broadcast grid ids
+
+    def bijection(dst_real, src_real):
+        p = np.full(T, -1, dtype=np.int64)
+        p[dst_real] = src_real
+        used_src = np.zeros(T, dtype=bool)
+        used_src[src_real] = True
+        free_dst = np.nonzero(p < 0)[0]
+        free_src = np.nonzero(~used_src)[0]
+        p[free_dst] = free_src
+        return p
+
+    fwd = build_grid_permutation(bijection(dst_slots, src_slots), A)
+    rev = build_grid_permutation(bijection(src_slots, dst_slots), A)
+    return FastGatherPlans(A=A, C_x=C_x, NR=NR, E_pad=E_pad, K=K, N=N,
+                           E=E, fwd=fwd, rev=rev)

@@ -1,0 +1,173 @@
+"""Pallas TPU kernels executing Beneš grid permutations (fem/benes.py).
+
+The two hot gathers of the matrix-free qp matvec — corner gather
+(x -> ue) and restriction (ye -> y) — are fixed bijections of an
+(A, B=128, L=128) grid.  XLA executes them as gathers at ~0.2 G
+indices/s; these kernels run the same data movement through Mosaic's
+fast primitives (lane gather, 8-row sublane gather, block rolls,
+minor-dim transposes) at ~7 G elements/s (scripts/microbench_pallas3.py).
+
+Kernels (channel-gridded so VMEM holds one channel's buffers at a time):
+  gather_corners(x, plan_tables)  : (V, NR, 128) -> (V, R, 128)
+      broadcast x along the incidence axis, then permute to corner-slot
+      order (the ue buffer; caller views it as (V, K, E_pad)).
+  permute_restrict(ye, plan_tables): (V, R, 128) -> (V, C, NR, 128)
+      permute corner contributions into (c, node) order; the caller
+      reduces over c (the scatter-free restriction).
+
+Plan tables are uint8 (every routed axis has <= 128 positions) and are
+cast to int32 in-kernel.  All kernels support interpret=True so the CPU
+test suite exercises them without a TPU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .benes import GridPermPlan
+
+
+class DevicePlan(NamedTuple):
+    """Device-resident kernel-layout tables for one grid permutation."""
+
+    A: int
+    B: int
+    L: int
+    AP: int
+    iL1: jnp.ndarray    # (A*B, L)   u8
+    iB1t: jnp.ndarray   # (A*L, B)   u8  (B-stage pre-swapped)
+    jA1: jnp.ndarray    # (AP, B*L)  u8
+    rA: jnp.ndarray     # (AP, B*L)  u8
+    jA2: jnp.ndarray    # (AP, B*L)  u8
+    iB2t: jnp.ndarray   # (A*L, B)   u8
+    iL2: jnp.ndarray    # (A*B, L)   u8
+
+
+def device_plan(plan: GridPermPlan) -> DevicePlan:
+    A, B, L = plan.A, plan.B, plan.L
+    # B-stage tables arrive as (A, B, L) target-driven b-gathers; the
+    # kernel runs them after a (B, L) swap, so pre-swap to (A*L, B)
+    iB1t = np.ascontiguousarray(
+        np.transpose(plan.iB1, (0, 2, 1))).reshape(A * L, B)
+    iB2t = np.ascontiguousarray(
+        np.transpose(plan.iB2, (0, 2, 1))).reshape(A * L, B)
+    as8 = lambda a: jnp.asarray(a, jnp.uint8)
+    return DevicePlan(
+        A=A, B=B, L=L, AP=plan.AP,
+        iL1=as8(plan.iL1), iB1t=as8(iB1t), jA1=as8(plan.jA1),
+        rA=as8(plan.rA), jA2=as8(plan.jA2), iB2t=as8(iB2t),
+        iL2=as8(plan.iL2),
+    )
+
+
+def _roll_rows(z, shift):
+    """np.roll along axis 0 via concat (static shift; Mosaic-safe)."""
+    if shift == 0:
+        return z
+    return jnp.concatenate([z[-shift:], z[:-shift]], axis=0)
+
+
+def _run_perm(z, iL1, iB1t, jA1, rA, jA2, iB2t, iL2, A, B, L, AP):
+    """The five permutation stages on one (A*B, L) f32 buffer."""
+    i32 = lambda a: a.astype(jnp.int32)
+    nb = AP // 8
+    # stage 1: lane gather
+    z = jnp.take_along_axis(z, i32(iL1), axis=1)
+    # stage 2: b gather (swap minor dims, lane gather, swap back)
+    z = z.reshape(A, B, L).swapaxes(1, 2).reshape(A * L, B)
+    z = jnp.take_along_axis(z, i32(iB1t), axis=1)
+    z = z.reshape(A, L, B).swapaxes(1, 2).reshape(A, B * L)
+    # stage 3: A-axis on (AP, B*L): within-block, across-block, within
+    z = jnp.concatenate(
+        [z, jnp.zeros((AP - A, B * L), z.dtype)], axis=0)
+    zb = z.reshape(nb, 8, B * L)
+    j1 = i32(jA1).reshape(nb, 8, B * L)
+    z1 = jnp.concatenate(
+        [jnp.take_along_axis(zb[u], j1[u], axis=0)[None]
+         for u in range(nb)], axis=0).reshape(AP, B * L)
+    rAi = i32(rA)
+    acc = jnp.where(rAi == 0, z1, 0.0)
+    for d in range(1, nb):
+        acc = acc + jnp.where(rAi == d, _roll_rows(z1, 8 * d), 0.0)
+    z2 = acc.reshape(nb, 8, B * L)
+    j3 = i32(jA2).reshape(nb, 8, B * L)
+    z = jnp.concatenate(
+        [jnp.take_along_axis(z2[v], j3[v], axis=0)[None]
+         for v in range(nb)], axis=0).reshape(AP, B * L)[:A]
+    # stage 4: b gather
+    z = z.reshape(A, B, L).swapaxes(1, 2).reshape(A * L, B)
+    z = jnp.take_along_axis(z, i32(iB2t), axis=1)
+    z = z.reshape(A, L, B).swapaxes(1, 2).reshape(A * B, L)
+    # stage 5: lane gather
+    return jnp.take_along_axis(z, i32(iL2), axis=1)
+
+
+def _perm_kernel(x_ref, iL1, iB1t, jA1, rA, jA2, iB2t, iL2, out_ref,
+                 *, A, B, L, AP, rep):
+    """One channel per grid step.  rep > 0: the input block has `rep`-fold
+    fewer rows than the grid; it is broadcast along the incidence axis
+    before permuting (the corner-gather x-replication, free in VMEM).
+
+    Traced under disable_x64: jnp.take_along_axis picks the DEFAULT int
+    dtype for its index conversion, and int64 is unrepresentable in
+    Mosaic (the package enables x64 globally for f64 physics)."""
+    with jax.enable_x64(False):
+        z = x_ref[0]
+        if rep:
+            z = jnp.broadcast_to(z[None],
+                                 (rep,) + z.shape).reshape(A * B, L)
+        out_ref[0] = _run_perm(z, iL1[:], iB1t[:], jA1[:], rA[:], jA2[:],
+                               iB2t[:], iL2[:], A, B, L, AP)
+
+
+def _call(dp: DevicePlan, x, in_rows, rep, interpret=False):
+    """Shared pallas_call wrapper: grid over channels.
+
+    Built and invoked under enable_x64(False): the surrounding package
+    runs with x64 on (f64 physics), but Mosaic rejects the int64 scalars
+    x64 mode injects into grid bookkeeping and index conversions."""
+    V = x.shape[0]
+    A, B, L, AP = dp.A, dp.B, dp.L, dp.AP
+    R = A * B
+    from functools import partial
+
+    kern = partial(_perm_kernel, A=A, B=B, L=L, AP=AP, rep=rep)
+    tbl_specs = [
+        pl.BlockSpec(t.shape, lambda v: (0,) * t.ndim,
+                     memory_space=pltpu.VMEM)
+        for t in (dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)
+    ]
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((V, R, L), x.dtype),
+            grid=(V,),
+            in_specs=[
+                pl.BlockSpec((1, in_rows, L), lambda v: (v, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + tbl_specs,
+            out_specs=pl.BlockSpec((1, R, L), lambda v: (v, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(x, dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)
+
+
+def grid_permute(dp: DevicePlan, x, interpret=False):
+    """(V, A*B, L) -> (V, A*B, L) permuted per the plan."""
+    return _call(dp, x, dp.A * dp.B, 0, interpret)
+
+
+def gather_corners(dp: DevicePlan, x, rep, interpret=False):
+    """x (V, NR, L) nodal values -> ue (V, A*B, L) corner-slot values.
+
+    The plan's source grid is the rep-fold broadcast of x along the
+    incidence axis (rows r read x[r mod NR]); requires A*B == rep*NR."""
+    NR = x.shape[1]
+    assert dp.A * dp.B == rep * NR, (dp.A * dp.B, rep, NR)
+    return _call(dp, x, NR, rep, interpret)

@@ -39,6 +39,7 @@ from ..fem.assembly import (
     ell_structure,
     gather_tables,
     interpolate_at_qp,
+    interpolate_ue,
 )
 from ..fem.bcsr import ell_matvec, to_ell  # noqa: F401 (assembled path)
 from ..fem.geometry import geometry_factors
@@ -96,6 +97,7 @@ class TransientRDCSystem:
         precision: str = "f64",
         precond_refresh: int = 1,
         physics_blocks: Optional[Callable] = None,
+        fast_gather: str = "auto",
     ):
         self.mesh = mesh
         self.n_vars = n_vars
@@ -164,6 +166,37 @@ class TransientRDCSystem:
         # f32 geometry copies for the mixed-precision qp matvec
         self.JxW32 = self.JxW.astype(jnp.float32)
         self.dphi32 = self.dphi.astype(jnp.float32)
+        # fast-gather mode: route the f32 inner matvec's corner gather and
+        # restriction through the Mosaic Beneš permutation kernels
+        # (fem/pallas_perm.py) — XLA executes those gathers at ~0.2 G
+        # indices/s, the kernels at ~7 G elements/s (PERF.md round 3).
+        # "auto": on for real TPU backends; "interpret": force with
+        # interpreter-mode kernels (CPU tests); "off"/"on" explicit.
+        assert fast_gather in ("auto", "on", "off", "interpret")
+        self.fast_gather = fast_gather
+        self._fast = None  # lazily built (plan construction is host-heavy)
+
+    def _fast_tables(self):
+        """Resolve + lazily build the fast-gather plans; None = disabled."""
+        if self.fast_gather == "off" or self.physics_blocks is None:
+            return None
+        if self.fast_gather == "auto":
+            platform = jax.devices()[0].platform.lower()
+            if not ("tpu" in platform or "axon" in platform):
+                return None
+        if self._fast is None:
+            from ..fem.fastpath import build_fast_plans
+            from ..fem.pallas_perm import device_plan
+
+            plans = build_fast_plans(np.asarray(self.mesh.connectivity),
+                                     self.mesh.n_nodes)
+            self._fast = {
+                "plans": plans,
+                "fwd": device_plan(plans.fwd),
+                "rev": device_plan(plans.rev),
+                "interpret": self.fast_gather == "interpret",
+            }
+        return self._fast
 
     # ------------------------------------------------------------------
     def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
@@ -377,6 +410,27 @@ class TransientRDCSystem:
             return cached
         V = self.n_vars
         mixed = self.precision == "mixed" and self.dtype == jnp.float64
+        fast = self._fast_tables()
+
+        def mv_fast(wf_, JxW_, dphi_, x):
+            """f32 matvec with the corner gather and restriction routed
+            through the Beneš permutation kernels; interp/apply stay in
+            XLA (elementwise).  Bitwise path differs from mv() only in
+            summation order of the restriction."""
+            from ..fem.pallas_perm import gather_corners, grid_permute
+
+            fp = fast["plans"]
+            interp = fast["interpret"]
+            xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
+            ue = gather_corners(fast["fwd"], xp.reshape(V, fp.NR, 128),
+                                fp.C_x, interpret=interp)
+            ue = ue.reshape(V, fp.K, fp.E_pad)[:, :, :fp.E]
+            x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
+            Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
+            yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
+            g = grid_permute(fast["rev"], yb.reshape(V, fp.A * 128, 128),
+                             interpret=interp)
+            return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
 
         def step_fn(state, fields, Dinv_in):
             u_T = state["u"].T
@@ -411,8 +465,9 @@ class TransientRDCSystem:
                 wfb32 = wfb.cast(jnp.float32)
                 Dinv32 = Dinv.astype(jnp.float32)
                 M32 = partial(apply_block_jacobi, Dinv32)
+                mv_inner = mv_fast if fast is not None else mv
                 mv32 = lambda x: M32(
-                    mv(wfb32, self.JxW32, self.dphi32, x))
+                    mv_inner(wfb32, self.JxW32, self.dphi32, x))
                 u_raw, iters, resid = self._refine_mixed(
                     mv32, pre_matvec, pre_b, x0)
             else:
