@@ -41,8 +41,48 @@ class FastGatherPlans(NamedTuple):
     rev: GridPermPlan
 
 
-def build_fast_plans(conn: np.ndarray, n_nodes: int) -> FastGatherPlans:
+def _plan_cache_path(conn: np.ndarray, n_nodes: int):
+    import hashlib
+    import os
+
+    h = hashlib.sha1()
+    h.update(np.ascontiguousarray(conn).tobytes())
+    h.update(str(n_nodes).encode())
+    d = os.environ.get("RDCFES_PLAN_CACHE",
+                       os.path.expanduser("~/.cache/rdcfes_tpu"))
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, f"benes_{h.hexdigest()[:16]}.npz")
+
+
+def build_fast_plans(conn: np.ndarray, n_nodes: int,
+                     cache: bool = True) -> FastGatherPlans:
     conn = np.asarray(conn)
+    if cache:
+        import os
+
+        path = _plan_cache_path(conn, n_nodes)
+        if os.path.exists(path):
+            z = np.load(path)
+            mk = lambda pre: GridPermPlan(
+                A=int(z[pre + "A"]), B=int(z[pre + "B"]),
+                L=int(z[pre + "L"]), AP=int(z[pre + "AP"]),
+                iL1=z[pre + "iL1"], iB1=z[pre + "iB1"],
+                jA1=z[pre + "jA1"], rA=z[pre + "rA"],
+                jA2=z[pre + "jA2"], iB2=z[pre + "iB2"],
+                iL2=z[pre + "iL2"])
+            return FastGatherPlans(
+                A=int(z["A"]), C_x=int(z["C_x"]), NR=int(z["NR"]),
+                E_pad=int(z["E_pad"]), K=int(z["K"]), N=int(z["N"]),
+                E=int(z["E"]), fwd=mk("f_"), rev=mk("r_"))
+        plans = build_fast_plans(conn, n_nodes, cache=False)
+        flat = {"A": plans.A, "C_x": plans.C_x, "NR": plans.NR,
+                "E_pad": plans.E_pad, "K": plans.K, "N": plans.N,
+                "E": plans.E}
+        for pre, pl_ in (("f_", plans.fwd), ("r_", plans.rev)):
+            for f in pl_._fields:
+                flat[pre + f] = getattr(pl_, f)
+        np.savez_compressed(path, **flat)
+        return plans
     E, K = conn.shape
     N = n_nodes
     NR = -(-N // 128)

@@ -91,10 +91,13 @@ def _run_perm(z, iL1, iB1t, jA1, rA, jA2, iB2t, iL2, A, B, L, AP):
     z1 = jnp.concatenate(
         [jnp.take_along_axis(zb[u], j1[u], axis=0)[None]
          for u in range(nb)], axis=0).reshape(AP, B * L)
+    # pure select chain (no arithmetic): the stages must be BIT-EXACT
+    # data movement so f64 buffers can ride through as bitcast u32->f32
+    # planes (adding 0.0 would canonicalize NaN-aliasing bit patterns)
     rAi = i32(rA)
-    acc = jnp.where(rAi == 0, z1, 0.0)
+    acc = z1
     for d in range(1, nb):
-        acc = acc + jnp.where(rAi == d, _roll_rows(z1, 8 * d), 0.0)
+        acc = jnp.where(rAi == d, _roll_rows(z1, 8 * d), acc)
     z2 = acc.reshape(nb, 8, B * L)
     j3 = i32(jA2).reshape(nb, 8, B * L)
     z = jnp.concatenate(
@@ -143,6 +146,12 @@ def _call(dp: DevicePlan, x, in_rows, rep, interpret=False):
                      memory_space=pltpu.VMEM)
         for t in (dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)
     ]
+    kwargs = {}
+    if not interpret:
+        # tables + data blocks + stage intermediates peak slightly above
+        # the 16M default scoped-vmem budget at bench scale
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     with jax.enable_x64(False):
         return pl.pallas_call(
             kern,
@@ -155,6 +164,7 @@ def _call(dp: DevicePlan, x, in_rows, rep, interpret=False):
             out_specs=pl.BlockSpec((1, R, L), lambda v: (v, 0, 0),
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
+            **kwargs,
         )(x, dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)
 
 
@@ -171,3 +181,41 @@ def gather_corners(dp: DevicePlan, x, rep, interpret=False):
     NR = x.shape[1]
     assert dp.A * dp.B == rep * NR, (dp.A * dp.B, rep, NR)
     return _call(dp, x, NR, rep, interpret)
+
+
+# ----------------------------------------------------------------------
+# f64 transport: bit-split into two u32 planes (Mosaic has no 64-bit
+# types; the stages are bit-exact data movement, so f64 buffers ride
+# through as f32-bitcast word planes and are reassembled outside)
+# ----------------------------------------------------------------------
+def _split_f64(x):
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)  # (..., 2) words
+    lo = jax.lax.bitcast_convert_type(u[..., 0], jnp.float32)
+    hi = jax.lax.bitcast_convert_type(u[..., 1], jnp.float32)
+    return hi, lo
+
+
+def _join_f64(hi32, lo32):
+    pair = jnp.stack([
+        jax.lax.bitcast_convert_type(lo32, jnp.uint32),
+        jax.lax.bitcast_convert_type(hi32, jnp.uint32),
+    ], axis=-1)
+    return jax.lax.bitcast_convert_type(pair, jnp.float64)
+
+
+def gather_corners_f64(dp: DevicePlan, x, rep, interpret=False):
+    """f64 variant of gather_corners: two f32-bitcast planes per channel
+    share one kernel invocation."""
+    V = x.shape[0]
+    hi, lo = _split_f64(x)
+    g = gather_corners(dp, jnp.concatenate([hi, lo], axis=0), rep,
+                       interpret)
+    return _join_f64(g[:V], g[V:])
+
+
+def grid_permute_f64(dp: DevicePlan, x, interpret=False):
+    """f64 variant of grid_permute (bit-split transport)."""
+    V = x.shape[0]
+    hi, lo = _split_f64(x)
+    g = grid_permute(dp, jnp.concatenate([hi, lo], axis=0), interpret)
+    return _join_f64(g[:V], g[V:])

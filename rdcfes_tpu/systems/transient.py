@@ -176,6 +176,11 @@ class TransientRDCSystem:
         self.fast_gather = fast_gather
         self._fast = None  # lazily built (plan construction is host-heavy)
 
+    def _fast_args(self):
+        """The plan tables as a jit-argument pytree (empty when off)."""
+        fast = self._fast_tables()
+        return fast["args"] if fast is not None else ()
+
     def _fast_tables(self):
         """Resolve + lazily build the fast-gather plans; None = disabled."""
         if self.fast_gather == "off" or self.physics_blocks is None:
@@ -190,10 +195,16 @@ class TransientRDCSystem:
 
             plans = build_fast_plans(np.asarray(self.mesh.connectivity),
                                      self.mesh.n_nodes)
+            fwd, rev = device_plan(plans.fwd), device_plan(plans.rev)
             self._fast = {
                 "plans": plans,
-                "fwd": device_plan(plans.fwd),
-                "rev": device_plan(plans.rev),
+                "fwd": fwd,
+                "rev": rev,
+                # the ~10 MB of stage tables are passed through the jit
+                # boundary as ARGUMENTS (closing over them bakes them as
+                # constants into every pallas call site — observed to OOM
+                # the remote compile helper at scan scale)
+                "args": (tuple(fwd[4:]), tuple(rev[4:])),
                 "interpret": self.fast_gather == "interpret",
             }
         return self._fast
@@ -395,7 +406,7 @@ class TransientRDCSystem:
         """Jitted (fresh, reuse) qp-apply steps for one static parameter
         set (see _qp_raw_body)."""
         step_fn = self._qp_raw_body(params)
-        fresh = jax.jit(lambda st, f: step_fn(st, f, None))
+        fresh = jax.jit(lambda st, f, fa: step_fn(st, f, None, fa))
         reuse = jax.jit(step_fn)
         return fresh, reuse
 
@@ -412,33 +423,67 @@ class TransientRDCSystem:
         mixed = self.precision == "mixed" and self.dtype == jnp.float64
         fast = self._fast_tables()
 
-        def mv_fast(wf_, JxW_, dphi_, x):
-            """f32 matvec with the corner gather and restriction routed
-            through the Beneš permutation kernels; interp/apply stay in
-            XLA (elementwise).  Bitwise path differs from mv() only in
-            summation order of the restriction."""
-            from ..fem.pallas_perm import gather_corners, grid_permute
+        def _plans_from(fa):
+            """Rebuild DevicePlans from jit-argument table tuples (static
+            meta from the closure, arrays from the arguments)."""
+            fwd = fast["fwd"]._replace(**dict(zip(
+                ("iL1", "iB1t", "jA1", "rA", "jA2", "iB2t", "iL2"), fa[0])))
+            rev = fast["rev"]._replace(**dict(zip(
+                ("iL1", "iB1t", "jA1", "rA", "jA2", "iB2t", "iL2"), fa[1])))
+            return fwd, rev
 
+        def mv_fast(fa, wf_, JxW_, dphi_, x):
+            """Matvec with the corner gather and restriction routed
+            through the Beneš permutation kernels; interp/apply stay in
+            XLA (elementwise).  Differs from mv() only in summation order
+            of the restriction.  f64 operands ride the kernels as
+            bit-split u32 word planes (the stages are bit-exact)."""
+            from ..fem.pallas_perm import (gather_corners,
+                                           gather_corners_f64,
+                                           grid_permute, grid_permute_f64)
+
+            dfwd, drev = _plans_from(fa)
+            f64 = x.dtype == jnp.float64
+            gc = gather_corners_f64 if f64 else gather_corners
+            gp = grid_permute_f64 if f64 else grid_permute
             fp = fast["plans"]
             interp = fast["interpret"]
             xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
-            ue = gather_corners(fast["fwd"], xp.reshape(V, fp.NR, 128),
-                                fp.C_x, interpret=interp)
+            ue = gc(dfwd, xp.reshape(V, fp.NR, 128),
+                    fp.C_x, interpret=interp)
             ue = ue.reshape(V, fp.K, fp.E_pad)[:, :, :fp.E]
             x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
             Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
             yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
-            g = grid_permute(fast["rev"], yb.reshape(V, fp.A * 128, 128),
-                             interpret=interp)
+            g = gp(drev, yb.reshape(V, fp.A * 128, 128),
+                   interpret=interp)
             return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
 
-        def step_fn(state, fields, Dinv_in):
+        def restrict_fast(fa, Fe_vke):
+            """(W, K, E) element contributions -> (W, N) nodal sums via
+            the permutation kernels (any channel count, f32 or f64)."""
+            from ..fem.pallas_perm import grid_permute, grid_permute_f64
+
+            _, drev = _plans_from(fa)
+            fp = fast["plans"]
+            W = Fe_vke.shape[0]
+            gp = (grid_permute_f64 if Fe_vke.dtype == jnp.float64
+                  else grid_permute)
+            yb = jnp.pad(Fe_vke, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
+            g = gp(drev, yb.reshape(W, fp.A * 128, 128),
+                   interpret=fast["interpret"])
+            return g.reshape(W, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
+
+        def step_fn(state, fields, Dinv_in, fast_args=None):
             u_T = state["u"].T
             u_qp, grad_qp = interpolate_at_qp(u_T, self.conn_T, self.phi,
                                               self.dphi)
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             Fe = block_rhs(wfb, self.phi, self.JxW, self.dphi)
-            b = self._restrict(Fe.astype(self.dtype).reshape(V, -1))
+            if fast is not None:
+                b = restrict_fast(fast_args, Fe.astype(self.dtype))
+            else:
+                b = self._restrict(Fe.astype(self.dtype).reshape(V, -1))
             if Dinv_in is None:
                 diag_e = block_diag(wfb, self.phi, self.JxW, self.dphi)
                 Dinv = small_block_inverse(
@@ -453,7 +498,11 @@ class TransientRDCSystem:
                 Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
                 return self._restrict(Ye.reshape(V, -1))
 
-            matvec64 = partial(mv, wfb, self.JxW, self.dphi)
+            if fast is not None:
+                matvec64 = partial(mv_fast, fast_args, wfb, self.JxW,
+                                   self.dphi)
+            else:
+                matvec64 = partial(mv, wfb, self.JxW, self.dphi)
             M = partial(apply_block_jacobi, Dinv)
             pre_matvec = lambda x: M(matvec64(x))
             pre_b = M(b)
@@ -465,9 +514,12 @@ class TransientRDCSystem:
                 wfb32 = wfb.cast(jnp.float32)
                 Dinv32 = Dinv.astype(jnp.float32)
                 M32 = partial(apply_block_jacobi, Dinv32)
-                mv_inner = mv_fast if fast is not None else mv
-                mv32 = lambda x: M32(
-                    mv_inner(wfb32, self.JxW32, self.dphi32, x))
+                if fast is not None:
+                    mv32 = lambda x: M32(mv_fast(
+                        fast_args, wfb32, self.JxW32, self.dphi32, x))
+                else:
+                    mv32 = lambda x: M32(
+                        mv(wfb32, self.JxW32, self.dphi32, x))
                 u_raw, iters, resid = self._refine_mixed(
                     mv32, pre_matvec, pre_b, x0)
             else:
@@ -521,15 +573,15 @@ class TransientRDCSystem:
         refresh = max(1, self.precond_refresh)
         V, N = self.n_vars, self.mesh.n_nodes
 
-        def multi(state, fields):
+        def multi(state, fields, fast_args):
             Dinv0 = jnp.zeros((V, V, N), self.dtype)
 
             def body(carry, i):
                 st, Dv = carry
                 new_state, it, res, Dv2 = jax.lax.cond(
                     i % refresh == 0,
-                    lambda st, Dv: body_fn(st, fields, None),
-                    lambda st, Dv: body_fn(st, fields, Dv),
+                    lambda st, Dv: body_fn(st, fields, None, fast_args),
+                    lambda st, Dv: body_fn(st, fields, Dv, fast_args),
                     st, Dv,
                 )
                 return (new_state, Dv2), (it, res)
@@ -572,7 +624,7 @@ class TransientRDCSystem:
             if fn is None:
                 fn = self._qp_multi_fn(p, int(m))
                 self._qp_step_cache[key] = fn
-            return fn(st, fields or {})
+            return fn(st, fields or {}, self._fast_args())
 
         n = int(n)
         if n <= segment:
@@ -594,12 +646,14 @@ class TransientRDCSystem:
             fns = self._qp_step_fn({k: float(v) for k, v in params.items()})
             self._qp_step_cache[key] = fns
         fresh, reuse = fns
+        fa = self._fast_args()
         if (self.precond_refresh > 1 and self._dinv_cache is not None
                 and self._steps_since_precond < self.precond_refresh):
             self._steps_since_precond += 1
-            new_state, iters, res, _ = reuse(state, fields, self._dinv_cache)
+            new_state, iters, res, _ = reuse(state, fields,
+                                             self._dinv_cache, fa)
             return new_state, iters, res
-        new_state, iters, res, Dinv = fresh(state, fields)
+        new_state, iters, res, Dinv = fresh(state, fields, fa)
         self._dinv_cache = Dinv
         self._steps_since_precond = 1
         return new_state, iters, res
