@@ -25,6 +25,7 @@ src/ripf.C:461-466).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Callable, Dict, Optional
 
@@ -196,16 +197,32 @@ class TransientRDCSystem:
             plans = build_fast_plans(np.asarray(self.mesh.connectivity),
                                      self.mesh.n_nodes)
             fwd, rev = device_plan(plans.fwd), device_plan(plans.rev)
+            ep = plans.E_pad - plans.E
+            jxw32p = jnp.pad(self.JxW32, ((0, 0), (0, ep)))
+            dphi32p = jnp.pad(self.dphi32,
+                              ((0, 0), (0, 0), (0, 0), (0, ep)))
             self._fast = {
                 "plans": plans,
                 "fwd": fwd,
                 "rev": rev,
-                # the ~10 MB of stage tables are passed through the jit
+                # the ~10 MB of stage tables (and padded f32 geometry for
+                # the fused apply kernel) are passed through the jit
                 # boundary as ARGUMENTS (closing over them bakes them as
                 # constants into every pallas call site — observed to OOM
                 # the remote compile helper at scan scale)
-                "args": (tuple(fwd[4:]), tuple(rev[4:])),
+                "args": (tuple(fwd[4:]), tuple(rev[4:]), jxw32p, dphi32p),
                 "interpret": self.fast_gather == "interpret",
+                # each Mosaic kernel variant in a program costs the
+                # remote compile helper minutes and ~GBs; the f64
+                # transport and fused-apply variants are opt-in until the
+                # compile cost is paid off (envs for hardware experiments;
+                # interpret mode enables everything for test coverage)
+                "use_f64": (self.fast_gather == "interpret"
+                            or bool(int(os.environ.get(
+                                "RDCFES_FAST_F64", "0")))),
+                "use_fused": (self.fast_gather == "interpret"
+                              or bool(int(os.environ.get(
+                                  "RDCFES_FAST_FUSED", "0")))),
             }
         return self._fast
 
@@ -432,12 +449,14 @@ class TransientRDCSystem:
                 ("iL1", "iB1t", "jA1", "rA", "jA2", "iB2t", "iL2"), fa[1])))
             return fwd, rev
 
-        def mv_fast(fa, wf_, JxW_, dphi_, x):
+        def mv_fast(fa, wf_, JxW_, dphi_, x, stacks=None):
             """Matvec with the corner gather and restriction routed
-            through the Beneš permutation kernels; interp/apply stay in
-            XLA (elementwise).  Differs from mv() only in summation order
-            of the restriction.  f64 operands ride the kernels as
-            bit-split u32 word planes (the stages are bit-exact)."""
+            through the Beneš permutation kernels.  With `stacks` (the
+            f32 inner solve), the interp/apply between them runs in the
+            fused Pallas kernel too — the whole matvec is three kernels
+            plus vector ops.  f64 operands ride the permutation kernels
+            as hi/lo f32 planes with the apply in XLA."""
+            from ..fem.pallas_apply import qp_apply_fused
             from ..fem.pallas_perm import (gather_corners,
                                            gather_corners_f64,
                                            grid_permute, grid_permute_f64)
@@ -451,10 +470,18 @@ class TransientRDCSystem:
             xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
             ue = gc(dfwd, xp.reshape(V, fp.NR, 128),
                     fp.C_x, interpret=interp)
-            ue = ue.reshape(V, fp.K, fp.E_pad)[:, :, :fp.E]
-            x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
-            Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
-            yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
+            ue = ue.reshape(V, fp.K, fp.E_pad)
+            if stacks is not None and not f64:
+                # fused path: the E_pad tail carries zero coefficients,
+                # so padded columns produce zero contributions
+                Ye = qp_apply_fused(stacks, self.phi, fa[2], fa[3], ue,
+                                    interpret=interp)
+                yb = Ye
+            else:
+                ue = ue[:, :, :fp.E]
+                x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
+                Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
+                yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
             g = gp(drev, yb.reshape(V, fp.A * 128, 128),
                    interpret=interp)
             return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
@@ -480,7 +507,8 @@ class TransientRDCSystem:
                                               self.dphi)
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             Fe = block_rhs(wfb, self.phi, self.JxW, self.dphi)
-            if fast is not None:
+            if fast is not None and (fast["use_f64"]
+                                     or self.dtype == jnp.float32):
                 b = restrict_fast(fast_args, Fe.astype(self.dtype))
             else:
                 b = self._restrict(Fe.astype(self.dtype).reshape(V, -1))
@@ -498,7 +526,8 @@ class TransientRDCSystem:
                 Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
                 return self._restrict(Ye.reshape(V, -1))
 
-            if fast is not None:
+            if fast is not None and (fast["use_f64"]
+                                     or self.dtype == jnp.float32):
                 matvec64 = partial(mv_fast, fast_args, wfb, self.JxW,
                                    self.dphi)
             else:
@@ -515,8 +544,16 @@ class TransientRDCSystem:
                 Dinv32 = Dinv.astype(jnp.float32)
                 M32 = partial(apply_block_jacobi, Dinv32)
                 if fast is not None:
+                    if fast["use_fused"]:
+                        from ..fem.pallas_apply import stack_blocks
+
+                        stacks32 = stack_blocks(wfb32,
+                                                fast["plans"].E_pad)
+                    else:
+                        stacks32 = None
                     mv32 = lambda x: M32(mv_fast(
-                        fast_args, wfb32, self.JxW32, self.dphi32, x))
+                        fast_args, wfb32, self.JxW32, self.dphi32, x,
+                        stacks=stacks32))
                 else:
                     mv32 = lambda x: M32(
                         mv(wfb32, self.JxW32, self.dphi32, x))
