@@ -649,6 +649,18 @@ class TransientRDCSystem:
         if scalars:
             fields = {**(fields or {}), **scalars}
         p = {k: float(v) for k, v in params.items()}
+        fast = self._fast_tables()
+        if fast is not None and not fast["interpret"]:
+            # scan programs containing the Mosaic permutation kernels
+            # OOM-kill the remote compile helper; per-step dispatch is
+            # measured perf-neutral (PERF.md), so the fast path steps
+            # through the cached single-step programs instead
+            its_all, ress_all = [], []
+            for _ in range(int(n)):
+                state, it, res = self._step_qp(state, fields or {}, p)
+                its_all.append(it)
+                ress_all.append(res)
+            return (state, jnp.stack(its_all), jnp.stack(ress_all))
         if segment is None:
             import os as _os
 
