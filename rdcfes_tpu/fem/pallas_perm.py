@@ -129,12 +129,21 @@ def _perm_kernel(x_ref, iL1, iB1t, jA1, rA, jA2, iB2t, iL2, out_ref,
                                iB2t[:], iL2[:], A, B, L, AP)
 
 
-def _call(dp: DevicePlan, x, in_rows, rep, interpret=False):
+def _call(dp: DevicePlan, x, in_rows, rep, interpret=False,
+          channels=None):
     """Shared pallas_call wrapper: grid over channels.
 
     Built and invoked under enable_x64(False): the surrounding package
     runs with x64 on (f64 physics), but Mosaic rejects the int64 scalars
-    x64 mode injects into grid bookkeeping and index conversions."""
+    x64 mode injects into grid bookkeeping and index conversions.
+
+    `channels` pads the channel axis to a canonical count so f32 and
+    bit-split-f64 invocations share ONE compiled kernel variant — each
+    distinct Mosaic variant in a program costs the per-request remote
+    compile helper minutes and GBs (SIGKILL observed at ~6 variants)."""
+    W = x.shape[0]
+    if channels is not None and channels > W:
+        x = jnp.pad(x, ((0, channels - W),) + ((0, 0),) * (x.ndim - 1))
     V = x.shape[0]
     A, B, L, AP = dp.A, dp.B, dp.L, dp.AP
     R = A * B
@@ -165,22 +174,23 @@ def _call(dp: DevicePlan, x, in_rows, rep, interpret=False):
                                    memory_space=pltpu.VMEM),
             interpret=interpret,
             **kwargs,
-        )(x, dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)
+        )(x, dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)[:W]
 
 
-def grid_permute(dp: DevicePlan, x, interpret=False):
+def grid_permute(dp: DevicePlan, x, interpret=False, channels=None):
     """(V, A*B, L) -> (V, A*B, L) permuted per the plan."""
-    return _call(dp, x, dp.A * dp.B, 0, interpret)
+    return _call(dp, x, dp.A * dp.B, 0, interpret, channels)
 
 
-def gather_corners(dp: DevicePlan, x, rep, interpret=False):
+def gather_corners(dp: DevicePlan, x, rep, interpret=False,
+                   channels=None):
     """x (V, NR, L) nodal values -> ue (V, A*B, L) corner-slot values.
 
     The plan's source grid is the rep-fold broadcast of x along the
     incidence axis (rows r read x[r mod NR]); requires A*B == rep*NR."""
     NR = x.shape[1]
     assert dp.A * dp.B == rep * NR, (dp.A * dp.B, rep, NR)
-    return _call(dp, x, NR, rep, interpret)
+    return _call(dp, x, NR, rep, interpret, channels)
 
 
 # ----------------------------------------------------------------------
@@ -202,19 +212,21 @@ def _join_f64(hi32, lo32):
     return hi32.astype(jnp.float64) + lo32.astype(jnp.float64)
 
 
-def gather_corners_f64(dp: DevicePlan, x, rep, interpret=False):
-    """f64 variant of gather_corners: two f32-bitcast planes per channel
+def gather_corners_f64(dp: DevicePlan, x, rep, interpret=False,
+                       channels=None):
+    """f64 variant of gather_corners: two hi/lo f32 planes per channel
     share one kernel invocation."""
     V = x.shape[0]
     hi, lo = _split_f64(x)
     g = gather_corners(dp, jnp.concatenate([hi, lo], axis=0), rep,
-                       interpret)
+                       interpret, channels)
     return _join_f64(g[:V], g[V:])
 
 
-def grid_permute_f64(dp: DevicePlan, x, interpret=False):
-    """f64 variant of grid_permute (bit-split transport)."""
+def grid_permute_f64(dp: DevicePlan, x, interpret=False, channels=None):
+    """f64 variant of grid_permute (hi/lo f32 transport)."""
     V = x.shape[0]
     hi, lo = _split_f64(x)
-    g = grid_permute(dp, jnp.concatenate([hi, lo], axis=0), interpret)
+    g = grid_permute(dp, jnp.concatenate([hi, lo], axis=0), interpret,
+                     channels)
     return _join_f64(g[:V], g[V:])

@@ -219,10 +219,10 @@ class TransientRDCSystem:
                 # interpret mode enables everything for test coverage)
                 "use_f64": (self.fast_gather == "interpret"
                             or bool(int(os.environ.get(
-                                "RDCFES_FAST_F64", "0")))),
+                                "RDCFES_FAST_F64", "1")))),
                 "use_fused": (self.fast_gather == "interpret"
                               or bool(int(os.environ.get(
-                                  "RDCFES_FAST_FUSED", "0")))),
+                                  "RDCFES_FAST_FUSED", "1")))),
             }
         return self._fast
 
@@ -467,9 +467,10 @@ class TransientRDCSystem:
             gp = grid_permute_f64 if f64 else grid_permute
             fp = fast["plans"]
             interp = fast["interpret"]
+            VC = 2 * V  # canonical channel count (shared kernel variant)
             xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
             ue = gc(dfwd, xp.reshape(V, fp.NR, 128),
-                    fp.C_x, interpret=interp)
+                    fp.C_x, interpret=interp, channels=VC)
             ue = ue.reshape(V, fp.K, fp.E_pad)
             if stacks is not None and not f64:
                 # fused path: the E_pad tail carries zero coefficients,
@@ -483,7 +484,7 @@ class TransientRDCSystem:
                 Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
                 yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
             g = gp(drev, yb.reshape(V, fp.A * 128, 128),
-                   interpret=interp)
+                   interpret=interp, channels=VC)
             return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
 
         def restrict_fast(fa, Fe_vke):
@@ -498,7 +499,7 @@ class TransientRDCSystem:
                   else grid_permute)
             yb = jnp.pad(Fe_vke, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
             g = gp(drev, yb.reshape(W, fp.A * 128, 128),
-                   interpret=fast["interpret"])
+                   interpret=fast["interpret"], channels=2 * V)
             return g.reshape(W, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
 
         def step_fn(state, fields, Dinv_in, fast_args=None):
