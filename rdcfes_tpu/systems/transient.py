@@ -220,9 +220,11 @@ class TransientRDCSystem:
                 "use_f64": (self.fast_gather == "interpret"
                             or bool(int(os.environ.get(
                                 "RDCFES_FAST_F64", "1")))),
+                # the fused-apply kernel's Mosaic compile alone OOMs the
+                # helper at bench scale; opt-in until the body is slimmed
                 "use_fused": (self.fast_gather == "interpret"
                               or bool(int(os.environ.get(
-                                  "RDCFES_FAST_FUSED", "1")))),
+                                  "RDCFES_FAST_FUSED", "0")))),
             }
         return self._fast
 
