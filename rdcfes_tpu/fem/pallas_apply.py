@@ -25,8 +25,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .assembly import interpolate_ue
-from .weakform import WeakFormBlocks, _is_zero, qp_apply
+from .weakform import WeakFormBlocks, _is_zero
 
 TILE_E = 4096
 
@@ -60,9 +59,17 @@ def stack_blocks(wfb: WeakFormBlocks, E_pad: int):
         (tuple(idxE), stk(Es))
 
 
-def _apply_kernel(*refs, phi, V, idxC, idxD, idxE, has):
-    """refs = (ue, jxw, dphi[, cs][, ds][, es], out)."""
+def _apply_kernel(*refs, V, idxC, idxD, idxE, has):
+    """refs = (phi, ue, jxw, dphi[, cs][, ds][, es], out).
+
+    Compact broadcast-sum form of interpolate + qp_apply: the fully
+    unrolled q/k/d chains compile to 500+ Mosaic ops and OOM the remote
+    compile helper; keeping q/k as ARRAY axes with broadcast
+    multiply-reduce collapses the body to ~100 ops.  Same math to f32
+    reassociation (the mixed-precision outer refinement owns the f64
+    tolerance, so the converged step is unchanged)."""
     it = iter(refs)
+    phi_ref = next(it)
     ue_ref = next(it)
     jxw_ref = next(it)
     dphi_ref = next(it)
@@ -71,25 +78,29 @@ def _apply_kernel(*refs, phi, V, idxC, idxD, idxE, has):
     es_ref = next(it) if has[2] else None
     out_ref = next(it)
     with jax.enable_x64(False):
-        x_qp, gx_qp = interpolate_ue(ue_ref[:], phi, dphi_ref[:])
-        zero = 0.0
-        C = [[zero] * V for _ in range(V)]
-        D = [[zero] * V for _ in range(V)]
-        E = [[zero] * V for _ in range(V)]
+        ue = ue_ref[:]                       # (V, K, T)
+        dphi = dphi_ref[:]                   # (Q, K, 3, T)
+        jxw = jxw_ref[:]                     # (Q, T)
+        phi_a = phi_ref[:]                   # (Q, K)
+        # interp: x_qp (V, Q, T); gx_qp (V, Q, 3, T)
+        x_qp = (phi_a[None, :, :, None] * ue[:, None, :, :]).sum(axis=2)
+        gx_qp = (dphi[None] * ue[:, None, :, None, :]).sum(axis=2)
+        # responses: A_coef (V, Q, T) mass; B_coef (V, Q, 3, T) flux
+        A_coef = jnp.zeros((V,) + x_qp.shape[1:], jnp.float32)
         for i, (v, w) in enumerate(idxC):
-            C[v][w] = cs_ref[i]
+            A_coef = A_coef.at[v].add(cs_ref[i] * x_qp[w])
+        B_coef = jnp.zeros((V,) + gx_qp.shape[1:], jnp.float32)
         for i, (v, w) in enumerate(idxD):
-            D[v][w] = ds_ref[i]
+            B_coef = B_coef.at[v].add(ds_ref[i] * x_qp[w][:, None, :])
         for i, (v, w) in enumerate(idxE):
-            E[v][w] = es_ref[i]
-        wfb_t = WeakFormBlocks(
-            A=(zero,) * V, B=(zero,) * V,
-            C=tuple(tuple(r) for r in C),
-            D=tuple(tuple(r) for r in D),
-            E=tuple(tuple(r) for r in E),
+            B_coef = B_coef.at[v].add(es_ref[i][:, None, :] * gx_qp[w])
+        # project back with test functions: Ye (V, K, T)
+        Aj = A_coef * jxw[None, :, :]
+        Bj = B_coef * jxw[None, :, None, :]
+        out_ref[:] = (
+            (phi_a[None, :, :, None] * Aj[:, :, None, :]).sum(axis=1)
+            + (dphi[None] * Bj[:, :, None, :, :]).sum(axis=(1, 3))
         )
-        out_ref[:] = qp_apply(wfb_t, phi, jxw_ref[:], dphi_ref[:],
-                              x_qp, gx_qp)
 
 
 def qp_apply_fused(wfb_stacks, phi, JxW_pad, dphi_pad, ue,
@@ -108,10 +119,13 @@ def qp_apply_fused(wfb_stacks, phi, JxW_pad, dphi_pad, ue,
         tile //= 2
     assert tile >= 512, (E_pad, tile)
     has = (Cs is not None, Ds is not None, Es is not None)
-    kern = partial(_apply_kernel, phi=np.asarray(phi), V=V, idxC=idxC,
+    kern = partial(_apply_kernel, V=V, idxC=idxC,
                    idxD=idxD, idxE=idxE, has=has)
-    inputs = [ue, JxW_pad, dphi_pad]
+    phi_in = jnp.asarray(np.asarray(phi), jnp.float32)
+    inputs = [phi_in, ue, JxW_pad, dphi_pad]
     in_specs = [
+        pl.BlockSpec((Q, K), lambda t: (0, 0),
+                     memory_space=pltpu.VMEM),
         pl.BlockSpec((V, K, tile), lambda t: (0, 0, t),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((Q, tile), lambda t: (0, t),
