@@ -85,15 +85,25 @@ def _apply_kernel(*refs, V, idxC, idxD, idxE, has):
         # interp: x_qp (V, Q, T); gx_qp (V, Q, 3, T)
         x_qp = (phi_a[None, :, :, None] * ue[:, None, :, :]).sum(axis=2)
         gx_qp = (dphi[None] * ue[:, None, :, None, :]).sum(axis=2)
-        # responses: A_coef (V, Q, T) mass; B_coef (V, Q, 3, T) flux
-        A_coef = jnp.zeros((V,) + x_qp.shape[1:], jnp.float32)
+        # responses: A_coef (V, Q, T) mass; B_coef (V, Q, 3, T) flux.
+        # Accumulate per-v in Python lists and stack — .at[v].add lowers
+        # to a scatter-add primitive Mosaic cannot lower, even for a
+        # static v
+        accA = [None] * V
         for i, (v, w) in enumerate(idxC):
-            A_coef = A_coef.at[v].add(cs_ref[i] * x_qp[w])
-        B_coef = jnp.zeros((V,) + gx_qp.shape[1:], jnp.float32)
+            t = cs_ref[i] * x_qp[w]
+            accA[v] = t if accA[v] is None else accA[v] + t
+        zA = jnp.zeros(x_qp.shape[1:], jnp.float32)
+        A_coef = jnp.stack([a if a is not None else zA for a in accA])
+        accB = [None] * V
         for i, (v, w) in enumerate(idxD):
-            B_coef = B_coef.at[v].add(ds_ref[i] * x_qp[w][:, None, :])
+            t = ds_ref[i] * x_qp[w][:, None, :]
+            accB[v] = t if accB[v] is None else accB[v] + t
         for i, (v, w) in enumerate(idxE):
-            B_coef = B_coef.at[v].add(es_ref[i][:, None, :] * gx_qp[w])
+            t = es_ref[i][:, None, :] * gx_qp[w]
+            accB[v] = t if accB[v] is None else accB[v] + t
+        zB = jnp.zeros(gx_qp.shape[1:], jnp.float32)
+        B_coef = jnp.stack([b if b is not None else zB for b in accB])
         # project back with test functions: Ye (V, K, T)
         Aj = A_coef * jxw[None, :, :]
         Bj = B_coef * jxw[None, :, None, :]

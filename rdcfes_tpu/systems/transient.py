@@ -182,6 +182,21 @@ class TransientRDCSystem:
         fast = self._fast_tables()
         return fast["args"] if fast is not None else ()
 
+    def _geom_args(self):
+        """The big step-invariant device tables of the qp path, passed
+        through the jit boundary as ARGUMENTS.  Closed over, they are
+        baked into the program as dense MLIR literals — measured 216 MB
+        of MLIR text at bench scale (dphi f64 alone is a 126 MB literal)
+        — which both slows every remote compile and OOM-SIGKILLs the
+        axon compile helper once more than a few Mosaic kernel variants
+        share the program.  As arguments they cost one device pointer
+        each."""
+        return {
+            "JxW": self.JxW, "dphi": self.dphi,
+            "JxW32": self.JxW32, "dphi32": self.dphi32,
+            "conn_T": self.conn_T, "node_gather": self.node_gather,
+        }
+
     def _fast_tables(self):
         """Resolve + lazily build the fast-gather plans; None = disabled."""
         if self.fast_gather == "off" or self.physics_blocks is None:
@@ -298,19 +313,20 @@ class TransientRDCSystem:
             acc = acc + flat[:, self.node_gather[c]]
         return acc
 
-    def _diag_blocks(self, diag_e):
+    def _diag_blocks(self, diag_e, node_gather=None):
         """Block-Jacobi diagonal (V, V, N): the per-element (i, i)
         sub-blocks (V, V, K, E) restricted per node via the node-gather
         table."""
+        ng = self.node_gather if node_gather is None else node_gather
         V = self.n_vars
         flat = diag_e.reshape(V, V, -1)  # (V, V, K*E) in (i, e) order
         flat = jnp.concatenate(
             [flat, jnp.zeros((V, V, 1), flat.dtype)], axis=-1
         )
-        C = self.node_gather.shape[0]
-        acc = flat[:, :, self.node_gather[0]]
+        C = ng.shape[0]
+        acc = flat[:, :, ng[0]]
         for c in range(1, C):
-            acc = acc + flat[:, :, self.node_gather[c]]
+            acc = acc + flat[:, :, ng[c]]
         return acc
 
     def _solve_clamped(self, state, Fe, Ke, Dinv):
@@ -411,21 +427,22 @@ class TransientRDCSystem:
     # ------------------------------------------------------------------
     # matrix-free qp-apply path (static deck parameters)
     # ------------------------------------------------------------------
-    def _restrict(self, flat):
+    def _restrict(self, flat, node_gather=None):
         """(.., K*E) element-corner values -> (.., N) via node_gather."""
+        ng = self.node_gather if node_gather is None else node_gather
         pad = jnp.zeros(flat.shape[:-1] + (1,), flat.dtype)
         f = jnp.concatenate([flat, pad], axis=-1)
-        C = self.node_gather.shape[0]
-        acc = f[..., self.node_gather[0]]
+        C = ng.shape[0]
+        acc = f[..., ng[0]]
         for c in range(1, C):
-            acc = acc + f[..., self.node_gather[c]]
+            acc = acc + f[..., ng[c]]
         return acc
 
     def _qp_step_fn(self, params: Dict):
         """Jitted (fresh, reuse) qp-apply steps for one static parameter
         set (see _qp_raw_body)."""
         step_fn = self._qp_raw_body(params)
-        fresh = jax.jit(lambda st, f, fa: step_fn(st, f, None, fa))
+        fresh = jax.jit(lambda st, f, fa, ga: step_fn(st, f, None, fa, ga))
         reuse = jax.jit(step_fn)
         return fresh, reuse
 
@@ -504,37 +521,43 @@ class TransientRDCSystem:
                    interpret=fast["interpret"], channels=2 * V)
             return g.reshape(W, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
 
-        def step_fn(state, fields, Dinv_in, fast_args=None):
+        def step_fn(state, fields, Dinv_in, fast_args=None, geom=None):
+            # `geom` (self._geom_args()) carries the big step-invariant
+            # tables as jit arguments — closed over they dominate program
+            # size and OOM the remote compile helper (see _geom_args)
+            g = geom if geom is not None else self._geom_args()
             u_T = state["u"].T
-            u_qp, grad_qp = interpolate_at_qp(u_T, self.conn_T, self.phi,
-                                              self.dphi)
+            u_qp, grad_qp = interpolate_at_qp(u_T, g["conn_T"], self.phi,
+                                              g["dphi"])
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
-            Fe = block_rhs(wfb, self.phi, self.JxW, self.dphi)
+            Fe = block_rhs(wfb, self.phi, g["JxW"], g["dphi"])
             if fast is not None and (fast["use_f64"]
                                      or self.dtype == jnp.float32):
                 b = restrict_fast(fast_args, Fe.astype(self.dtype))
             else:
-                b = self._restrict(Fe.astype(self.dtype).reshape(V, -1))
+                b = self._restrict(Fe.astype(self.dtype).reshape(V, -1),
+                                   g["node_gather"])
             if Dinv_in is None:
-                diag_e = block_diag(wfb, self.phi, self.JxW, self.dphi)
+                diag_e = block_diag(wfb, self.phi, g["JxW"], g["dphi"])
                 Dinv = small_block_inverse(
-                    self._diag_blocks(diag_e.astype(self.dtype)),
+                    self._diag_blocks(diag_e.astype(self.dtype),
+                                      g["node_gather"]),
                     pivot=False)
             else:
                 Dinv = Dinv_in
 
             def mv(wf_, JxW_, dphi_, x):
-                x_qp, gx_qp = interpolate_at_qp(x, self.conn_T, self.phi,
+                x_qp, gx_qp = interpolate_at_qp(x, g["conn_T"], self.phi,
                                                 dphi_)
                 Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
-                return self._restrict(Ye.reshape(V, -1))
+                return self._restrict(Ye.reshape(V, -1), g["node_gather"])
 
             if fast is not None and (fast["use_f64"]
                                      or self.dtype == jnp.float32):
-                matvec64 = partial(mv_fast, fast_args, wfb, self.JxW,
-                                   self.dphi)
+                matvec64 = partial(mv_fast, fast_args, wfb, g["JxW"],
+                                   g["dphi"])
             else:
-                matvec64 = partial(mv, wfb, self.JxW, self.dphi)
+                matvec64 = partial(mv, wfb, g["JxW"], g["dphi"])
             M = partial(apply_block_jacobi, Dinv)
             pre_matvec = lambda x: M(matvec64(x))
             pre_b = M(b)
@@ -555,11 +578,11 @@ class TransientRDCSystem:
                     else:
                         stacks32 = None
                     mv32 = lambda x: M32(mv_fast(
-                        fast_args, wfb32, self.JxW32, self.dphi32, x,
+                        fast_args, wfb32, g["JxW32"], g["dphi32"], x,
                         stacks=stacks32))
                 else:
                     mv32 = lambda x: M32(
-                        mv(wfb32, self.JxW32, self.dphi32, x))
+                        mv(wfb32, g["JxW32"], g["dphi32"], x))
                 u_raw, iters, resid = self._refine_mixed(
                     mv32, pre_matvec, pre_b, x0)
             else:
@@ -613,15 +636,17 @@ class TransientRDCSystem:
         refresh = max(1, self.precond_refresh)
         V, N = self.n_vars, self.mesh.n_nodes
 
-        def multi(state, fields, fast_args):
+        def multi(state, fields, fast_args, geom):
             Dinv0 = jnp.zeros((V, V, N), self.dtype)
 
             def body(carry, i):
                 st, Dv = carry
                 new_state, it, res, Dv2 = jax.lax.cond(
                     i % refresh == 0,
-                    lambda st, Dv: body_fn(st, fields, None, fast_args),
-                    lambda st, Dv: body_fn(st, fields, Dv, fast_args),
+                    lambda st, Dv: body_fn(st, fields, None, fast_args,
+                                           geom),
+                    lambda st, Dv: body_fn(st, fields, Dv, fast_args,
+                                           geom),
                     st, Dv,
                 )
                 return (new_state, Dv2), (it, res)
@@ -676,7 +701,8 @@ class TransientRDCSystem:
             if fn is None:
                 fn = self._qp_multi_fn(p, int(m))
                 self._qp_step_cache[key] = fn
-            return fn(st, fields or {}, self._fast_args())
+            return fn(st, fields or {}, self._fast_args(),
+                      self._geom_args())
 
         n = int(n)
         if n <= segment:
@@ -699,13 +725,14 @@ class TransientRDCSystem:
             self._qp_step_cache[key] = fns
         fresh, reuse = fns
         fa = self._fast_args()
+        ga = self._geom_args()
         if (self.precond_refresh > 1 and self._dinv_cache is not None
                 and self._steps_since_precond < self.precond_refresh):
             self._steps_since_precond += 1
             new_state, iters, res, _ = reuse(state, fields,
-                                             self._dinv_cache, fa)
+                                             self._dinv_cache, fa, ga)
             return new_state, iters, res
-        new_state, iters, res, Dinv = fresh(state, fields, fa)
+        new_state, iters, res, Dinv = fresh(state, fields, fa, ga)
         self._dinv_cache = Dinv
         self._steps_since_precond = 1
         return new_state, iters, res
