@@ -46,6 +46,7 @@ def _plan_cache_path(conn: np.ndarray, n_nodes: int):
     import os
 
     h = hashlib.sha1()
+    h.update(b"grid-v2:")  # plan-layout version (grid-size search)
     h.update(np.ascontiguousarray(conn).tobytes())
     h.update(str(n_nodes).encode())
     d = os.environ.get("RDCFES_PLAN_CACHE",
@@ -85,17 +86,29 @@ def build_fast_plans(conn: np.ndarray, n_nodes: int,
         return plans
     E, K = conn.shape
     N = n_nodes
-    NR = -(-N // 128)
     deg = np.bincount(conn.reshape(-1), minlength=N)
-    C = int(deg.max())
-    C_x = None
-    for c in range(max(C, 1), max(C, 1) + 513):
-        if (c * NR) % 128 == 0 and (c * NR * 128) // K >= E:
-            C_x = c
-            break
-    assert C_x is not None, "no feasible broadcast factor"
+    C = max(int(deg.max()), 1)
+    # Grid-size search: the kernels move (and the fused apply streams)
+    # T = C_x * N_pad = A*16384 slots per channel, so minimize T subject
+    # to  C_x >= max degree,  (C_x * NR) % 128 == 0  (integral A)  and
+    # T/K >= E.  Padding the nodal rows NR ABOVE ceil(N/128) is often a
+    # big win: ceil(24389/128) = 191 is coprime with 128 and forces
+    # C_x = 128 (T = 3.13 M, 5.9x the work), while NR = 192 admits
+    # C_x = max degree rounded up (T ~ 0.7 M at bench scale).
+    from math import gcd
+
+    NR0 = -(-N // 128)
+    best = None
+    for NRp in range(NR0, NR0 + 129):
+        m = 128 // gcd(NRp, 128)          # C_x must be a multiple of m
+        c = -(-C // m) * m
+        while (c * NRp * 128) // K < E or (c * NRp * 128) % K:
+            c += m
+        T_try = c * NRp * 128
+        if best is None or T_try < best[0]:
+            best = (T_try, c, NRp)
+    T, C_x, NR = best
     A = (C_x * NR) // 128
-    T = A * 128 * 128
     E_pad = T // K
     N_pad = NR * 128
 

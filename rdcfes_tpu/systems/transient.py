@@ -212,7 +212,12 @@ class TransientRDCSystem:
             plans = build_fast_plans(np.asarray(self.mesh.connectivity),
                                      self.mesh.n_nodes)
             fwd, rev = device_plan(plans.fwd), device_plan(plans.rev)
-            ep = plans.E_pad - plans.E
+            # the fused apply kernel streams its coefficient planes over
+            # the whole element axis, so it runs on the first EL "live"
+            # columns of each k-plane (real elements occupy the k-plane
+            # prefix by construction) instead of the full padded E_pad
+            EL = min(plans.E_pad, -(-plans.E // 512) * 512)
+            ep = EL - plans.E
             jxw32p = jnp.pad(self.JxW32, ((0, 0), (0, ep)))
             dphi32p = jnp.pad(self.dphi32,
                               ((0, 0), (0, 0), (0, 0), (0, ep)))
@@ -226,6 +231,7 @@ class TransientRDCSystem:
                 # constants into every pallas call site — observed to OOM
                 # the remote compile helper at scan scale)
                 "args": (tuple(fwd[4:]), tuple(rev[4:]), jxw32p, dphi32p),
+                "EL": EL,
                 "interpret": self.fast_gather == "interpret",
                 # each Mosaic kernel variant in a program costs the
                 # remote compile helper minutes and ~GBs; the f64
@@ -492,11 +498,14 @@ class TransientRDCSystem:
                     fp.C_x, interpret=interp, channels=VC)
             ue = ue.reshape(V, fp.K, fp.E_pad)
             if stacks is not None and not f64:
-                # fused path: the E_pad tail carries zero coefficients,
-                # so padded columns produce zero contributions
-                Ye = qp_apply_fused(stacks, self.phi, fa[2], fa[3], ue,
-                                    interpret=interp)
-                yb = Ye
+                # fused path, on the EL-column live prefix of each
+                # k-plane (real elements sit in the k-plane prefix by
+                # plan construction); the E_pad tail is re-padded with
+                # zeros so padded restrict targets contribute zeros
+                EL = fast["EL"]
+                Ye = qp_apply_fused(stacks, self.phi, fa[2], fa[3],
+                                    ue[:, :, :EL], interpret=interp)
+                yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - EL)))
             else:
                 ue = ue[:, :, :fp.E]
                 x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
@@ -573,8 +582,7 @@ class TransientRDCSystem:
                     if fast["use_fused"]:
                         from ..fem.pallas_apply import stack_blocks
 
-                        stacks32 = stack_blocks(wfb32,
-                                                fast["plans"].E_pad)
+                        stacks32 = stack_blocks(wfb32, fast["EL"])
                     else:
                         stacks32 = None
                     mv32 = lambda x: M32(mv_fast(
@@ -678,11 +686,14 @@ class TransientRDCSystem:
             fields = {**(fields or {}), **scalars}
         p = {k: float(v) for k, v in params.items()}
         fast = self._fast_tables()
-        if fast is not None and not fast["interpret"]:
-            # scan programs containing the Mosaic permutation kernels
-            # OOM-kill the remote compile helper; per-step dispatch is
-            # measured perf-neutral (PERF.md), so the fast path steps
-            # through the cached single-step programs instead
+        if (fast is not None and not fast["interpret"]
+                and not bool(int(os.environ.get("RDCFES_FAST_SCAN", "0")))):
+            # per-step dispatch through the cached single-step programs:
+            # measured perf-neutral vs the scan (PERF.md), and scan
+            # programs containing the Mosaic kernels only became
+            # compileable once the geometry tables stopped being baked
+            # into the program (RDCFES_FAST_SCAN=1 opts into the scan
+            # path until it is soak-tested on hardware)
             its_all, ress_all = [], []
             for _ in range(int(n)):
                 state, it, res = self._step_qp(state, fields or {}, p)
