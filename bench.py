@@ -64,18 +64,20 @@ def pihna_bench():
     system = TransientRDCSystem(mesh, 5, pihna_physics,
                                 physics_blocks=pihna_blocks,
                                 precision="mixed", precond_refresh=10)
-    # warmup (compile)
+    # warmup (compile); np.asarray = real sync (see below)
     state, its, ress = system.run_steps(system.initial_state(u0), 120,
                                         params=params)
-    jax.block_until_ready(state["u"])
+    np.asarray(state["u"])
 
     t0 = time.perf_counter()
     state, its, ress = system.run_steps(system.initial_state(u0), 120,
                                         params=params)
-    jax.block_until_ready(state["u"])
-    wall = time.perf_counter() - t0
-
+    # force a REAL device sync: over the axon tunnel block_until_ready
+    # returns before remote execution drains (measured: it reported a
+    # physically impossible 4485 steps/s); fetching the data is the only
+    # trustworthy barrier
     u = np.asarray(state["u"])
+    wall = time.perf_counter() - t0
     assert np.isfinite(u).all() and (u >= 0).all()
     steps_per_sec = 120 / wall
     return {
@@ -139,7 +141,7 @@ def adpm_bench():
     # math (run_steps chains state)
     state, its, _ = system.run_steps(system.initial_state(u0), 50,
                                      fields=fields, params=p)  # warmup
-    jax.block_until_ready(state["u"])
+    np.asarray(state["u"])  # data fetch = real sync over the axon tunnel
     state = system.initial_state(u0)
     total_iters = 0
     t0 = time.perf_counter()
@@ -182,9 +184,9 @@ def solid_bench():
     res = system.run_solver(x0, 0.5)  # warmup (compile) + first solve
     t0 = time.perf_counter()
     res = system.run_solver(x0, 0.5)
-    jax.block_until_ready(res.x)
+    x_out = np.asarray(res.x)  # data fetch = the only real sync over axon
     wall = time.perf_counter() - t0
-    assert bool(np.isfinite(np.asarray(res.x)).all())
+    assert bool(np.isfinite(x_out).all())
     return {
         "solid_hex8_elems": mesh.n_elems,
         "solid_load_step_sec": round(wall, 2),

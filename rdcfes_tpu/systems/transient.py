@@ -474,6 +474,20 @@ class TransientRDCSystem:
                 ("iL1", "iB1t", "jA1", "rA", "jA2", "iB2t", "iL2"), fa[1])))
             return fwd, rev
 
+        def gather_ue_fast(fa, x):
+            """Corner gather x (V, N) -> ue (V, K, E_pad) through the
+            Beneš permutation kernels (f64 rides as hi/lo f32 planes)."""
+            from ..fem.pallas_perm import gather_corners, gather_corners_f64
+
+            dfwd, _ = _plans_from(fa)
+            fp = fast["plans"]
+            gc = (gather_corners_f64 if x.dtype == jnp.float64
+                  else gather_corners)
+            xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
+            ue = gc(dfwd, xp.reshape(V, fp.NR, 128), fp.C_x,
+                    interpret=fast["interpret"], channels=2 * V)
+            return ue.reshape(V, fp.K, fp.E_pad)
+
         def mv_fast(fa, wf_, JxW_, dphi_, x, stacks=None):
             """Matvec with the corner gather and restriction routed
             through the Beneš permutation kernels.  With `stacks` (the
@@ -482,21 +496,15 @@ class TransientRDCSystem:
             plus vector ops.  f64 operands ride the permutation kernels
             as hi/lo f32 planes with the apply in XLA."""
             from ..fem.pallas_apply import qp_apply_fused
-            from ..fem.pallas_perm import (gather_corners,
-                                           gather_corners_f64,
-                                           grid_permute, grid_permute_f64)
+            from ..fem.pallas_perm import grid_permute, grid_permute_f64
 
-            dfwd, drev = _plans_from(fa)
+            _, drev = _plans_from(fa)
             f64 = x.dtype == jnp.float64
-            gc = gather_corners_f64 if f64 else gather_corners
             gp = grid_permute_f64 if f64 else grid_permute
             fp = fast["plans"]
             interp = fast["interpret"]
             VC = 2 * V  # canonical channel count (shared kernel variant)
-            xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
-            ue = gc(dfwd, xp.reshape(V, fp.NR, 128),
-                    fp.C_x, interpret=interp, channels=VC)
-            ue = ue.reshape(V, fp.K, fp.E_pad)
+            ue = gather_ue_fast(fa, x)
             if stacks is not None and not f64:
                 # fused path, on the EL-column live prefix of each
                 # k-plane (real elements sit in the k-plane prefix by
@@ -536,8 +544,17 @@ class TransientRDCSystem:
             # size and OOM the remote compile helper (see _geom_args)
             g = geom if geom is not None else self._geom_args()
             u_T = state["u"].T
-            u_qp, grad_qp = interpolate_at_qp(u_T, g["conn_T"], self.phi,
-                                              g["dphi"])
+            if fast is not None and (fast["use_f64"]
+                                     or self.dtype == jnp.float32):
+                # the coefficient build's corner gather of u goes through
+                # the same Beneš kernel as the Krylov matvecs (~2.4 ms
+                # XLA f64 gather saved; identical values, same order)
+                ue = gather_ue_fast(fast_args,
+                                    u_T)[:, :, :fast["plans"].E]
+                u_qp, grad_qp = interpolate_ue(ue, self.phi, g["dphi"])
+            else:
+                u_qp, grad_qp = interpolate_at_qp(u_T, g["conn_T"],
+                                                  self.phi, g["dphi"])
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             Fe = block_rhs(wfb, self.phi, g["JxW"], g["dphi"])
             if fast is not None and (fast["use_f64"]
