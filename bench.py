@@ -32,6 +32,12 @@ import numpy as np
 def pihna_bench():
     import jax
 
+    # scan-batched kernel path: soak-tested on this exact workload
+    # (2026-08-17, 20.21 steps/s vs 19.48 per-step dispatch); segment 40
+    # so warmup + timed run share ONE compiled 40-step program
+    os.environ["RDCFES_FAST_SCAN"] = "1"
+    os.environ.setdefault("RDCFES_SCAN_SEGMENT", "40")
+
     from rdcfes_tpu.mesh import box_tet_mesh
     from rdcfes_tpu.models.pihna import (default_params, pihna_blocks,
                                          pihna_physics)
@@ -101,6 +107,11 @@ def adpm_bench():
     Krylov-bound regime."""
     import jax
     import jax.numpy as jnp
+
+    # per-step dispatch (the default): the ADPM scan program with kernels
+    # is not yet soak-tested on hardware, and at 26 inner iters/step the
+    # dispatch overhead is relatively small
+    os.environ.pop("RDCFES_FAST_SCAN", None)
 
     from rdcfes_tpu.mesh import box_tet_mesh
     from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,
