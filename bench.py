@@ -207,6 +207,13 @@ def solid_bench():
 
 
 def main():
+    # persistent compilation cache: remote-tunnel compiles cost 7-13 min
+    # per program; a primed cache lets a repeat bench run complete well
+    # inside the time budget (harmless no-op if the backend cannot
+    # serialize executables)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/root/.cache/jax_comp")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     import jax
 
     t_start = time.perf_counter()
