@@ -275,3 +275,31 @@ def interpolate_ue(
             dirs.append(acc)
         gq.append(jnp.stack(dirs, axis=1))  # (V, 3, E)
     return jnp.stack(uq, axis=1), jnp.stack(gq, axis=1)
+
+
+def interpolate_ue_affine(
+    ue: jnp.ndarray, phi: jnp.ndarray, dphi: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """interpolate_ue for AFFINE elements (P1/TET4): the gradient is
+    q-independent, so it is computed ONCE from dphi[0] instead of per
+    quadrature point — (Q-1)*K*3 fewer multiplies per (V, E).
+
+    Returns (x_qp (V, Q, E), gx (V, 3, E)); pair with
+    fem.weakform.qp_apply_affine."""
+    Q, K = phi.shape
+    phi_host = phi if isinstance(phi, np.ndarray) else np.asarray(phi)
+    uq = []
+    for q in range(Q):
+        acc = None
+        for k in range(K):
+            term = float(phi_host[q, k]) * ue[:, k, :]  # (V, E)
+            acc = term if acc is None else acc + term
+        uq.append(acc)
+    dirs = []
+    for d in range(3):
+        acc = None
+        for k in range(K):
+            term = dphi[0, k, d] * ue[:, k, :]  # (E,) * (V, E)
+            acc = term if acc is None else acc + term
+        dirs.append(acc)
+    return jnp.stack(uq, axis=1), jnp.stack(dirs, axis=1)

@@ -41,15 +41,19 @@ from ..fem.assembly import (
     gather_tables,
     interpolate_at_qp,
     interpolate_ue,
+    interpolate_ue_affine,
 )
 from ..fem.bcsr import ell_matvec, to_ell  # noqa: F401 (assembled path)
 from ..fem.geometry import geometry_factors
 from ..fem.weakform import (
     block_diag,
     block_rhs,
+    block_rhs_affine,
+    diffusion_presum,
     element_matrices,
     element_vectors,
     qp_apply,
+    qp_apply_affine,
 )
 from ..mesh.core import Mesh
 from ..solvers.krylov import (
@@ -464,6 +468,18 @@ class TransientRDCSystem:
         V = self.n_vars
         mixed = self.precision == "mixed" and self.dtype == jnp.float64
         fast = self._fast_tables()
+        # TET4 is affine: shape gradients are q-independent, so matvecs
+        # run through the reassociated apply (qp_apply_affine) with the
+        # diffusion coefficient q-sum hoisted out of the Krylov loop
+        affine = self.mesh.elem_type == "TET4"
+
+        def apply_from_ue(wf_, JxW_, dphi_, ue, Epre):
+            if affine and Epre is not None:
+                x_qp, gx = interpolate_ue_affine(ue, self.phi, dphi_)
+                return qp_apply_affine(wf_, Epre, self.phi, JxW_, dphi_,
+                                       x_qp, gx)
+            x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
+            return qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
 
         def _plans_from(fa):
             """Rebuild DevicePlans from jit-argument table tuples (static
@@ -488,7 +504,7 @@ class TransientRDCSystem:
                     interpret=fast["interpret"], channels=2 * V)
             return ue.reshape(V, fp.K, fp.E_pad)
 
-        def mv_fast(fa, wf_, JxW_, dphi_, x, stacks=None):
+        def mv_fast(fa, wf_, JxW_, dphi_, x, stacks=None, Epre=None):
             """Matvec with the corner gather and restriction routed
             through the Beneš permutation kernels.  With `stacks` (the
             f32 inner solve), the interp/apply between them runs in the
@@ -515,9 +531,7 @@ class TransientRDCSystem:
                                     ue[:, :, :EL], interpret=interp)
                 yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - EL)))
             else:
-                ue = ue[:, :, :fp.E]
-                x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
-                Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
+                Ye = apply_from_ue(wf_, JxW_, dphi_, ue[:, :, :fp.E], Epre)
                 yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
             g = gp(drev, yb.reshape(V, fp.A * 128, 128),
                    interpret=interp, channels=VC)
@@ -556,7 +570,8 @@ class TransientRDCSystem:
                 u_qp, grad_qp = interpolate_at_qp(u_T, g["conn_T"],
                                                   self.phi, g["dphi"])
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
-            Fe = block_rhs(wfb, self.phi, g["JxW"], g["dphi"])
+            rhs_fn = block_rhs_affine if affine else block_rhs
+            Fe = rhs_fn(wfb, self.phi, g["JxW"], g["dphi"])
             if fast is not None and (fast["use_f64"]
                                      or self.dtype == jnp.float32):
                 b = restrict_fast(fast_args, Fe.astype(self.dtype))
@@ -572,18 +587,20 @@ class TransientRDCSystem:
             else:
                 Dinv = Dinv_in
 
-            def mv(wf_, JxW_, dphi_, x):
-                x_qp, gx_qp = interpolate_at_qp(x, g["conn_T"], self.phi,
-                                                dphi_)
-                Ye = qp_apply(wf_, self.phi, JxW_, dphi_, x_qp, gx_qp)
+            def mv(wf_, JxW_, dphi_, x, Epre=None):
+                Ye = apply_from_ue(wf_, JxW_, dphi_, x[:, g["conn_T"]],
+                                   Epre)
                 return self._restrict(Ye.reshape(V, -1), g["node_gather"])
 
+            # once-per-step diffusion q-sum for the affine apply; every
+            # Krylov matvec (f64 outer and f32 inner) reuses it
+            Epre = diffusion_presum(wfb, g["JxW"]) if affine else None
             if fast is not None and (fast["use_f64"]
                                      or self.dtype == jnp.float32):
                 matvec64 = partial(mv_fast, fast_args, wfb, g["JxW"],
-                                   g["dphi"])
+                                   g["dphi"], Epre=Epre)
             else:
-                matvec64 = partial(mv, wfb, g["JxW"], g["dphi"])
+                matvec64 = partial(mv, wfb, g["JxW"], g["dphi"], Epre=Epre)
             M = partial(apply_block_jacobi, Dinv)
             pre_matvec = lambda x: M(matvec64(x))
             pre_b = M(b)
@@ -595,6 +612,8 @@ class TransientRDCSystem:
                 wfb32 = wfb.cast(jnp.float32)
                 Dinv32 = Dinv.astype(jnp.float32)
                 M32 = partial(apply_block_jacobi, Dinv32)
+                Epre32 = (diffusion_presum(wfb32, g["JxW32"])
+                          if affine else None)
                 if fast is not None:
                     if fast["use_fused"]:
                         from ..fem.pallas_apply import stack_blocks
@@ -604,10 +623,10 @@ class TransientRDCSystem:
                         stacks32 = None
                     mv32 = lambda x: M32(mv_fast(
                         fast_args, wfb32, g["JxW32"], g["dphi32"], x,
-                        stacks=stacks32))
+                        stacks=stacks32, Epre=Epre32))
                 else:
                     mv32 = lambda x: M32(
-                        mv(wfb32, g["JxW32"], g["dphi32"], x))
+                        mv(wfb32, g["JxW32"], g["dphi32"], x, Epre=Epre32))
                 u_raw, iters, resid = self._refine_mixed(
                     mv32, pre_matvec, pre_b, x0)
             else:

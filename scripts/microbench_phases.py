@@ -103,40 +103,55 @@ def main():
 
     run_loop(interp, u, label="interpolate_at_qp f64 (XLA gather)")
 
-    # 3. rhs + diag builds and the small-block inverse
+    # 3. rhs + diag builds and the small-block inverse.  WeakFormBlocks
+    # mixes arrays with structural-zero Python floats; carry only the
+    # array leaves and rebuild the blocks (zeros kept static) per iter.
     wfb0 = pihna_blocks(u_qp, grad_qp, {}, params)
-    wfb0 = jax.tree_util.tree_map(jax.block_until_ready, wfb0)
+    leaves, treedef = jax.tree_util.tree_flatten(wfb0)
+    arr_ix = [i for i, l in enumerate(leaves) if getattr(l, "ndim", 0) > 0]
+
+    def rebuild(arrs):
+        ls = list(leaves)
+        for i, a in zip(arr_ix, arrs):
+            ls[i] = a
+        return jax.tree_util.tree_unflatten(treedef, ls)
+
+    arrs0 = [leaves[i] for i in arr_ix]
 
     def rhs(c):
-        Fe = block_rhs(c, phi, JxW, dphi)
+        Fe = block_rhs(rebuild(c), phi, JxW, dphi)
         return dep(c, Fe)
 
-    run_loop(rhs, wfb0, label="block_rhs f64")
+    run_loop(rhs, arrs0, label="block_rhs f64")
 
     def diag_inv(c):
-        de = block_diag(c, phi, JxW, dphi)
+        de = block_diag(rebuild(c), phi, JxW, dphi)
         Dinv = small_block_inverse(
             system._diag_blocks(de), pivot=False)
         return dep(c, Dinv)
 
-    run_loop(diag_inv, wfb0, label="block_diag+restrict+inverse f64")
+    run_loop(diag_inv, arrs0, label="block_diag+restrict+inverse f64")
 
     # 4. the f64 qp apply chain (outer refinement matvec minus gathers)
     x_qp, gx_qp = interpolate_at_qp(u, conn_T, phi, dphi)
 
     def apply64(c):
-        Ye = qp_apply(wfb0, phi, JxW, dphi, c[0], c[1])
+        blocks, xq, gq = rebuild(c[0]), c[1], c[2]
+        Ye = qp_apply(blocks, phi, JxW, dphi, xq, gq)
         return dep(c, Ye)
 
-    run_loop(apply64, (x_qp, gx_qp), label="qp_apply f64 (outer matvec)")
+    run_loop(apply64, (arrs0, x_qp, gx_qp),
+             label="qp_apply f64 (outer matvec)")
+
+    arrs32 = [a.astype(jnp.float32) for a in arrs0]
 
     def apply32(c):
-        Ye = qp_apply(wfb0.cast(jnp.float32), phi,
-                      JxW.astype(jnp.float32), dphi.astype(jnp.float32),
-                      c[0], c[1])
+        blocks, xq, gq = rebuild(c[0]), c[1], c[2]
+        Ye = qp_apply(blocks, phi, JxW.astype(jnp.float32),
+                      dphi.astype(jnp.float32), xq, gq)
         return dep(c, Ye)
 
-    run_loop(apply32, (x_qp.astype(jnp.float32),
+    run_loop(apply32, (arrs32, x_qp.astype(jnp.float32),
                        gx_qp.astype(jnp.float32)),
              label="qp_apply f32 (inner matvec)")
 

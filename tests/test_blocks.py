@@ -152,3 +152,49 @@ def test_run_steps_matches_per_step():
     ua, ub = np.asarray(sa["u"]), np.asarray(sb["u"])
     assert np.linalg.norm(ua - ub) / np.linalg.norm(ua) < 1e-12
     assert np.isfinite(np.asarray(ress)).all()
+
+
+@pytest.mark.parametrize("model", sorted(SETUPS))
+@pytest.mark.parametrize("zero_deck", [False, True])
+def test_affine_apply_matches_generic(model, zero_deck):
+    """The TET4-affine reassociated forms (diffusion q-sum hoisted, flux
+    projection without the Q factor) equal the generic q-loop forms."""
+    from rdcfes_tpu.fem.assembly import interpolate_ue, interpolate_ue_affine
+    from rdcfes_tpu.fem.geometry import geometry_factors
+    from rdcfes_tpu.fem.weakform import (block_rhs_affine, diffusion_presum,
+                                         qp_apply_affine)
+
+    mesh, p, u, blocks_fn, V, fields = SETUPS[model](zero_deck)
+    conn_T = jnp.asarray(mesh.connectivity.T)
+    phi, JxW, dphi = geometry_factors(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
+        mesh.elem_type)
+    u_T = jnp.asarray(u.T)
+    u_qp, g_qp = interpolate_at_qp(u_T, conn_T, phi, dphi)
+    p = {k: float(v) for k, v in p.items()}
+    wfb = blocks_fn(u_qp, g_qp, fields, p)
+
+    # rhs: affine == generic
+    Fe = block_rhs(wfb, phi, JxW, dphi)
+    Fe_aff = block_rhs_affine(wfb, phi, JxW, dphi)
+    scale = float(jnp.abs(Fe).max()) + 1e-30
+    assert np.allclose(np.asarray(Fe_aff), np.asarray(Fe),
+                       rtol=1e-12, atol=1e-12 * scale)
+
+    # apply: affine (hoisted diffusion q-sum, gx computed once) == generic
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((V, mesh.n_nodes)))
+    ue = x[:, conn_T]
+    x_qp, gx_qp = interpolate_ue(ue, phi, dphi)
+    x_qp2, gx = interpolate_ue_affine(ue, phi, dphi)
+    assert np.allclose(np.asarray(x_qp2), np.asarray(x_qp), rtol=1e-13,
+                       atol=1e-13)
+    # TET4 gradients really are q-independent
+    assert np.allclose(np.asarray(gx_qp[:, 0]), np.asarray(gx),
+                       rtol=1e-13, atol=1e-13)
+    Ye = qp_apply(wfb, phi, JxW, dphi, x_qp, gx_qp)
+    Epre = diffusion_presum(wfb, JxW)
+    Ye_aff = qp_apply_affine(wfb, Epre, phi, JxW, dphi, x_qp2, gx)
+    scale = float(jnp.abs(Ye).max()) + 1e-30
+    assert np.allclose(np.asarray(Ye_aff), np.asarray(Ye),
+                       rtol=1e-12, atol=1e-12 * scale)
