@@ -453,6 +453,51 @@ def qp_apply_affine(wfb: WeakFormBlocks, Epre, phi, JxW, dphi,
     return jnp.stack(rows, axis=0)
 
 
+def block_diag_affine(wfb: WeakFormBlocks, phi, JxW, dphi) -> jnp.ndarray:
+    """block_diag for AFFINE elements (P1/TET4): the diffusion term's
+    gradient-squared factor is q-independent, so its coefficient q-sum
+    (diffusion_presum) is computed once and multiplied by
+    gg_i = sum_d dphi[0,i,d]^2; the D (taxis) term similarly hoists its
+    q-sum per direction.  Same sums reassociated."""
+    V = wfb.n_vars
+    Q, K = phi.shape
+    E_dim = JxW.shape[-1]
+    zero = jnp.zeros((E_dim,), JxW.dtype)
+    dphi0 = dphi[0]
+    Epre = diffusion_presum(wfb, JxW)
+    gg = [
+        dphi0[i, 0] * dphi0[i, 0] + dphi0[i, 1] * dphi0[i, 1]
+        + dphi0[i, 2] * dphi0[i, 2] for i in range(K)]
+    out_rows = []
+    for v in range(V):
+        row = []
+        for w in range(V):
+            # taxis: sum_q JxW[q]*phi[q,i]*D[q,d] needs the phi factor,
+            # so pre-sum per (i, d) pair stays q-looped but the dphi
+            # multiply hoists out of q
+            cols = []
+            for i in range(K):
+                terms = []
+                if not _is_zero(wfb.C[v][w]):
+                    acc = (JxW[0] * float(phi[0, i] * phi[0, i])) * wfb.C[v][w][0]
+                    for q in range(1, Q):
+                        acc = acc + (JxW[q] * float(phi[q, i] * phi[q, i])) * wfb.C[v][w][q]
+                    terms.append(acc)
+                if not _is_zero(wfb.D[v][w]):
+                    for d in range(3):
+                        acc = (JxW[0] * float(phi[0, i])) * wfb.D[v][w][0, d]
+                        for q in range(1, Q):
+                            acc = acc + (JxW[q] * float(phi[q, i])) * wfb.D[v][w][q, d]
+                        terms.append(dphi0[i, d] * acc)
+                if not _is_zero(Epre[v][w]):
+                    terms.append(Epre[v][w] * gg[i])
+                acc = _accum(terms)
+                cols.append(zero if acc is None else acc)
+            row.append(jnp.stack(cols, axis=0))
+        out_rows.append(jnp.stack(row, axis=0))
+    return jnp.stack(out_rows, axis=0)
+
+
 def block_diag(wfb: WeakFormBlocks, phi, JxW, dphi) -> jnp.ndarray:
     """diag_e (V, V, K, E): the per-element (i, i) entries of each (v, w)
     block, for the block-Jacobi preconditioner — computed straight from the

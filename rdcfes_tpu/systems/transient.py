@@ -47,6 +47,7 @@ from ..fem.bcsr import ell_matvec, to_ell  # noqa: F401 (assembled path)
 from ..fem.geometry import geometry_factors
 from ..fem.weakform import (
     block_diag,
+    block_diag_affine,
     block_rhs,
     block_rhs_affine,
     diffusion_presum,
@@ -579,7 +580,8 @@ class TransientRDCSystem:
                 b = self._restrict(Fe.astype(self.dtype).reshape(V, -1),
                                    g["node_gather"])
             if Dinv_in is None:
-                diag_e = block_diag(wfb, self.phi, g["JxW"], g["dphi"])
+                diag_fn = block_diag_affine if affine else block_diag
+                diag_e = diag_fn(wfb, self.phi, g["JxW"], g["dphi"])
                 Dinv = small_block_inverse(
                     self._diag_blocks(diag_e.astype(self.dtype),
                                       g["node_gather"]),

@@ -198,3 +198,23 @@ def test_affine_apply_matches_generic(model, zero_deck):
     scale = float(jnp.abs(Ye).max()) + 1e-30
     assert np.allclose(np.asarray(Ye_aff), np.asarray(Ye),
                        rtol=1e-12, atol=1e-12 * scale)
+
+
+@pytest.mark.parametrize("model", sorted(SETUPS))
+def test_affine_diag_matches_generic(model):
+    from rdcfes_tpu.fem.geometry import geometry_factors
+    from rdcfes_tpu.fem.weakform import block_diag_affine
+
+    mesh, p, u, blocks_fn, V, fields = SETUPS[model](False)
+    conn_T = jnp.asarray(mesh.connectivity.T)
+    phi, JxW, dphi = geometry_factors(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
+        mesh.elem_type)
+    u_qp, g_qp = interpolate_at_qp(jnp.asarray(u.T), conn_T, phi, dphi)
+    p = {k: float(v) for k, v in p.items()}
+    wfb = blocks_fn(u_qp, g_qp, fields, p)
+    dg = block_diag(wfb, phi, JxW, dphi)
+    dg_aff = block_diag_affine(wfb, phi, JxW, dphi)
+    scale = float(jnp.abs(dg).max()) + 1e-30
+    assert np.allclose(np.asarray(dg_aff), np.asarray(dg),
+                       rtol=1e-12, atol=1e-12 * scale)
