@@ -566,10 +566,17 @@ class TransientRDCSystem:
                 # XLA f64 gather saved; identical values, same order)
                 ue = gather_ue_fast(fast_args,
                                     u_T)[:, :, :fast["plans"].E]
-                u_qp, grad_qp = interpolate_ue(ue, self.phi, g["dphi"])
             else:
-                u_qp, grad_qp = interpolate_at_qp(u_T, g["conn_T"],
-                                                  self.phi, g["dphi"])
+                ue = u_T[:, g["conn_T"]]
+            if affine:
+                # TET4: per-q gradients are bit-identical (dphi[q] ==
+                # dphi[0]); compute once and broadcast for the physics
+                u_qp, gx1 = interpolate_ue_affine(ue, self.phi,
+                                                  g["dphi"])
+                grad_qp = jnp.broadcast_to(
+                    gx1[:, None], (V,) + u_qp.shape[1:2] + gx1.shape[1:])
+            else:
+                u_qp, grad_qp = interpolate_ue(ue, self.phi, g["dphi"])
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             rhs_fn = block_rhs_affine if affine else block_rhs
             Fe = rhs_fn(wfb, self.phi, g["JxW"], g["dphi"])
