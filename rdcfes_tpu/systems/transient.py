@@ -512,7 +512,8 @@ class TransientRDCSystem:
             fused Pallas kernel too — the whole matvec is three kernels
             plus vector ops.  f64 operands ride the permutation kernels
             as hi/lo f32 planes with the apply in XLA."""
-            from ..fem.pallas_apply import qp_apply_fused
+            from ..fem.pallas_apply import (qp_apply_affine_fused,
+                                            qp_apply_fused)
             from ..fem.pallas_perm import grid_permute, grid_permute_f64
 
             _, drev = _plans_from(fa)
@@ -528,8 +529,14 @@ class TransientRDCSystem:
                 # plan construction); the E_pad tail is re-padded with
                 # zeros so padded restrict targets contribute zeros
                 EL = fast["EL"]
-                Ye = qp_apply_fused(stacks, self.phi, fa[2], fa[3],
-                                    ue[:, :, :EL], interpret=interp)
+                kind, stk = stacks
+                if kind == "affine":
+                    Ye = qp_apply_affine_fused(
+                        stk, self.phi, fa[2], fa[3][0], ue[:, :, :EL],
+                        interpret=interp)
+                else:
+                    Ye = qp_apply_fused(stk, self.phi, fa[2], fa[3],
+                                        ue[:, :, :EL], interpret=interp)
                 yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - EL)))
             else:
                 Ye = apply_from_ue(wf_, JxW_, dphi_, ue[:, :, :fp.E], Epre)
@@ -625,9 +632,15 @@ class TransientRDCSystem:
                           if affine else None)
                 if fast is not None:
                     if fast["use_fused"]:
-                        from ..fem.pallas_apply import stack_blocks
+                        from ..fem.pallas_apply import (stack_blocks,
+                                                        stack_blocks_affine)
 
-                        stacks32 = stack_blocks(wfb32, fast["EL"])
+                        stacks32 = (
+                            ("affine",
+                             stack_blocks_affine(wfb32, Epre32,
+                                                 fast["EL"]))
+                            if affine else
+                            ("generic", stack_blocks(wfb32, fast["EL"])))
                     else:
                         stacks32 = None
                     mv32 = lambda x: M32(mv_fast(

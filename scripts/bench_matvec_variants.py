@@ -12,10 +12,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from rdcfes_tpu.fem.assembly import interpolate_at_qp, interpolate_ue
-from rdcfes_tpu.fem.pallas_apply import qp_apply_fused, stack_blocks
+from rdcfes_tpu.fem.assembly import (interpolate_at_qp, interpolate_ue,
+                                     interpolate_ue_affine)
+from rdcfes_tpu.fem.pallas_apply import (qp_apply_affine_fused,
+                                         qp_apply_fused, stack_blocks,
+                                         stack_blocks_affine)
 from rdcfes_tpu.fem.pallas_perm import gather_corners, grid_permute
-from rdcfes_tpu.fem.weakform import qp_apply
+from rdcfes_tpu.fem.weakform import (diffusion_presum, qp_apply,
+                                     qp_apply_affine)
 from rdcfes_tpu.mesh import box_tet_mesh
 from rdcfes_tpu.models.pihna import default_params, pihna_blocks
 from rdcfes_tpu.systems import TransientRDCSystem
@@ -92,6 +96,32 @@ def main():
         g = grid_permute(drev, Ye.reshape(V, fp.A * 128, 128))
         return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
 
+    Epre32 = diffusion_presum(wfb32, sys_.JxW32)
+    EL = fast["EL"]
+    stacks_aff = stack_blocks_affine(wfb32, Epre32, EL)
+
+    def mv_paffine(x):
+        """Pallas gathers + XLA *affine* apply (the production inner)."""
+        xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
+        ue = gather_corners(dfwd, xp.reshape(V, fp.NR, 128), fp.C_x)
+        ue = ue.reshape(V, fp.K, fp.E_pad)[:, :, :fp.E]
+        x_qp, gx = interpolate_ue_affine(ue, sys_.phi, sys_.dphi32)
+        Ye = qp_apply_affine(wfb32, Epre32, sys_.phi, sys_.JxW32,
+                             sys_.dphi32, x_qp, gx)
+        yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
+        g = grid_permute(drev, yb.reshape(V, fp.A * 128, 128))
+        return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
+
+    def mv_fused_affine(x):
+        xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
+        ue = gather_corners(dfwd, xp.reshape(V, fp.NR, 128), fp.C_x)
+        ue = ue.reshape(V, fp.K, fp.E_pad)
+        Ye = qp_apply_affine_fused(stacks_aff, sys_.phi, jxw32p,
+                                   dphi32p[0], ue[:, :, :EL])
+        Ye = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - EL)))
+        g = grid_permute(drev, Ye.reshape(V, fp.A * 128, 128))
+        return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
+
     # big operands as jit ARGUMENTS (constants overflow the tunnel's
     # HTTP limit); correctness + timing per variant, printed immediately
     dep = lambda mv: (lambda x: mv(x) * 1e-20 + x)
@@ -102,6 +132,17 @@ def main():
     rel = float(jnp.linalg.norm(b - a) / jnp.linalg.norm(a))
     print(f"pgather vs xla rel: {rel:.2e}", flush=True)
     fit(dep(mv_pgather), x0, "matvec Pallas gathers")
+    d = jax.block_until_ready(jax.jit(mv_paffine)(x0))
+    rel = float(jnp.linalg.norm(d - a) / jnp.linalg.norm(a))
+    print(f"paffine vs xla rel: {rel:.2e}", flush=True)
+    fit(dep(mv_paffine), x0, "matvec Pallas gathers+affine apply")
+    e = jax.block_until_ready(jax.jit(mv_fused_affine)(x0))
+    rel = float(jnp.linalg.norm(e - a) / jnp.linalg.norm(a))
+    print(f"fused-affine vs xla rel: {rel:.2e}", flush=True)
+    fit(dep(mv_fused_affine), x0, "matvec Pallas gathers+AFFINE fused apply")
+    # the generic fused variant LAST: its EL/E_pad operand mismatch
+    # (jxw32p is EL-padded, ue passed at full E_pad) aborted the backend
+    # on earlier runs — likely OOB block reads, kept for comparison
     c = jax.block_until_ready(jax.jit(mv_fused)(x0))
     rel = float(jnp.linalg.norm(c - a) / jnp.linalg.norm(a))
     print(f"fused vs xla rel: {rel:.2e}", flush=True)
