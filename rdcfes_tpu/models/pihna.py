@@ -55,7 +55,15 @@ def crowding_factor(total_over_kappa, kappa_k, ek):
     Te = total_over_kappa
     base = jnp.clip(1.0 - Te, 1e-300, 1.0)
     interior = jnp.logical_and(Te > 0.0, Te < 1.0)
-    pe1 = base ** (ek - 1.0)
+    e1 = ek - 1.0
+    if isinstance(e1, float) and e1.is_integer() and 0.0 <= e1 <= 8.0:
+        # deck exponents are small integers (shipped deck: ek = 3); the
+        # trace-time strength reduction turns the f64 pow (software
+        # exp*log on TPU) into an integer_pow multiply chain — agreement
+        # to round-off, held to the oracle parity bar
+        pe1 = base ** int(e1)
+    else:
+        pe1 = base ** e1
     tau = jnp.where(Te <= 0.0, 1.0, jnp.where(interior, pe1 * base, 0.0))
     dtau = jnp.where(interior, (-ek / kappa_k) * pe1, 0.0)
     return tau, dtau
