@@ -47,14 +47,19 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from ..fem.assembly import interpolate_at_qp
+from ..fem.assembly import (interpolate_at_qp, interpolate_ue,
+                            interpolate_ue_affine)
 from ..fem.geometry import geometry_factors
 from ..fem.weakform import (
     block_diag,
+    block_diag_affine,
     block_rhs,
+    block_rhs_affine,
+    diffusion_presum,
     element_matrices,
     element_vectors,
     qp_apply,
+    qp_apply_affine,
 )
 from ..mesh.core import Mesh
 from ..native import partition_rcb
@@ -598,12 +603,15 @@ class HaloShardedSystem(HaloExchangeMixin):
             def pdot(a, b):
                 return lax.psum(jnp.vdot(a, b), "d")
 
+            affine = self.mesh.elem_type == "TET4"
             ug = self._ghost_fill(u, send_tabs)
             u_qp, grad_qp = interpolate_at_qp(ug, conn, self.phi, dphi_)
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
-            Fe = block_rhs(wfb, self.phi, JxW_, dphi_)
+            rhs_fn = block_rhs_affine if affine else block_rhs
+            Fe = rhs_fn(wfb, self.phi, JxW_, dphi_)
             b = self._reverse_add(restrict(Fe.reshape(V, -1)), rev_gather)
-            diag_e = block_diag(wfb, self.phi, JxW_, dphi_)
+            diag_fn = block_diag_affine if affine else block_diag
+            diag_e = diag_fn(wfb, self.phi, JxW_, dphi_)
             diag = self._reverse_add(
                 restrict(diag_e.reshape(V, V, -1)).reshape(V * V, -1),
                 rev_gather,
@@ -615,10 +623,21 @@ class HaloShardedSystem(HaloExchangeMixin):
             )
             Dinv = small_block_inverse(diag, pivot=False)
 
+            # once-per-step diffusion q-sum for the affine matvec (the
+            # same reassociation as TransientRDCSystem's single-chip path)
+            Epre = diffusion_presum(wfb, JxW_) if affine else None
+
             def matvec(x):
                 xg = self._ghost_fill(x, send_tabs)
-                x_qp, gx_qp = interpolate_at_qp(xg, conn, self.phi, dphi_)
-                Ye = qp_apply(wfb, self.phi, JxW_, dphi_, x_qp, gx_qp)
+                ue = xg[:, conn]
+                if affine:
+                    x_qp, gx = interpolate_ue_affine(ue, self.phi, dphi_)
+                    Ye = qp_apply_affine(wfb, Epre, self.phi, JxW_,
+                                         dphi_, x_qp, gx)
+                else:
+                    x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
+                    Ye = qp_apply(wfb, self.phi, JxW_, dphi_, x_qp,
+                                  gx_qp)
                 return self._reverse_add(
                     restrict(Ye.reshape(V, -1)), rev_gather)
 
