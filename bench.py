@@ -67,9 +67,13 @@ def pihna_bench():
     u0[:, 3] = 7200.0 * (1.0 + 0.1 * rng.random(mesh.n_nodes))
     u0[:, 4] = 1e-10
 
+    # precond_refresh=20: the block-Jacobi inverse only steers the
+    # iteration (converged answers identical).  Measured trade at dt=0.1
+    # (2026-08-17): inner iterations 795 -> 888 over 120 steps, but the
+    # halved diag-build amortization nets +0.4 steps/s (29.82 -> 30.22)
     system = TransientRDCSystem(mesh, 5, pihna_physics,
                                 physics_blocks=pihna_blocks,
-                                precision="mixed", precond_refresh=10)
+                                precision="mixed", precond_refresh=20)
     # warmup (compile); np.asarray = real sync (see below)
     state, its, ress = system.run_steps(system.initial_state(u0), 120,
                                         params=params)
