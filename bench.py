@@ -33,10 +33,12 @@ def pihna_bench():
     import jax
 
     # scan-batched kernel path: soak-tested on this exact workload
-    # (2026-08-17, 20.21 steps/s vs 19.48 per-step dispatch); segment 40
-    # so warmup + timed run share ONE compiled 40-step program
+    # (2026-08-17, 20.21 steps/s vs 19.48 per-step dispatch).  One
+    # 120-step program: device time is ~3.8 s at current speed — far
+    # under the ~40 s watchdog — and each extra segment boundary costs a
+    # ~30 ms tunnel dispatch
     os.environ["RDCFES_FAST_SCAN"] = "1"
-    os.environ.setdefault("RDCFES_SCAN_SEGMENT", "40")
+    os.environ.setdefault("RDCFES_SCAN_SEGMENT", "120")
 
     from rdcfes_tpu.mesh import box_tet_mesh
     from rdcfes_tpu.models.pihna import (default_params, pihna_blocks,
@@ -114,8 +116,11 @@ def adpm_bench():
 
     # per-step dispatch (the default): the ADPM scan program with kernels
     # is not yet soak-tested on hardware, and at 26 inner iters/step the
-    # dispatch overhead is relatively small
+    # dispatch overhead is relatively small.  Fused apply pinned off:
+    # ADPM's V=3 kernel variant has not had its compile+run validated on
+    # hardware yet (PIHNA's V=5 variant has)
     os.environ.pop("RDCFES_FAST_SCAN", None)
+    os.environ["RDCFES_FAST_FUSED"] = "0"
 
     from rdcfes_tpu.mesh import box_tet_mesh
     from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,

@@ -246,11 +246,15 @@ class TransientRDCSystem:
                 "use_f64": (self.fast_gather == "interpret"
                             or bool(int(os.environ.get(
                                 "RDCFES_FAST_F64", "1")))),
-                # the fused-apply kernel's Mosaic compile alone OOMs the
-                # helper at bench scale; opt-in until the body is slimmed
+                # affine (TET4) meshes default to the fused apply kernel
+                # (qp_apply_affine_fused: hardware-validated, +1.5
+                # steps/s end-to-end); the generic-geometry fused kernel
+                # stays opt-in (heavier body, untested on HEX8 hardware)
                 "use_fused": (self.fast_gather == "interpret"
                               or bool(int(os.environ.get(
-                                  "RDCFES_FAST_FUSED", "0")))),
+                                  "RDCFES_FAST_FUSED",
+                                  "1" if self.mesh.elem_type == "TET4"
+                                  else "0")))),
             }
         return self._fast
 
