@@ -33,12 +33,12 @@ def pihna_bench():
     import jax
 
     # scan-batched kernel path: soak-tested on this exact workload
-    # (2026-08-17, 20.21 steps/s vs 19.48 per-step dispatch).  One
-    # 120-step program: device time is ~3.8 s at current speed — far
-    # under the ~40 s watchdog — and each extra segment boundary costs a
-    # ~30 ms tunnel dispatch
+    # (2026-08-17, 20.21 steps/s vs 19.48 per-step dispatch).  Segment
+    # 40: a single 120-step program was measured perf-equal (31.82 vs
+    # 31.73 steps/s) but its remote compile costs ~20 extra minutes,
+    # which starves the ADPM bench out of the time budget
     os.environ["RDCFES_FAST_SCAN"] = "1"
-    os.environ.setdefault("RDCFES_SCAN_SEGMENT", "120")
+    os.environ.setdefault("RDCFES_SCAN_SEGMENT", "40")
 
     from rdcfes_tpu.mesh import box_tet_mesh
     from rdcfes_tpu.models.pihna import (default_params, pihna_blocks,
