@@ -120,7 +120,7 @@ def adpm_bench():
     # ADPM's V=3 kernel variant has not had its compile+run validated on
     # hardware yet (PIHNA's V=5 variant has)
     os.environ.pop("RDCFES_FAST_SCAN", None)
-    os.environ["RDCFES_FAST_FUSED"] = "0"
+    os.environ.setdefault("RDCFES_FAST_FUSED", "0")
 
     from rdcfes_tpu.mesh import box_tet_mesh
     from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,
