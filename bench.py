@@ -116,11 +116,10 @@ def adpm_bench():
 
     # per-step dispatch (the default): the ADPM scan program with kernels
     # is not yet soak-tested on hardware, and at 26 inner iters/step the
-    # dispatch overhead is relatively small.  Fused apply pinned off:
-    # ADPM's V=3 kernel variant has not had its compile+run validated on
-    # hardware yet (PIHNA's V=5 variant has)
+    # dispatch overhead is relatively small.  The V=3 affine fused apply
+    # is hardware-validated (24.85 vs 23.94 steps/s, 2026-08-17) and
+    # rides the TET4 default
     os.environ.pop("RDCFES_FAST_SCAN", None)
-    os.environ.setdefault("RDCFES_FAST_FUSED", "0")
 
     from rdcfes_tpu.mesh import box_tet_mesh
     from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,
