@@ -182,6 +182,61 @@ def grid_permute(dp: DevicePlan, x, interpret=False, channels=None):
     return _call(dp, x, dp.A * dp.B, 0, interpret, channels)
 
 
+def _perm_reduce_kernel(x_ref, iL1, iB1t, jA1, rA, jA2, iB2t, iL2,
+                        out_ref, *, A, B, L, AP, groups):
+    """Permute one channel, then fold the incidence-group sum (the
+    caller's reshape(C_x, NR*L).sum(axis=0)) in VMEM — the restriction's
+    final reduction never round-trips to HBM.  f32 ONLY: the f64 hi/lo
+    transport planes must be joined to f64 BEFORE summing (plane-wise
+    f32 sums would discard the carries), so f64 keeps the outside sum."""
+    with jax.enable_x64(False):
+        z = _run_perm(x_ref[0], iL1[:], iB1t[:], jA1[:], rA[:], jA2[:],
+                      iB2t[:], iL2[:], A, B, L, AP)
+        rows = (A * B) // groups
+        out_ref[0] = z.reshape(groups, rows, L).sum(axis=0)
+
+
+def grid_permute_reduce(dp: DevicePlan, x, groups, interpret=False,
+                        channels=None):
+    """(V, A*B, L) -> (V, (A*B)//groups, L): grid_permute followed by the
+    incidence-group reduction, fused in-kernel (f32 restriction path)."""
+    W = x.shape[0]
+    if channels is not None and channels > W:
+        x = jnp.pad(x, ((0, channels - W),) + ((0, 0),) * (x.ndim - 1))
+    V = x.shape[0]
+    A, B, L, AP = dp.A, dp.B, dp.L, dp.AP
+    R = A * B
+    assert R % groups == 0, (R, groups)
+    rows = R // groups
+    from functools import partial
+
+    kern = partial(_perm_reduce_kernel, A=A, B=B, L=L, AP=AP,
+                   groups=groups)
+    tbl_specs = [
+        pl.BlockSpec(t.shape, lambda v: (0,) * t.ndim,
+                     memory_space=pltpu.VMEM)
+        for t in (dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)
+    ]
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            kern,
+            out_shape=jax.ShapeDtypeStruct((V, rows, L), x.dtype),
+            grid=(V,),
+            in_specs=[
+                pl.BlockSpec((1, R, L), lambda v: (v, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ] + tbl_specs,
+            out_specs=pl.BlockSpec((1, rows, L), lambda v: (v, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=interpret,
+            **kwargs,
+        )(x, dp.iL1, dp.iB1t, dp.jA1, dp.rA, dp.jA2, dp.iB2t, dp.iL2)[:W]
+
+
 def gather_corners(dp: DevicePlan, x, rep, interpret=False,
                    channels=None):
     """x (V, NR, L) nodal values -> ue (V, A*B, L) corner-slot values.

@@ -545,9 +545,18 @@ class TransientRDCSystem:
             else:
                 Ye = apply_from_ue(wf_, JxW_, dphi_, ue[:, :, :fp.E], Epre)
                 yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - fp.E)))
-            g = gp(drev, yb.reshape(V, fp.A * 128, 128),
-                   interpret=interp, channels=VC)
-            return g.reshape(V, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
+            if f64:
+                g = gp(drev, yb.reshape(V, fp.A * 128, 128),
+                       interpret=interp, channels=VC)
+                return g.reshape(V, fp.C_x,
+                                 fp.NR * 128).sum(axis=1)[:, :fp.N]
+            # f32: the incidence-group sum folds into the permute kernel
+            # (f64 can't — its hi/lo planes must join before summing)
+            from ..fem.pallas_perm import grid_permute_reduce
+
+            g = grid_permute_reduce(drev, yb.reshape(V, fp.A * 128, 128),
+                                    fp.C_x, interpret=interp, channels=V)
+            return g.reshape(V, fp.NR * 128)[:, :fp.N]
 
         def restrict_fast(fa, Fe_vke):
             """(W, K, E) element contributions -> (W, N) nodal sums via
