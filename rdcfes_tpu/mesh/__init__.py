@@ -2,6 +2,7 @@ from .core import Mesh, ELEMENT_FACES, extract_boundary_faces
 from .generators import box_hex_mesh, box_tet_mesh
 from .refine import refine_uniform, refine_flagged, Refinement
 from .adapt import AdaptiveMesh, AdaptOutcome, adapt_flagged
+from .constrain import ConstrainedAdaptResult, ConstrainedMesh
 from . import gmsh
 from . import transform
 
@@ -16,6 +17,8 @@ __all__ = [
     "AdaptiveMesh",
     "AdaptOutcome",
     "adapt_flagged",
+    "ConstrainedAdaptResult",
+    "ConstrainedMesh",
     "Refinement",
     "gmsh",
     "transform",

@@ -104,6 +104,7 @@ class TransientRDCSystem:
         precond_refresh: int = 1,
         physics_blocks: Optional[Callable] = None,
         fast_gather: str = "auto",
+        constraints: Optional[np.ndarray] = None,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
@@ -181,6 +182,19 @@ class TransientRDCSystem:
         assert fast_gather in ("auto", "on", "off", "interpret")
         self.fast_gather = fast_gather
         self._fast = None  # lazily built (plan construction is host-heavy)
+        # hanging-node constraints (H, 3) rows [h, a, b]: u_h = (u_a+u_b)/2
+        # (libMesh's constrain_element_matrix_and_vector analogue,
+        # reference src/pihna.C:752).  The qp step solves the constrained
+        # operator C^T A C matrix-free: C distributes master values to
+        # hanging dofs before the element apply, C^T folds hanging-row
+        # contributions back onto the endpoints after the restriction.
+        # Produced by mesh/constrain.ConstrainedMesh.refine.
+        if constraints is not None and len(constraints):
+            c = np.asarray(constraints, dtype=np.int32)
+            self._cons = (jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1]),
+                          jnp.asarray(c[:, 2]))
+        else:
+            self._cons = None
 
     def _fast_args(self):
         """The plan tables as a jit-argument pytree (empty when off)."""
@@ -477,6 +491,22 @@ class TransientRDCSystem:
         # run through the reassociated apply (qp_apply_affine) with the
         # diffusion coefficient q-sum hoisted out of the Krylov loop
         affine = self.mesh.elem_type == "TET4"
+        # hanging-node constraints: C distributes masters to hanging
+        # dofs, C^T folds hanging contributions back; the Krylov solve
+        # runs on C^T A C embedded in full vectors with hanging entries
+        # pinned to zero (see __init__)
+        cons = self._cons
+
+        def c_apply(x):
+            hh, aa, bb = cons
+            return x.at[:, hh].set(0.5 * (x[:, aa] + x[:, bb]))
+
+        def ct_fold(y):
+            hh, aa, bb = cons
+            half = 0.5 * y[:, hh]
+            y = y.at[:, aa].add(half)
+            y = y.at[:, bb].add(half)
+            return y.at[:, hh].set(0.0)
 
         def apply_from_ue(wf_, JxW_, dphi_, ue, Epre):
             if affine and Epre is not None:
@@ -606,13 +636,27 @@ class TransientRDCSystem:
             else:
                 b = self._restrict(Fe.astype(self.dtype).reshape(V, -1),
                                    g["node_gather"])
+            if cons is not None:
+                b = ct_fold(b)
             if Dinv_in is None:
                 diag_fn = block_diag_affine if affine else block_diag
                 diag_e = diag_fn(wfb, self.phi, g["JxW"], g["dphi"])
-                Dinv = small_block_inverse(
-                    self._diag_blocks(diag_e.astype(self.dtype),
-                                      g["node_gather"]),
-                    pivot=False)
+                D = self._diag_blocks(diag_e.astype(self.dtype),
+                                      g["node_gather"])
+                if cons is not None:
+                    # fold the hanging diagonal onto the endpoints
+                    # (the C^T A C diagonal's 1/4-weight contribution)
+                    # and pin hanging blocks to identity so iterates
+                    # stay zero there
+                    hh, aa, bb = cons
+                    quarter = 0.25 * D[:, :, hh]
+                    D = D.at[:, :, aa].add(quarter)
+                    D = D.at[:, :, bb].add(quarter)
+                    eye = jnp.broadcast_to(
+                        jnp.eye(V, dtype=D.dtype)[:, :, None],
+                        (V, V, hh.shape[0]))
+                    D = D.at[:, :, hh].set(eye)
+                Dinv = small_block_inverse(D, pivot=False)
             else:
                 Dinv = Dinv_in
 
@@ -630,6 +674,9 @@ class TransientRDCSystem:
                                    g["dphi"], Epre=Epre)
             else:
                 matvec64 = partial(mv, wfb, g["JxW"], g["dphi"], Epre=Epre)
+            if cons is not None:
+                mv64_core = matvec64
+                matvec64 = lambda x: ct_fold(mv64_core(c_apply(x)))
             M = partial(apply_block_jacobi, Dinv)
             pre_matvec = lambda x: M(matvec64(x))
             pre_b = M(b)
@@ -637,6 +684,9 @@ class TransientRDCSystem:
             # quadratic predictor here (clamping kinks defeat it: 791 vs
             # 1209 inner iterations over the 120-step bench)
             x0 = 2.0 * state["u"].T - state["u_old"].T
+            if cons is not None:
+                # iterate in the reduced space: hanging entries stay 0
+                x0 = x0.at[:, cons[0]].set(0.0)
             if mixed:
                 wfb32 = wfb.cast(jnp.float32)
                 Dinv32 = Dinv.astype(jnp.float32)
@@ -656,12 +706,16 @@ class TransientRDCSystem:
                             ("generic", stack_blocks(wfb32, fast["EL"])))
                     else:
                         stacks32 = None
-                    mv32 = lambda x: M32(mv_fast(
+                    mv32_core = lambda x: mv_fast(
                         fast_args, wfb32, g["JxW32"], g["dphi32"], x,
-                        stacks=stacks32, Epre=Epre32))
+                        stacks=stacks32, Epre=Epre32)
                 else:
-                    mv32 = lambda x: M32(
-                        mv(wfb32, g["JxW32"], g["dphi32"], x, Epre=Epre32))
+                    mv32_core = lambda x: mv(wfb32, g["JxW32"],
+                                             g["dphi32"], x, Epre=Epre32)
+                if cons is not None:
+                    _mv32c = mv32_core
+                    mv32_core = lambda x: ct_fold(_mv32c(c_apply(x)))
+                mv32 = lambda x: M32(mv32_core(x))
                 u_raw, iters, resid = self._refine_mixed(
                     mv32, pre_matvec, pre_b, x0)
             else:
@@ -669,7 +723,14 @@ class TransientRDCSystem:
                 r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,
                        maxiter=self.maxiter)
                 u_raw, iters, resid = r.x, r.iters, r.residual
+            if cons is not None:
+                # hanging dofs are DERIVED: distribute the solved master
+                # values, and re-derive after the clamp touches the
+                # endpoints (u_h = (u_a+u_b)/2 holds exactly in u_new)
+                u_raw = c_apply(u_raw)
             u_new = self.clamp(u_raw)
+            if cons is not None:
+                u_new = c_apply(u_new)
             new_state = {"u": u_new.T, "u_old": state["u"],
                          "u_older": state["u_old"], "u_raw": u_raw.T}
             return new_state, iters, resid, Dinv

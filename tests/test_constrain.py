@@ -1,0 +1,186 @@
+"""Constrained selective 1:8 refinement (mesh/constrain.py) and the
+hanging-node-constrained transient solve (systems/transient.py
+`constraints=`).
+
+Reference surface: MeshRefinement::refine_and_coarsen_elements with
+hanging-node constraints + DofMap::constrain_element_matrix_and_vector
+(reference src/pihna.C:752, :805-840).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rdcfes_tpu.mesh import ConstrainedMesh, box_tet_mesh, refine_uniform
+
+
+def _tet_volumes(mesh):
+    X = mesh.coords[mesh.connectivity]
+    return np.abs(np.einsum(
+        "ei,ei->e",
+        np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]),
+        X[:, 3] - X[:, 0])) / 6.0
+
+
+def _center_flags(mesh, frac=0.2):
+    cent = mesh.coords[mesh.connectivity].mean(axis=1)
+    mid = mesh.coords.mean(axis=0)
+    r = np.linalg.norm(cent - mid, axis=1)
+    return r <= np.quantile(r, frac)
+
+
+def test_topology_invariants():
+    mesh = box_tet_mesh(4, 4, 4)
+    cm = ConstrainedMesh(mesh)
+    res = cm.refine(_center_flags(mesh))
+    assert res is not None
+    new = res.constrained
+    m2 = new.mesh
+
+    # volume conserved
+    assert np.isclose(_tet_volumes(m2).sum(), _tet_volumes(mesh).sum())
+
+    cons = new.constraints
+    assert len(cons) > 0  # selective refinement must hang nodes
+    h, a, b = cons[:, 0], cons[:, 1], cons[:, 2]
+    # every hanging node is the midpoint of its constraint edge
+    assert np.allclose(m2.coords[h],
+                       0.5 * (m2.coords[a] + m2.coords[b]))
+    # endpoints are master dofs (no chained constraints)
+    assert not np.intersect1d(h, np.concatenate([a, b])).size
+    # prolongation puts the constrained value on every hanging node
+    u = np.random.default_rng(0).random((mesh.n_nodes, 2))
+    up = res.prolong(u)
+    assert up.shape[0] == m2.n_nodes
+    assert np.allclose(up[h], 0.5 * (up[a] + up[b]))
+    # elem_map covers the new elements and points at real parents
+    assert res.elem_map.shape[0] == m2.n_elems
+    assert res.elem_map.max() < mesh.n_elems
+
+
+def test_uniform_flags_have_no_hanging_nodes():
+    mesh = box_tet_mesh(3, 3, 3)
+    res = ConstrainedMesh(mesh).refine(np.ones(mesh.n_elems, bool))
+    assert len(res.constrained.constraints) == 0
+    ref = refine_uniform(mesh)
+    assert res.constrained.mesh.n_elems == ref.mesh.n_elems
+    assert res.constrained.mesh.n_nodes == ref.mesh.n_nodes
+
+
+def test_second_pass_flag_closure():
+    """Refining a fine element with a hanging corner forces the coarse
+    owner to refine (no chained constraints after any pass)."""
+    mesh = box_tet_mesh(3, 3, 3)
+    cm = ConstrainedMesh(mesh)
+    res1 = cm.refine(_center_flags(mesh, 0.15))
+    cm1 = res1.constrained
+    # flag only elements that contain a hanging node as a corner
+    hang = set(int(x) for x in cm1.constraints[:, 0])
+    flags = np.array([bool(hang.intersection(map(int, row)))
+                      for row in cm1.mesh.connectivity])
+    assert flags.any()
+    res2 = cm1.refine(flags)
+    cons2 = res2.constrained.constraints
+    if len(cons2):
+        h2 = cons2[:, 0]
+        ab2 = np.concatenate([cons2[:, 1], cons2[:, 2]])
+        assert not np.intersect1d(h2, ab2).size
+    # hanging midpoints are still geometric midpoints
+    m2 = res2.constrained.mesh
+    if len(cons2):
+        assert np.allclose(
+            m2.coords[cons2[:, 0]],
+            0.5 * (m2.coords[cons2[:, 1]] + m2.coords[cons2[:, 2]]))
+
+
+def _pihna_params():
+    from rdcfes_tpu.models.pihna import default_params
+
+    Kk = 2.39e5
+    p = default_params()
+    p.update(dt=0.1, cells_min_capacity=1.0, cells_max_capacity=Kk,
+             cells_max_capacity_exponent=3.0, cytokines_max_capacity=1e-8,
+             necrosis_c=500 / Kk, necrosis_h=200 / Kk, necrosis_v=300 / Kk,
+             produce_c=-2.5, switch_c2h=1.0, switch_h2c=1.82,
+             switch_h2n=0.5, diffuse_v=0.5, produce_v=10.0,
+             secrete_a_c=2.77e-13, secrete_a_h=5.22e-10, decay_a=5678.4)
+    return {k: float(v) for k, v in p.items()}
+
+
+@pytest.mark.parametrize("fast", ["off", "interpret"])
+def test_constrained_step_matches_dense_reduced_solve(fast):
+    """One constrained CN step == the dense scipy solve of C^T A C on
+    master dofs (the libMesh constrained-system semantics)."""
+    import scipy.sparse as sps
+
+    from rdcfes_tpu.models.pihna import pihna_blocks, pihna_physics
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    mesh0 = box_tet_mesh(3, 3, 3, bounds=((0, 30.0),) * 3)
+    res = ConstrainedMesh(mesh0).refine(_center_flags(mesh0, 0.2))
+    cm = res.constrained
+    mesh = cm.mesh
+    cons = cm.constraints
+    assert len(cons)
+    params = _pihna_params()
+
+    rng = np.random.default_rng(0)
+    V, N = 5, mesh.n_nodes
+    u0 = np.abs(rng.random((N, V))) * np.array([1.0, 100., 50., 500., 1e-10])
+    # consistent initial condition on hanging dofs
+    u0[cons[:, 0]] = 0.5 * (u0[cons[:, 1]] + u0[cons[:, 2]])
+
+    system = TransientRDCSystem(mesh, V, pihna_physics,
+                                physics_blocks=pihna_blocks,
+                                precision="mixed", constraints=cons,
+                                fast_gather=fast)
+    state, iters, resid = system.step(system.initial_state(u0),
+                                      params=params)
+    u_raw = np.asarray(state["u_raw"])  # pre-clamp solver output
+
+    # dense reference: unconstrained A, b from the materialized path
+    values, b = system.assemble(jnp.asarray(u0.T), {}, params)
+    values, b = np.asarray(values), np.asarray(b)
+    sp = system.sp
+    blocks = [[sps.csr_matrix(
+        (values[v, w], (sp.rows, sp.cols)), shape=(N, N))
+        for w in range(V)] for v in range(V)]
+    A = sps.bmat(blocks, format="csr")
+    rhs = b.reshape(V * N)
+
+    # C embedding: identity on masters, (1/2, 1/2) rows on hanging
+    Cn = sps.lil_matrix((N, N))
+    master = np.ones(N, bool)
+    master[cons[:, 0]] = False
+    for i in np.nonzero(master)[0]:
+        Cn[i, i] = 1.0
+    for hh, aa, bb in cons:
+        Cn[hh, aa] = 0.5
+        Cn[hh, bb] = 0.5
+    Cn = Cn.tocsr()
+    C = sps.block_diag([Cn] * V, format="csr")
+    Ac = (C.T @ A @ C).tolil()
+    bc = C.T @ rhs
+    for v in range(V):
+        for hh in cons[:, 0]:
+            Ac[v * N + hh, v * N + hh] = 1.0
+            bc[v * N + hh] = 0.0
+    # equilibrate before the direct solve: the variable scales span ~13
+    # orders (cells ~1e5 vs cytokines ~1e-10) and raw LU loses the tiny
+    # variable to ~1e-7 relative.  Column-scale by the per-variable
+    # solution magnitudes, then row-equilibrate, then dense solve — a
+    # trustworthy ~1e-12 reference at this size (V*N ~ 1.5k)
+    svar = np.abs(u0).max(axis=0) + 1e-30
+    Scol = np.concatenate([np.full(N, s) for s in svar])
+    Ad = Ac.toarray() * Scol[None, :]
+    rrow = 1.0 / (np.abs(Ad).max(axis=1) + 1e-300)
+    y = np.linalg.solve(Ad * rrow[:, None], bc * rrow)
+    x = y * Scol
+    u_ref = (C @ x).reshape(V, N).T
+    # re-derive hanging rows the way the system does
+    u_ref[cons[:, 0]] = 0.5 * (u_ref[cons[:, 1]] + u_ref[cons[:, 2]])
+
+    scale = np.abs(u_ref).max(axis=0) + 1e-30
+    rel = np.abs(u_raw - u_ref).max(axis=0) / scale
+    assert rel.max() < 1e-8, rel
