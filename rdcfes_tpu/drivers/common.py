@@ -98,6 +98,12 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
 
         from ..parallel import HaloShardedSystem
 
+        if kwargs.get("constraints") is not None:
+            raise ValueError(
+                "hanging-node constraints (mesh/AMR/strategy = 1to8) are "
+                "not supported on the multi-chip halo system yet; use the "
+                "bisection strategy or parallel/n_devices = 1")
+
         devs = jax.devices()
         if len(devs) < n_dev:
             raise RuntimeError(

@@ -102,6 +102,10 @@ def run(deck_path: str = "input.dat") -> str:
     amr_max_level = deck("mesh/AMR/max_level", 3)
     amr_refine_frac = deck("mesh/AMR/refine_percentage", 0.5)
     amr_coarsen_frac = deck("mesh/AMR/coarsen_percentage", 0.5)
+    # "bisection" (default): conforming Rivara bisection w/ coarsening
+    # (mesh/adapt.py).  "1to8": libMesh-faithful selective 1:8 with
+    # hanging-node constraints (mesh/constrain.py; refine-only)
+    amr_strategy = str(deck("mesh/AMR/strategy", "bisection"))
     deck("mesh/skip_renumber_nodes_and_elements", True)
     otp = output_time_points(deck, n_steps)
 
@@ -124,8 +128,18 @@ def run(deck_path: str = "input.dat") -> str:
         system, get_u, put_state = make_rdc_system(
             mesh, 5, pihna_physics, deck, physics_blocks=pihna_blocks)
         state = put_state(u0)
-    # selective AMR history (TET4 bisection forest; mesh/adapt.py)
-    amesh = AdaptiveMesh(mesh) if mesh.elem_type == "TET4" else None
+
+    def _amr_state(m):
+        """(bisection forest, constrained-1:8 mesh) — one is live."""
+        if m.elem_type != "TET4":
+            return None, None
+        if amr_strategy == "1to8":
+            from ..mesh import ConstrainedMesh
+
+            return None, ConstrainedMesh(m)
+        return AdaptiveMesh(m), None
+
+    amesh, cmesh = _amr_state(mesh)
 
     paraview = ParaviewWriter(mesh)
     # on resume into the same results dir, append to the existing CSV and
@@ -171,9 +185,10 @@ def run(deck_path: str = "input.dat") -> str:
             rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
             system, get_u, put_state = make_rdc_system(
                 mesh, 5, pihna_physics, deck, physics_blocks=pihna_blocks)
-            # bisection history is not serialized: resumed meshes restart
-            # with a fresh forest (pre-crash refinements cannot coarsen)
-            amesh = AdaptiveMesh(mesh) if mesh.elem_type == "TET4" else None
+            # adaptation history is not serialized: resumed meshes restart
+            # with a fresh forest / constraint set (pre-crash refinements
+            # cannot coarsen; pre-crash hanging nodes are not recovered)
+            amesh, cmesh = _amr_state(mesh)
             paraview.mesh = mesh
             print(f"resumed on AMR mesh ({mesh.n_elems} elements)")
         state = system.scatter_state(st)
@@ -235,7 +250,13 @@ def run(deck_path: str = "input.dat") -> str:
                 flags, coarsen = flag_by_mean_stddev(
                     np.asarray(eta), amr_refine_frac, amr_coarsen_frac
                 )
-                if amesh is not None:
+                sys_kw = {}
+                if cmesh is not None:
+                    # libMesh-faithful strategy: selective 1:8 with
+                    # hanging-node constraints (refine-only; the coarsen
+                    # flags are ignored on this strategy)
+                    r = cmesh.refine(flags)
+                elif amesh is not None:
                     # selective bisection refine + sibling coarsen honoring
                     # mesh/AMR/max_level (reference refine_and_coarsen_elements,
                     # src/pihna.C:833-837)
@@ -246,17 +267,28 @@ def run(deck_path: str = "input.dat") -> str:
                 if r is None:
                     print(f"AMR step {t}: nothing flagged, mesh unchanged")
                 else:
-                    mesh = r.mesh
-                    if amesh is not None:
-                        amesh = r.adaptive
-                    print(f"AMR step {t}: adapted to {mesh.n_elems} elements")
-                    structure = r.restrict_elemental(structure)
+                    if cmesh is not None:
+                        cmesh = r.constrained
+                        mesh = cmesh.mesh
+                        structure = structure[r.elem_map]
+                        if len(cmesh.constraints):
+                            sys_kw["constraints"] = cmesh.constraints
+                        print(f"AMR step {t}: adapted to {mesh.n_elems} "
+                              f"elements ({len(cmesh.constraints)} "
+                              f"hanging nodes)")
+                    else:
+                        mesh = r.mesh
+                        if amesh is not None:
+                            amesh = r.adaptive
+                        structure = r.restrict_elemental(structure)
+                        print(f"AMR step {t}: adapted to "
+                              f"{mesh.n_elems} elements")
                     hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
                     rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
                     gstate = system.gather_state(state)
                     system, get_u, put_state = make_rdc_system(
                         mesh, 5, pihna_physics, deck,
-                        physics_blocks=pihna_blocks)
+                        physics_blocks=pihna_blocks, **sys_kw)
                     state = system.scatter_state(
                         {k: r.prolong(v) for k, v in gstate.items()})
                     paraview.mesh = mesh

@@ -462,3 +462,47 @@ material/3000/Hyperelastic/VolumetricStretchRatio/rate_2 = 3.0e-1
     m = re.search(r'Name="c"[^>]*>(.*?)</DataArray>', txt, re.S)
     cvals = np.array(m.group(1).split(), dtype=float)
     assert np.isfinite(cvals).all() and (cvals >= 0).all()
+
+
+def test_pihna_driver_amr_1to8(in_tmp):
+    """mesh/AMR/strategy = 1to8: the driver refines the flagged set 1:8
+    libMesh-style, carries hanging-node constraints into the rebuilt
+    system, and keeps stepping; outputs hold u_h = (u_a+u_b)/2."""
+    from rdcfes_tpu.drivers import pihna
+
+    mesh = box_tet_mesh(3, 3, 3)
+    Kk = 2.39e5
+    u0 = np.zeros((mesh.n_nodes, 5))
+    r2 = ((mesh.coords - 0.5) ** 2).sum(axis=1)
+    u0[:, 1] = 0.05 * Kk * np.exp(-r2 / 0.05)
+    u0[:, 3] = 0.03 * Kk
+    u0[:, 4] = 1e-9
+    structure = np.zeros((mesh.n_elems, 2))
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nodal
+input_elemental = input.elemental
+time_step_number = 3
+time_step = 0.05
+output_step = 3
+refinement_step = 2
+mesh/AMR/max_steps = 1
+mesh/AMR/strategy = 1to8
+cells_max_capacity = 2.39e+5
+cells_max_capacity/exponent = 3
+cells_min_capacity = 1.0
+cytokines_max_capacity = 1.0e-8
+produce/c = -2.5
+diffuse/v = 0.1
+"""
+    _write_case(in_tmp, mesh, deck, u0, structure)
+    outdir = pihna.run("input.dat")
+    txt = open(os.path.join(outdir, "output4paraview-3.vtu")).read()
+    import re as _re
+    n_cells = int(_re.search(r'NumberOfCells="(\d+)"', txt).group(1))
+    # selective: strictly between unrefined and uniform 1:8
+    assert mesh.n_elems < n_cells < 8 * mesh.n_elems
+    m = _re.search(r'Name="c"[^>]*>(.*?)</DataArray>', txt, _re.S)
+    vals = np.array(m.group(1).split(), dtype=float)
+    assert np.isfinite(vals).all() and (vals >= 0).all() and vals.max() > 0
