@@ -183,12 +183,21 @@ def run(deck_path: str = "input.dat") -> str:
             structure = extra["structure"]
             hu_nodal = elemental_to_nodal(mesh, structure[:, 0])
             rt_nodal = elemental_to_nodal(mesh, structure[:, 1])
+            sys_kw = {}
+            if "constraints" in extra and len(extra["constraints"]):
+                # restore the hanging-node constraints the refined mesh
+                # was saved with (the mesh is nonconforming without them)
+                sys_kw["constraints"] = np.asarray(extra["constraints"])
             system, get_u, put_state = make_rdc_system(
-                mesh, 5, pihna_physics, deck, physics_blocks=pihna_blocks)
-            # adaptation history is not serialized: resumed meshes restart
-            # with a fresh forest / constraint set (pre-crash refinements
-            # cannot coarsen; pre-crash hanging nodes are not recovered)
+                mesh, 5, pihna_physics, deck, physics_blocks=pihna_blocks,
+                **sys_kw)
+            # bisection forest is not serialized (pre-crash refinements
+            # cannot coarsen); the 1to8 constraint set IS restored
             amesh, cmesh = _amr_state(mesh)
+            if cmesh is not None and "constraints" in sys_kw:
+                cmesh.hanging = {
+                    (int(a), int(b)): int(h)
+                    for h, a, b in sys_kw["constraints"]}
             paraview.mesh = mesh
             print(f"resumed on AMR mesh ({mesh.n_elems} elements)")
         state = system.scatter_state(st)
@@ -302,6 +311,11 @@ def run(deck_path: str = "input.dat") -> str:
                                os.path.join(DIR, "checkpoint_mesh.msh"))
                     ck_extras = {"structure": structure,
                                  "amr_done": np.asarray(amr_done)}
+                    if cmesh is not None and len(cmesh.constraints):
+                        # hanging-node constraints must survive resume:
+                        # the refined mesh is nonconforming, and an
+                        # unconstrained solve on it would be wrong
+                        ck_extras["constraints"] = cmesh.constraints
                 save_checkpoint(
                     os.path.join(DIR, "checkpoint.npz"),
                     system.gather_state(state), t, time_value,

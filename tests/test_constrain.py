@@ -184,3 +184,41 @@ def test_constrained_step_matches_dense_reduced_solve(fast):
     scale = np.abs(u_ref).max(axis=0) + 1e-30
     rel = np.abs(u_raw - u_ref).max(axis=0) / scale
     assert rel.max() < 1e-8, rel
+
+
+def test_constrained_amr_checkpoint_resume(tmp_path, monkeypatch):
+    """Resume after 1to8 AMR restores the hanging-node constraints: the
+    resumed trajectory matches the uninterrupted one (the refined mesh is
+    nonconforming — an unconstrained resume would diverge)."""
+    import os
+    import shutil
+
+    from rdcfes_tpu import cases
+    from rdcfes_tpu.drivers import pihna
+
+    monkeypatch.chdir(tmp_path)
+    cases.make_pihna_case(".", n=4, n_steps=6)
+    deck = open("input.dat").read()
+    deck = deck.replace("output_step = 10", "output_step = 1")
+    deck += ("refinement_step = 2\nmesh/AMR/max_steps = 1\n"
+             "mesh/AMR/strategy = 1to8\ncheckpoint/step = 4\n")
+    open("input.dat", "w").write(deck)
+    outdir = pihna.run("input.dat")
+    full_csv = open(os.path.join(outdir, "output.csv")).read()
+    assert os.path.exists(os.path.join(outdir, "checkpoint_mesh.msh"))
+    import numpy as np
+    ck = np.load(os.path.join(outdir, "checkpoint.npz"))
+    if "constraints" not in ck:
+        import pytest
+        pytest.skip("case refined without hanging nodes")
+
+    # regenerate the step-4 checkpoint, then resume for the last 2 steps
+    deck_short = deck.replace("time_step_number = 6", "time_step_number = 4")
+    shutil.rmtree(outdir)
+    open("input.dat", "w").write(deck_short)
+    pihna.run("input.dat")
+    open("input.dat", "w").write(
+        deck + f"checkpoint/resume = {outdir}/checkpoint.npz\n")
+    out2 = pihna.run("input.dat")
+    resumed_csv = open(os.path.join(out2, "output.csv")).read()
+    assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
