@@ -222,3 +222,37 @@ def test_constrained_amr_checkpoint_resume(tmp_path, monkeypatch):
     out2 = pihna.run("input.dat")
     resumed_csv = open(os.path.join(out2, "output.csv")).read()
     assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
+
+
+def test_constrained_run_steps_matches_step():
+    """run_steps (scan path) with constraints == per-step stepping,
+    including the stale-preconditioner reuse schedule."""
+    from rdcfes_tpu.models.pihna import pihna_blocks, pihna_physics
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    mesh0 = box_tet_mesh(3, 3, 3, bounds=((0, 30.0),) * 3)
+    res = ConstrainedMesh(mesh0).refine(_center_flags(mesh0, 0.2))
+    cm = res.constrained
+    cons = cm.constraints
+    params = _pihna_params()
+    rng = np.random.default_rng(1)
+    u0 = np.abs(rng.random((cm.mesh.n_nodes, 5))) * \
+        np.array([1.0, 100.0, 50.0, 500.0, 1e-10])
+    u0[cons[:, 0]] = 0.5 * (u0[cons[:, 1]] + u0[cons[:, 2]])
+
+    kw = dict(physics_blocks=pihna_blocks, precision="mixed",
+              precond_refresh=2, constraints=cons)
+    s1 = TransientRDCSystem(cm.mesh, 5, pihna_physics, fast_gather="off",
+                            **kw)
+    st1, _, _ = s1.run_steps(s1.initial_state(u0), 5, params=params)
+    s2 = TransientRDCSystem(cm.mesh, 5, pihna_physics, fast_gather="off",
+                            **kw)
+    st2 = s2.initial_state(u0)
+    for _ in range(5):
+        st2, _, _ = s2.step(st2, params=params)
+    a, b = np.asarray(st1["u"]), np.asarray(st2["u"])
+    scale = np.abs(b).max(axis=0) + 1e-30
+    assert (np.abs(a - b).max(axis=0) / scale).max() < 1e-10
+    # the constraint holds in the final state
+    h, aa, bb = cons[:, 0], cons[:, 1], cons[:, 2]
+    assert np.allclose(a[h], 0.5 * (a[aa] + a[bb]), rtol=0, atol=1e-12)
