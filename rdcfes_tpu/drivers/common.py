@@ -98,12 +98,6 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
 
         from ..parallel import HaloShardedSystem
 
-        if kwargs.get("constraints") is not None:
-            raise ValueError(
-                "hanging-node constraints (mesh/AMR/strategy = 1to8) are "
-                "not supported on the multi-chip halo system yet; use the "
-                "bisection strategy or parallel/n_devices = 1")
-
         devs = jax.devices()
         if len(devs) < n_dev:
             raise RuntimeError(
@@ -118,6 +112,11 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
             kw["physics_blocks"] = physics_blocks
         if kwargs.get("moving_mesh"):
             kw["moving_mesh"] = True
+        if kwargs.get("constraints") is not None:
+            # hanging-node constraints ride the halo plan (the constraint
+            # closure puts both masters in every shard that sees a
+            # hanging node, so C / C^T stay communication-free)
+            kw["constraints"] = kwargs["constraints"]
         system = HaloShardedSystem(mesh, n_vars, physics, dmesh, **kw)
         return system, (lambda st: system.gather(st["u"])), system.initial_state
     from ..systems import TransientRDCSystem

@@ -92,9 +92,18 @@ class HaloPlan:
     node_gather: np.ndarray          # (D, C, No_max + Gtot) restriction
     send_idx: List[np.ndarray]       # per delta: (D, S_d) sender local slots
     rev_gather: np.ndarray           # (D, Cr, No_max) reverse-add table
+    # hanging-node constraint tables (u_h = (u_a+u_b)/2): per-shard rows
+    # [h, a, b] in LOCAL (owned+ghost) slots for every h VISIBLE on the
+    # shard, pad = Nloc (out-of-bounds: gathers clamp to discarded values,
+    # scatters drop).  hang_mask zeroes OWNED hanging slots (the reduced-
+    # space iterate).  has_cons is the static trace-time switch.
+    has_cons: bool = False
+    cons_all: Optional[np.ndarray] = None    # (D, 3, Hmax)
+    hang_mask: Optional[np.ndarray] = None   # (D, No_max)
 
     @staticmethod
-    def build(mesh: Mesh, D: int) -> "HaloPlan":
+    def build(mesh: Mesh, D: int,
+              constraints: Optional[np.ndarray] = None) -> "HaloPlan":
         conn = np.asarray(mesh.connectivity)
         E, K = conn.shape
         N = mesh.n_nodes
@@ -128,10 +137,24 @@ class HaloPlan:
         # pair_nodes[(src, dst)] = ascending renumbered ids owned by src
         # that dst's elements reference (the exchange contract: both sides
         # derive identical buffer orderings from this sorted list)
+        # constraints arrive in ORIGINAL node ids; renumber
+        cons_r = None
+        if constraints is not None and len(constraints):
+            cons_r = node_rank[np.asarray(constraints, dtype=np.int64)]
+
         ghost_by_pair: Dict[Tuple[int, int], np.ndarray] = {}
         shard_nodes: List[np.ndarray] = []
         for s in range(D):
             used = np.unique(conn_sorted[e_starts[s]:e_starts[s + 1]])
+            if cons_r is not None:
+                # constraint closure: wherever a hanging node h is
+                # visible, its endpoints a, b must be too (the local
+                # C-apply and C^T-fold read/write them).  One level
+                # suffices — endpoints are always master dofs.
+                sel = np.isin(cons_r[:, 0], used)
+                if sel.any():
+                    used = np.union1d(used,
+                                      np.unique(cons_r[sel, 1:3]))
             shard_nodes.append(used)
             lo, hi = node_start[s], node_start[s + 1]
             ghosts = used[(used < lo) | (used >= hi)]
@@ -184,6 +207,35 @@ class HaloPlan:
                 )
             conn_local[s, :, : len(ce)] = loc.T
             # padded elements keep conn 0 and contribute only via zeroed JxW
+
+        # ---- constraint tables in local slots ------------------------------
+        # the closure above guarantees a, b have local slots wherever h
+        # does, so the shard programs apply C on ghost-filled vectors and
+        # fold C^T on local partial sums with no extra communication
+        has_cons = cons_r is not None
+        cons_all = None
+        hang_mask = None
+        if has_cons:
+            rows_per_shard: List[List[Tuple[int, int, int]]] = []
+            for s in range(D):
+                lo, hi = node_start[s], node_start[s + 1]
+                gmap = ghost_slot_maps[s]
+                slot = lambda g: int(g) - lo if lo <= g < hi else gmap[int(g)]
+                vis = set(int(g) for g in shard_nodes[s])
+                rows_per_shard.append(
+                    [(slot(h), slot(a), slot(b)) for h, a, b in cons_r
+                     if int(h) in vis])
+            Hmax = max(max((len(r) for r in rows_per_shard), default=0), 1)
+            cons_all = np.full((D, 3, Hmax), Nloc, dtype=np.int32)
+            for s, rows in enumerate(rows_per_shard):
+                if rows:
+                    cons_all[s, :, : len(rows)] = np.asarray(
+                        rows, dtype=np.int64).T
+            hang_mask = np.ones((D, No_max))
+            for s in range(D):
+                lo, hi = node_start[s], node_start[s + 1]
+                own_h = cons_r[(cons_r[:, 0] >= lo) & (cons_r[:, 0] < hi), 0]
+                hang_mask[s, own_h - lo] = 0.0
 
         # ---- restriction (inverse-connectivity) tables --------------------
         # node_gather[s, c, slot] = flat (k * Eb + e_local) corner index of
@@ -245,6 +297,7 @@ class HaloPlan:
             elem_order=elem_order, conn_local=conn_local,
             node_gather=node_gather, send_idx=send_idx,
             rev_gather=rev_gather,
+            has_cons=has_cons, cons_all=cons_all, hang_mask=hang_mask,
         )
 
 
@@ -267,6 +320,28 @@ class HaloExchangeMixin:
             )
             parts.append(buf)
         return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else x
+
+    def _c_apply(self, xg, ca):
+        """Distribute constraint masters to hanging slots on a ghost-filled
+        local vector: xg (V, Nloc) -> xg with x[h] = (x[a] + x[b]) / 2 for
+        every locally visible constraint (the C in C^T A C; libMesh's
+        hanging-node constraint rows, reference src/pihna.C:752).  Pad rows
+        carry out-of-bounds slot Nloc: the scatter drops them."""
+        hh, aa, bb = ca[0], ca[1], ca[2]
+        return xg.at[..., hh].set(0.5 * (xg[..., aa] + xg[..., bb]),
+                                  mode="drop")
+
+    def _cons_fold(self, y_all, ca, w):
+        """C^T-fold LOCAL partial sums: y[a] += w*y[h], y[b] += w*y[h],
+        y[h] = 0.  Exact under the halo split because C^T is linear and
+        each shard folds only its own partials before the reverse-add
+        returns them to their owners (w = 0.5 for vectors, 0.25 for the
+        block-diagonal's own-row C^T A C contribution)."""
+        hh, aa, bb = ca[0], ca[1], ca[2]
+        part = w * y_all[..., hh]
+        y = y_all.at[..., aa].add(part, mode="drop")
+        y = y.at[..., bb].add(part, mode="drop")
+        return y.at[..., hh].set(0.0, mode="drop")
 
     def _reverse_add(self, y_all, rev_gather):
         """Return ghost partial sums to owners (VecScatter-reverse) and add
@@ -313,6 +388,7 @@ class HaloShardedSystem(HaloExchangeMixin):
         maxiter: int = DEFAULT_MAXITER,
         physics_blocks: Optional[Callable] = None,
         moving_mesh: bool = False,
+        constraints: Optional[np.ndarray] = None,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
@@ -328,7 +404,7 @@ class HaloShardedSystem(HaloExchangeMixin):
         self.maxiter = maxiter
         self.dmesh = device_mesh
         D = int(device_mesh.devices.size)
-        self.plan = plan = HaloPlan.build(mesh, D)
+        self.plan = plan = HaloPlan.build(mesh, D, constraints=constraints)
         K = mesh.nodes_per_elem
 
         # ---- geometry on the renumbered, shard-ordered mesh ---------------
@@ -368,6 +444,16 @@ class HaloShardedSystem(HaloExchangeMixin):
             mask[s, : plan.owned_counts[s]] = 1.0
         self.mask_s = jax.device_put(mask, shard_last(P("d")))
         self._state_sharding = shard_last(P("d"))
+        # hanging-node constraint tables (dummies keep the shard-program
+        # signatures uniform; plan.has_cons gates their use at trace time)
+        if plan.has_cons:
+            cons_all, hang_mask = plan.cons_all, plan.hang_mask
+        else:
+            cons_all = np.full((D, 3, 1), plan.No_max + plan.Gtot,
+                               dtype=np.int32)
+            hang_mask = np.ones((D, plan.No_max))
+        self.cons_all_s = jax.device_put(cons_all, shard_last(P("d")))
+        self.hang_mask_s = jax.device_put(hang_mask, shard_last(P("d")))
 
         in_specs = (
             P("d"),                 # u (D, V, No_max)
@@ -378,6 +464,7 @@ class HaloShardedSystem(HaloExchangeMixin):
             P(None, "d"),           # JxW
             P(None, None, None, "d"),  # dphi
             P("d"), P("d"), P("d"),    # node_gather, rev_gather, mask
+            P("d"), P("d"),            # cons_all, hang_mask
         ) + tuple(P("d") for _ in plan.send_idx)
         fn = shard_map(
             self._step_shard, mesh=device_mesh,
@@ -463,10 +550,21 @@ class HaloShardedSystem(HaloExchangeMixin):
 
     # ------------------------------------------------------------------
     def _linear_stage(self, u_blk, Fe, Ke, diag_e, ng, msk, rev_gather,
-                      send_tabs, conn):
+                      send_tabs, conn, ca=None, hmask=None):
         """Shared linear stage of the dense-Ke shard step: assemble rhs /
-        block-Jacobi from element kernels, distributed-BiCGStab, clamp."""
+        block-Jacobi from element kernels, distributed-BiCGStab, clamp.
+        With hanging-node constraints (ca/hmask present and plan.has_cons)
+        the solve runs on C^T A C: local partial sums are C^T-folded
+        BEFORE the reverse-add (each element is owned by exactly one
+        shard, so the shard-local folds tile the global fold), iterates
+        keep owned hanging slots pinned to zero, and the solved master
+        values are redistributed to hanging dofs afterwards — the
+        distributed counterpart of TransientRDCSystem's constrained step
+        (libMesh constrain_element_matrix_and_vector, reference
+        src/pihna.C:752)."""
         V = self.n_vars
+        has_cons = self.plan.has_cons and ca is not None
+        No = self.plan.No_max
         u = u_blk["u"][0]
         u_old = u_blk["u_old"][0]
 
@@ -481,10 +579,18 @@ class HaloShardedSystem(HaloExchangeMixin):
         def pdot(a, b):
             return lax.psum(jnp.vdot(a, b), "d")
 
-        b = self._reverse_add(restrict(Fe.reshape(V, -1)), rev_gather)
+        bl = restrict(Fe.reshape(V, -1))
+        if has_cons:
+            bl = self._cons_fold(bl, ca, 0.5)
+        b = self._reverse_add(bl, rev_gather)
+        dl = restrict(diag_e.reshape(V, V, -1))
+        if has_cons:
+            # own-row C^T A C diagonal contribution; zeroed hanging rows
+            # fall into the empty->identity branch below, which IS the
+            # single-chip identity pinning
+            dl = self._cons_fold(dl, ca, 0.25)
         diag = self._reverse_add(
-            restrict(diag_e.reshape(V, V, -1)).reshape(V * V, -1),
-            rev_gather,
+            dl.reshape(V * V, -1), rev_gather,
         ).reshape(V, V, -1)
         empty = jnp.abs(diag).sum(axis=(0, 1)) == 0.0
         diag = jnp.where(
@@ -495,21 +601,34 @@ class HaloShardedSystem(HaloExchangeMixin):
 
         def matvec(x):
             xg = self._ghost_fill(x, send_tabs)
+            if has_cons:
+                xg = self._c_apply(xg, ca)
             ue = xg[:, conn]                                  # (V, K, Eb)
             ye = jnp.sum(Ke * ue[None, :, None, :, :], axis=(1, 3))
-            return self._reverse_add(
-                restrict(ye.reshape(V, -1)), rev_gather)
+            yl = restrict(ye.reshape(V, -1))
+            if has_cons:
+                yl = self._cons_fold(yl, ca, 0.5)
+            return self._reverse_add(yl, rev_gather)
 
         def precond(r):
             return jnp.sum(Dinv * r[None], axis=1)
 
+        msk_it = msk * hmask if has_cons else msk
         pre_matvec = lambda x: precond(matvec(x))
-        pre_b = precond(b) * msk
-        x0 = (2.0 * u - u_old) * msk
+        pre_b = precond(b) * msk_it
+        x0 = (2.0 * u - u_old) * msk_it
         x, iters, res = _bicgstab_dist(
-            pre_matvec, pre_b, x0, msk, pdot, self.rtol, self.maxiter)
-        u_raw = x * msk
-        u_new = self.clamp(u_raw)
+            pre_matvec, pre_b, x0, msk_it, pdot, self.rtol, self.maxiter)
+        if has_cons:
+            # hanging dofs are DERIVED: distribute solved masters, clamp
+            # elementwise on the ghost-filled vector (shard-consistent),
+            # re-derive after the clamp touches the endpoints
+            xg = self._c_apply(self._ghost_fill(x * msk_it, send_tabs), ca)
+            u_raw = xg[:, :No] * msk
+            u_new = self._c_apply(self.clamp(xg), ca)[:, :No] * msk
+        else:
+            u_raw = x * msk
+            u_new = self.clamp(u_raw)
         new_blk = {
             "u": u_new[None], "u_old": u_blk["u"], "u_older": u_blk["u_old"],
             "u_raw": u_raw[None],
@@ -517,11 +636,14 @@ class HaloShardedSystem(HaloExchangeMixin):
         return new_blk, iters, res
 
     def _step_shard(self, u_blk, efields, scalars, params, conn_local, JxW,
-                    dphi, node_gather, rev_gather, mask, *send_tabs):
+                    dphi, node_gather, rev_gather, mask, cons_all,
+                    hang_mask, *send_tabs):
         V = self.n_vars
         u = u_blk["u"][0]          # (V, No_max) this shard's slab
         ng = node_gather[0]        # (C, Nloc)
         msk = mask[0]              # (No_max,)
+        ca = cons_all[0]           # (3, Hmax)
+        hmask = hang_mask[0]       # (No_max,)
         conn = conn_local[0]       # (K, Eb)
         JxW = JxW[:, 0]            # (Q, Eb) — squeeze the shard axis
         dphi = dphi[:, :, :, 0]    # (Q, K, 3, Eb)
@@ -539,11 +661,12 @@ class HaloShardedSystem(HaloExchangeMixin):
             grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
         )
         return self._linear_stage(u_blk, Fe, Ke, diag_e, ng, msk,
-                                  rev_gather, send_tabs, conn)
+                                  rev_gather, send_tabs, conn,
+                                  ca=ca, hmask=hmask)
 
     def _step_shard_moving(self, u_blk, coords_blk, efields, scalars, params,
                            conn_mv, node_gather, rev_gather, mask,
-                           *send_tabs):
+                           cons_all, hang_mask, *send_tabs):
         """Moving-mesh shard step: geometry factors are computed INSIDE the
         shard program from ghost-filled current node positions — the
         multi-chip counterpart of TransientRDCSystem._step_moving_impl
@@ -556,6 +679,8 @@ class HaloShardedSystem(HaloExchangeMixin):
         u = u_blk["u"][0]
         ng = node_gather[0]
         msk = mask[0]
+        ca = cons_all[0]
+        hmask = hang_mask[0]
         conn = conn_mv[0]
         xg = self._ghost_fill(coords_blk[0], send_tabs)   # (3, Nloc)
         phi, JxW, dphi = geometry_factors(xg.T, conn.T, self.mesh.elem_type)
@@ -571,7 +696,8 @@ class HaloShardedSystem(HaloExchangeMixin):
             grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
         )
         return self._linear_stage(u_blk, Fe, Ke, diag_e, ng, msk,
-                                  rev_gather, send_tabs, conn)
+                                  rev_gather, send_tabs, conn,
+                                  ca=ca, hmask=hmask)
 
     # ------------------------------------------------------------------
     def _step_shard_qp_fn(self, params: Dict):
@@ -580,11 +706,16 @@ class HaloShardedSystem(HaloExchangeMixin):
         V = self.n_vars
 
         def step_shard(u_blk, efields, scalars, conn_local, JxW, dphi,
-                       node_gather, rev_gather, mask, *send_tabs):
+                       node_gather, rev_gather, mask, cons_all, hang_mask,
+                       *send_tabs):
             u = u_blk["u"][0]
             u_old = u_blk["u_old"][0]
             ng = node_gather[0]
             msk = mask[0]
+            ca = cons_all[0]
+            hmask = hang_mask[0]
+            has_cons = self.plan.has_cons
+            No = self.plan.No_max
             conn = conn_local[0]
             JxW_ = JxW[:, 0]
             dphi_ = dphi[:, :, :, 0]
@@ -609,12 +740,17 @@ class HaloShardedSystem(HaloExchangeMixin):
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             rhs_fn = block_rhs_affine if affine else block_rhs
             Fe = rhs_fn(wfb, self.phi, JxW_, dphi_)
-            b = self._reverse_add(restrict(Fe.reshape(V, -1)), rev_gather)
+            bl = restrict(Fe.reshape(V, -1))
+            if has_cons:
+                bl = self._cons_fold(bl, ca, 0.5)
+            b = self._reverse_add(bl, rev_gather)
             diag_fn = block_diag_affine if affine else block_diag
             diag_e = diag_fn(wfb, self.phi, JxW_, dphi_)
+            dl = restrict(diag_e.reshape(V, V, -1))
+            if has_cons:
+                dl = self._cons_fold(dl, ca, 0.25)
             diag = self._reverse_add(
-                restrict(diag_e.reshape(V, V, -1)).reshape(V * V, -1),
-                rev_gather,
+                dl.reshape(V * V, -1), rev_gather,
             ).reshape(V, V, -1)
             empty = jnp.abs(diag).sum(axis=(0, 1)) == 0.0
             diag = jnp.where(
@@ -629,6 +765,8 @@ class HaloShardedSystem(HaloExchangeMixin):
 
             def matvec(x):
                 xg = self._ghost_fill(x, send_tabs)
+                if has_cons:
+                    xg = self._c_apply(xg, ca)
                 ue = xg[:, conn]
                 if affine:
                     x_qp, gx = interpolate_ue_affine(ue, self.phi, dphi_)
@@ -638,19 +776,29 @@ class HaloShardedSystem(HaloExchangeMixin):
                     x_qp, gx_qp = interpolate_ue(ue, self.phi, dphi_)
                     Ye = qp_apply(wfb, self.phi, JxW_, dphi_, x_qp,
                                   gx_qp)
-                return self._reverse_add(
-                    restrict(Ye.reshape(V, -1)), rev_gather)
+                yl = restrict(Ye.reshape(V, -1))
+                if has_cons:
+                    yl = self._cons_fold(yl, ca, 0.5)
+                return self._reverse_add(yl, rev_gather)
 
             def precond(r):
                 return jnp.sum(Dinv * r[None], axis=1)
 
+            msk_it = msk * hmask if has_cons else msk
             pre_matvec = lambda x: precond(matvec(x))
-            pre_b = precond(b) * msk
-            x0 = (2.0 * u - u_old) * msk
+            pre_b = precond(b) * msk_it
+            x0 = (2.0 * u - u_old) * msk_it
             x, iters, res = _bicgstab_dist(
-                pre_matvec, pre_b, x0, msk, pdot, self.rtol, self.maxiter)
-            u_raw = x * msk
-            u_new = self.clamp(u_raw)
+                pre_matvec, pre_b, x0, msk_it, pdot, self.rtol,
+                self.maxiter)
+            if has_cons:
+                xg = self._c_apply(
+                    self._ghost_fill(x * msk_it, send_tabs), ca)
+                u_raw = xg[:, :No] * msk
+                u_new = self._c_apply(self.clamp(xg), ca)[:, :No] * msk
+            else:
+                u_raw = x * msk
+                u_new = self.clamp(u_raw)
             new_blk = {
                 "u": u_new[None], "u_old": u_blk["u"],
                 "u_older": u_blk["u_old"], "u_raw": u_raw[None],
@@ -660,7 +808,7 @@ class HaloShardedSystem(HaloExchangeMixin):
         in_specs = (
             P("d"), P("d"), P(),
             P("d"), P(None, "d"), P(None, None, None, "d"),
-            P("d"), P("d"), P("d"),
+            P("d"), P("d"), P("d"), P("d"), P("d"),
         ) + tuple(P("d") for _ in self.plan.send_idx)
         fn = shard_map(step_shard, mesh=self.dmesh,
                        in_specs=in_specs, out_specs=(P("d"), P(), P()))
@@ -725,6 +873,7 @@ class HaloShardedSystem(HaloExchangeMixin):
             return fn(st, fields or {}, scalars or {},
                       self.conn_local_s, self.JxW_s, self.dphi_s,
                       self.node_gather_s, self.rev_gather_s, self.mask_s,
+                      self.cons_all_s, self.hang_mask_s,
                       *self.send_idx_s)
 
         n = int(n)
@@ -767,7 +916,7 @@ class HaloShardedSystem(HaloExchangeMixin):
             if self._step_moving is None:
                 in_specs = (
                     P("d"), P("d"), P("d"), P(), P(),
-                    P("d"), P("d"), P("d"), P("d"),
+                    P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
                 ) + tuple(P("d") for _ in self.plan.send_idx)
                 self._step_moving = jax.jit(shard_map(
                     self._step_shard_moving, mesh=self.dmesh,
@@ -776,6 +925,7 @@ class HaloShardedSystem(HaloExchangeMixin):
                 state, self.scatter_coords(coords), fields or {},
                 scalars or {}, params, self.conn_moving_s,
                 self.node_gather_s, self.rev_gather_s, self.mask_s,
+                self.cons_all_s, self.hang_mask_s,
                 *self.send_idx_s)
         if (self.physics_blocks is not None and params
                 and all(isinstance(v, (int, float)) for v in params.values())):
@@ -784,10 +934,12 @@ class HaloShardedSystem(HaloExchangeMixin):
             return fn(state, fields or {}, scalars or {},
                       self.conn_local_s, self.JxW_s, self.dphi_s,
                       self.node_gather_s, self.rev_gather_s, self.mask_s,
+                      self.cons_all_s, self.hang_mask_s,
                       *self.send_idx_s)
         out = self._step(state, fields or {}, scalars or {}, params,
                          self.conn_local_s, self.JxW_s, self.dphi_s,
                          self.node_gather_s, self.rev_gather_s, self.mask_s,
+                         self.cons_all_s, self.hang_mask_s,
                          *self.send_idx_s)
         return out
 

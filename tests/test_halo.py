@@ -150,6 +150,83 @@ def test_halo_run_steps_matches_per_step(dmesh8):
     assert np.isfinite(np.asarray(ress)).all() and len(np.asarray(its)) == 5
 
 
+def _constrained_pihna_case(n):
+    """Selectively 1:8-refined PIHNA case with hanging nodes."""
+    from rdcfes_tpu.mesh import ConstrainedMesh
+
+    mesh0, p, _ = _pihna_case(n)
+    cent = mesh0.coords[mesh0.connectivity].mean(axis=1)
+    r = np.linalg.norm(cent - mesh0.coords.mean(axis=0), axis=1)
+    res = ConstrainedMesh(mesh0).refine(r <= np.quantile(r, 0.2))
+    cm = res.constrained
+    mesh, cons = cm.mesh, cm.constraints
+    assert len(cons) > 0
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(1)
+    u0 = np.zeros((N, 5))
+    u0[:, 0] = 5 * np.exp(-r2 / 2)
+    u0[:, 1] = 2000 * np.exp(-r2 / 3)
+    u0[:, 2] = 500 * np.exp(-r2 / 2.5)
+    u0[:, 3] = 7200 * np.exp(-r2 / 20)
+    u0[:, 4] = 1e-10
+    # consistent IC on hanging dofs (smooth ICs are near-consistent
+    # already; make it exact)
+    u0[cons[:, 0]] = 0.5 * (u0[cons[:, 1]] + u0[cons[:, 2]])
+    return mesh, cons, {k: float(v) for k, v in p.items()}, u0
+
+
+@pytest.mark.parametrize("use_blocks", [False, True])
+def test_halo_constrained_matches_single_chip(dmesh8, use_blocks):
+    """Hanging-node constraints on the 8-device halo system: the
+    distributed C^T A C solve (constraint closure in the ghost sets,
+    shard-local C-apply / C^T-fold) matches the single-chip constrained
+    solve at 1e-8 through both shard programs, and u_h = (u_a+u_b)/2
+    holds exactly in every output state (reference counterpart: the
+    MPI-distributed constrained system under libMesh
+    constrain_element_matrix_and_vector, src/pihna.C:752)."""
+    from rdcfes_tpu.models.pihna import pihna_blocks
+
+    mesh, cons, p, u0 = _constrained_pihna_case(4)
+    ref = TransientRDCSystem(mesh, 5, pihna_physics,
+                             physics_blocks=pihna_blocks,
+                             constraints=cons, fast_gather="off")
+    halo = HaloShardedSystem(
+        mesh, 5, pihna_physics, dmesh8, constraints=cons,
+        physics_blocks=pihna_blocks if use_blocks else None)
+    st_r, st_h = ref.initial_state(u0), halo.initial_state(u0)
+    h, a, b = cons[:, 0], cons[:, 1], cons[:, 2]
+    for _ in range(4):
+        st_r, _, _ = ref.step(st_r, params=p)
+        st_h, _, res_h = halo.step(st_h, params=p)
+        ur = np.asarray(st_r["u"])
+        uh = halo.gather(st_h["u"])
+        rel = np.linalg.norm(ur - uh) / np.linalg.norm(ur)
+        assert rel < 1e-8, f"constrained halo divergence {rel:.3e}"
+        assert float(res_h) < 1e-8
+        # the constraint holds exactly in the gathered state
+        assert np.allclose(uh[h], 0.5 * (uh[a] + uh[b]), rtol=0, atol=1e-12)
+        uraw = halo.gather(st_h["u_raw"])
+        assert np.allclose(uraw[h], 0.5 * (uraw[a] + uraw[b]),
+                           rtol=0, atol=1e-12)
+
+
+def test_halo_constrained_run_steps_matches_step(dmesh8):
+    """Constrained multi-chip scan batching == per-step dispatch."""
+    from rdcfes_tpu.models.pihna import pihna_blocks
+
+    mesh, cons, p, u0 = _constrained_pihna_case(4)
+    kw = dict(physics_blocks=pihna_blocks, constraints=cons)
+    a = HaloShardedSystem(mesh, 5, pihna_physics, dmesh8, **kw)
+    b = HaloShardedSystem(mesh, 5, pihna_physics, dmesh8, **kw)
+    sa, sb = a.initial_state(u0), b.initial_state(u0)
+    for _ in range(4):
+        sa, _, _ = a.step(sa, params=p)
+    sb, its, _ = b.run_steps(sb, 4, params=p)
+    ua, ub = a.gather(sa["u"]), b.gather(sb["u"])
+    assert np.linalg.norm(ua - ub) / np.linalg.norm(ua) < 1e-12
+    assert len(np.asarray(its)) == 4
+
+
 def test_solid_halo_matches_single_chip(dmesh8):
     """Node-partitioned solid Newton (parallel/solid_halo.py) reproduces
     the single-chip SolidSystem load step at 1e-8, with per-device slabs
