@@ -261,10 +261,12 @@ def run(deck_path: str = "input.dat") -> str:
                 )
                 sys_kw = {}
                 if cmesh is not None:
-                    # libMesh-faithful strategy: selective 1:8 with
-                    # hanging-node constraints (refine-only; the coarsen
-                    # flags are ignored on this strategy)
-                    r = cmesh.refine(flags)
+                    # libMesh-faithful strategy: coarsen collapsible
+                    # sibling groups, then selective 1:8 with hanging-node
+                    # constraints (refine_and_coarsen_elements order,
+                    # reference src/pihna.C:833-837)
+                    r = cmesh.refine_and_coarsen(flags, coarsen,
+                                                 max_level=amr_max_level)
                 elif amesh is not None:
                     # selective bisection refine + sibling coarsen honoring
                     # mesh/AMR/max_level (reference refine_and_coarsen_elements,
@@ -279,7 +281,7 @@ def run(deck_path: str = "input.dat") -> str:
                     if cmesh is not None:
                         cmesh = r.constrained
                         mesh = cmesh.mesh
-                        structure = structure[r.elem_map]
+                        structure = r.transfer_elemental(structure)
                         if len(cmesh.constraints):
                             sys_kw["constraints"] = cmesh.constraints
                         print(f"AMR step {t}: adapted to {mesh.n_elems} "

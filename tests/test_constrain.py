@@ -94,6 +94,131 @@ def test_second_pass_flag_closure():
             0.5 * (m2.coords[cons2[:, 1]] + m2.coords[cons2[:, 2]]))
 
 
+def _check_invariants(cm):
+    """Conformity-under-constraints invariants of a ConstrainedMesh."""
+    m = cm.mesh
+    cons = cm.constraints
+    conn = m.connectivity
+    if len(cons):
+        h, a, b = cons[:, 0], cons[:, 1], cons[:, 2]
+        assert np.allclose(m.coords[h], 0.5 * (m.coords[a] + m.coords[b]))
+        # endpoints are master dofs (no chains)
+        assert not np.intersect1d(h, np.concatenate([a, b])).size
+        # every constraint edge is an edge of some active element (a
+        # coarse owner exists) and the hanging node is really used
+        edges = {tuple(e) for e in np.sort(
+            conn[:, [[0, 1], [0, 2], [0, 3], [1, 2], [1, 3], [2, 3]]]
+            .reshape(-1, 2), axis=1)}
+        used = set(int(x) for x in np.unique(conn))
+        for hh, aa, bb in cons:
+            assert (min(aa, bb), max(aa, bb)) in edges
+            assert int(hh) in used
+    # no orphan nodes
+    assert len(np.unique(conn)) == m.n_nodes
+
+
+def test_coarsen_roundtrip():
+    """Refine selectively then coarsen every child group: the original
+    mesh comes back (libMesh _coarsen_elements restoring parents)."""
+    mesh = box_tet_mesh(4, 4, 4)
+    cm0 = ConstrainedMesh(mesh)
+    res = cm0.refine(_center_flags(mesh, 0.2))
+    cm1 = res.constrained
+    assert len(cm1.constraints)
+    n_groups = len(cm1.groups)
+    out = cm1.coarsen(np.ones(cm1.mesh.n_elems, bool))
+    assert out is not None
+    cm2, kept, transfer = out
+    m2 = cm2.mesh
+    assert m2.n_elems == mesh.n_elems
+    assert m2.n_nodes == mesh.n_nodes
+    assert len(cm2.constraints) == 0
+    assert len(cm2.groups) == 0, n_groups
+    assert np.isclose(_tet_volumes(m2).sum(), _tet_volumes(mesh).sum())
+    # boundary ids survive the collapse
+    assert (np.sort(np.unique(m2.boundary_id))
+            == np.sort(np.unique(mesh.boundary_id))).all()
+    assert len(m2.boundary_faces) == len(mesh.boundary_faces)
+    # nodal transfer is a row selection of the kept (original) nodes
+    u = np.random.default_rng(0).random((cm1.mesh.n_nodes, 2))
+    assert (u[kept]).shape[0] == m2.n_nodes
+    # constant elemental fields stay constant under the P0 projection
+    vals = np.ones((cm1.mesh.n_elems, 3))
+    tv = transfer(vals)
+    assert tv.shape[0] == m2.n_elems and np.allclose(tv, 1.0)
+    _check_invariants(cm2)
+
+
+def test_coarsen_partial_and_veto():
+    """Coarsening a subset keeps volume/invariants; collapses that would
+    strand a finer neighbor's hanging nodes are vetoed (level-one)."""
+    mesh = box_tet_mesh(4, 4, 4)
+    res = ConstrainedMesh(mesh).refine(_center_flags(mesh, 0.25))
+    cm1 = res.constrained
+    # second level: refine some children of the first pass
+    lvl1 = np.nonzero(cm1.elem_level == 1)[0]
+    flags2 = np.zeros(cm1.mesh.n_elems, bool)
+    flags2[lvl1[: len(lvl1) // 4]] = True
+    res2 = cm1.refine(flags2)
+    cm2 = res2.constrained
+    _check_invariants(cm2)
+    vol0 = _tet_volumes(cm2.mesh).sum()
+
+    # try to coarsen EVERY level-1 group: groups whose collapse would
+    # strand level-2 hanging nodes must be vetoed, the rest collapse
+    out = cm2.coarsen(cm2.elem_level == 1)
+    if out is None:
+        pytest.skip("every level-1 group was vetoed on this geometry")
+    cm3, kept, transfer = out
+    assert np.isclose(_tet_volumes(cm3.mesh).sum(), vol0)
+    _check_invariants(cm3)
+    # level-2 elements are untouched
+    assert (cm3.elem_level == 2).sum() == (cm2.elem_level == 2).sum()
+    # elemental transfer conserves a volume integral (P0 L2 projection)
+    rng = np.random.default_rng(1)
+    vals = rng.random((cm2.mesh.n_elems, 1))
+    tv = transfer(vals)
+    assert np.isclose((tv[:, 0] * _tet_volumes(cm3.mesh)).sum(),
+                      (vals[:, 0] * _tet_volumes(cm2.mesh)).sum())
+
+
+def test_refine_and_coarsen_combined():
+    """refine_and_coarsen applies both flag sets in libMesh order with
+    composed transfers; a linear field rides the nodal transfer
+    exactly."""
+    mesh = box_tet_mesh(4, 4, 4)
+    res = ConstrainedMesh(mesh).refine(_center_flags(mesh, 0.2))
+    cm1 = res.constrained
+    # coarsen the refined center back, refine a corner region instead
+    cent = cm1.mesh.coords[cm1.mesh.connectivity].mean(axis=1)
+    rflags = np.linalg.norm(cent, axis=1) < 0.35
+    cflags = cm1.elem_level == 1
+    out = cm1.refine_and_coarsen(rflags & ~cflags, cflags)
+    assert out is not None
+    cm2 = out.constrained
+    _check_invariants(cm2)
+    assert np.isclose(_tet_volumes(cm2.mesh).sum(),
+                      _tet_volumes(mesh).sum())
+    # linear fields are exact under P1 prolongation/restriction
+    def lin(m):
+        return (m.coords @ np.array([1.0, -2.0, 0.5]))[:, None] + 3.0
+    up = out.prolong(lin(cm1.mesh))
+    assert np.allclose(up, lin(cm2.mesh), atol=1e-12)
+    ve = out.transfer_elemental(np.ones((cm1.mesh.n_elems, 2)))
+    assert ve.shape[0] == cm2.mesh.n_elems and np.allclose(ve, 1.0)
+
+
+def test_coarsen_max_level_cap():
+    """refine honors max_level (libMesh max_h_level)."""
+    mesh = box_tet_mesh(3, 3, 3)
+    cm = ConstrainedMesh(mesh)
+    res = cm.refine(np.ones(mesh.n_elems, bool), max_level=1)
+    cm1 = res.constrained
+    assert (cm1.elem_level == 1).all()
+    # a second uniform pass at max_level=1 is a no-op
+    assert cm1.refine(np.ones(cm1.mesh.n_elems, bool), max_level=1) is None
+
+
 def _pihna_params():
     from rdcfes_tpu.models.pihna import default_params
 
