@@ -43,10 +43,20 @@ def _brain_mesh(n: int = 28):
 
 
 def make_pihna_case(directory: str, n: int = 28, seed: int = 0,
-                    n_steps: int = 120) -> str:
-    """Synthetic PIHNA glioma case (deck values = run/PIHNA/input.dat)."""
+                    n_steps: int = 120, mixed: bool = False) -> str:
+    """Synthetic PIHNA glioma case (deck values = run/PIHNA/input.dat).
+
+    mixed=True meshes the same box with HEX8 + PYRAMID5 + TET4 blocks
+    (mesh/generators.box_mixed_mesh) — the stand-in for real patient
+    meshes carrying transition elements, which libMesh reads natively."""
     os.makedirs(directory, exist_ok=True)
-    mesh = _brain_mesh(n)
+    if mixed:
+        from .mesh import box_mixed_mesh
+
+        mesh = box_mixed_mesh(max(n, 3), n, n,
+                              bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
+    else:
+        mesh = _brain_mesh(n)
     gmsh.write(mesh, os.path.join(directory, "Brain_Model.msh"))
 
     rng = np.random.default_rng(seed)

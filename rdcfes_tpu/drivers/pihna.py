@@ -245,6 +245,12 @@ def run(deck_path: str = "input.dat") -> str:
             with plog.scope("solve"):
                 state, iters, res = system.step(state, params=params)
         if (refinement_step > 0 and t % refinement_step == 0
+                and amr_done < amr_max_steps
+                and mesh.elem_type == "MIXED"):
+            amr_done += 1
+            print(f"AMR step {t}: mixed-element meshes do not refine; "
+                  "mesh unchanged")
+        elif (refinement_step > 0 and t % refinement_step == 0
                 and amr_done < amr_max_steps):
             amr_done += 1
             with plog.scope("amr"):

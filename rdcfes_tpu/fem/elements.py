@@ -17,6 +17,19 @@ libMesh's `QGauss` choices for that order:
          (1/5,1/5)-type w=25/96; reference area 1/2)
 * QUAD4 face: 2x2 tensor Gauss
 
+Mixed-mesh transition types (libMesh reads arbitrary Gmsh meshes; the
+reference's writer maps 16 element types, src/paraview.h:210-234 — the
+first-order 3D subset is supported here):
+
+* PRISM6   : conical product, degree-3 triangle rule x 2-point Gauss in z
+             (8 points; reference volume 1)
+* PYRAMID5 : conical product, 2x2 Gauss in the base directions x 2-point
+             Gauss-Jacobi with weight (1-z)^2 in z (8 points; reference
+             volume 4/3).  The Jacobi weight absorbs the rational
+             denominator of the pyramid basis, so mass/stiffness entries
+             integrate exactly on affine pyramids — the same status
+             QGauss THIRD gives trilinear hexes.
+
 Everything returns NumPy float64 tables; they are closed constants baked into
 jitted programs — no per-element host work.
 """
@@ -71,6 +84,29 @@ def quadrature(elem_type: str) -> Tuple[np.ndarray, np.ndarray]:
         pts = np.array([[x, y] for y in g for x in g])
         wts = np.ones(4)
         return pts, wts
+    if elem_type == "PRISM6":
+        # triangle degree-3 rule x 2-point Gauss on z in [-1, 1]
+        tpts, twts = quadrature("TRI3")
+        pts = np.array([[x, y, z] for z in (-_SQ3, _SQ3)
+                        for (x, y) in tpts])
+        wts = np.array([w for _ in range(2) for w in twts])
+        return pts, wts
+    if elem_type == "PYRAMID5":
+        # z-direction: 2-point Gauss-Jacobi for int_0^1 (1-z)^2 f(z) dz
+        # (nodes/weights from the moment equations of the weight t^2,
+        # t = 1-z: p2(t) = t^2 - 4/3 t + 2/5)
+        t = 2.0 / 3.0 + np.array([-1.0, 1.0]) * np.sqrt(2.0 / 45.0)
+        m0, m1 = 1.0 / 3.0, 1.0 / 4.0
+        w1 = (m1 - m0 * t[1]) / (t[0] - t[1])
+        zw = np.array([w1, m0 - w1])
+        z = 1.0 - t
+        g = [-_SQ3, _SQ3]
+        # base points scale with (1 - z): the conical (Duffy) map from the
+        # cube, whose (1-z)^2 Jacobian is carried by the Jacobi weights
+        pts = np.array([[a * (1 - zz), b * (1 - zz), zz]
+                        for zz in z for b in g for a in g])
+        wts = np.array([wz for wz in zw for _ in range(4)])
+        return pts, wts
     raise ValueError(f"unsupported element type {elem_type!r}")
 
 
@@ -103,6 +139,24 @@ def shape_functions(elem_type: str, pts: np.ndarray) -> np.ndarray:
         sx = np.array([-1, 1, 1, -1])
         sy = np.array([-1, -1, 1, 1])
         return (1 + x[:, None] * sx) * (1 + y[:, None] * sy) / 4.0
+    if elem_type == "PRISM6":
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        L = np.stack([1.0 - x - y, x, y], axis=1)  # (Q, 3)
+        lo = (1.0 - z[:, None]) / 2.0
+        hi = (1.0 + z[:, None]) / 2.0
+        return np.concatenate([L * lo, L * hi], axis=1)
+    if elem_type == "PYRAMID5":
+        # rational first-order pyramid basis (libMesh Pyramid5 LAGRANGE):
+        # base quad [-1,1]^2 at z=0, apex (0,0,1); s = 1-z.  At the apex
+        # x = y = 0, so the guarded denominator leaves the exact limit 0.
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        s = 1.0 - z
+        s4 = 4.0 * np.where(s == 0.0, 1.0, s)
+        N0 = (s - x) * (s - y) / s4
+        N1 = (s + x) * (s - y) / s4
+        N2 = (s + x) * (s + y) / s4
+        N3 = (s - x) * (s + y) / s4
+        return np.stack([N0, N1, N2, N3, z], axis=1)
     raise ValueError(f"unsupported element type {elem_type!r}")
 
 
@@ -139,6 +193,32 @@ def shape_gradients(elem_type: str, pts: np.ndarray) -> np.ndarray:
         gx = sx * (1 + y[:, None] * sy) / 4.0
         gy = (1 + x[:, None] * sx) * sy / 4.0
         return np.stack([gx, gy], axis=2)
+    if elem_type == "PRISM6":
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        L = np.stack([1.0 - x - y, x, y], axis=1)       # (Q, 3)
+        dL = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])  # (3, 2)
+        lo = (1.0 - z) / 2.0
+        hi = (1.0 + z) / 2.0
+        gx = np.concatenate([dL[:, 0] * lo[:, None],
+                             dL[:, 0] * hi[:, None]], axis=1)
+        gy = np.concatenate([dL[:, 1] * lo[:, None],
+                             dL[:, 1] * hi[:, None]], axis=1)
+        gz = np.concatenate([-0.5 * L, 0.5 * L], axis=1)
+        return np.stack([gx, gy, gz], axis=2)
+    if elem_type == "PYRAMID5":
+        # gradients of the rational basis are singular AT the apex
+        # (standard for Pyramid5 LAGRANGE); quadrature points are always
+        # interior, the guard only avoids NaN poisoning at z == 1
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        s = np.where(z == 1.0, 1.0, 1.0 - z)
+        q = x * y / (4.0 * s * s)
+        gx = np.stack([-(s - y), (s - y), (s + y), -(s + y),
+                       np.zeros_like(s)], axis=1) / (4.0 * s)[:, None]
+        gy = np.stack([-(s - x), -(s + x), (s + x), (s - x),
+                       np.zeros_like(s)], axis=1) / (4.0 * s)[:, None]
+        gz = np.stack([-0.25 + q, -0.25 - q, -0.25 + q, -0.25 - q,
+                       np.ones_like(s)], axis=1)
+        return np.stack([gx, gy, gz], axis=2)
     raise ValueError(f"unsupported element type {elem_type!r}")
 
 

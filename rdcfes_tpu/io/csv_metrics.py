@@ -20,6 +20,16 @@ def _all_nodes_in_range(vals_e: np.ndarray, lo: float, hi: float) -> np.ndarray:
     return np.all((vals_e >= lo) & (vals_e <= hi), axis=1)
 
 
+def _elem_in_range(mesh, u_col: np.ndarray, lo: float, hi: float) -> np.ndarray:
+    """Per-element all-corners-in-range mask in global element order
+    (block-concatenated for MixedMesh, matching element_volumes)."""
+    if getattr(mesh, "elem_type", None) == "MIXED":
+        return np.concatenate([
+            _all_nodes_in_range(u_col[b.connectivity], lo, hi)
+            for b in mesh.blocks])
+    return _all_nodes_in_range(u_col[mesh.connectivity], lo, hi)
+
+
 # ----------------------------------------------------------------------
 # PIHNA (src/pihna.C:842-976)
 # ----------------------------------------------------------------------
@@ -33,21 +43,18 @@ def pihna_header(csv: TextIO) -> None:
 def pihna_row(csv: TextIO, mesh: Mesh, u: np.ndarray, time: float,
               params: Dict[str, float]) -> None:
     vols = mesh.element_volumes()
-    conn = mesh.connectivity
-    n_e = u[conn, 0]
-    c_e = u[conn, 1]
-    h_e = u[conn, 2]
-    v_e = u[conn, 3]
     Kk = params["cells_max_capacity"]
 
-    active = _all_nodes_in_range(
-        c_e + h_e, params["range_active_tumor_min"], params["range_active_tumor_max"])
-    necrotic = _all_nodes_in_range(
-        n_e, params["range_necrotic_min"], params["range_necrotic_max"])
-    vascular = _all_nodes_in_range(
-        v_e, params["range_vascularity_min"], params["range_vascularity_max"])
-    total = _all_nodes_in_range(
-        (n_e + c_e + h_e + v_e) / Kk,
+    active = _elem_in_range(
+        mesh, u[:, 1] + u[:, 2],
+        params["range_active_tumor_min"], params["range_active_tumor_max"])
+    necrotic = _elem_in_range(
+        mesh, u[:, 0], params["range_necrotic_min"], params["range_necrotic_max"])
+    vascular = _elem_in_range(
+        mesh, u[:, 3],
+        params["range_vascularity_min"], params["range_vascularity_max"])
+    total = _elem_in_range(
+        mesh, (u[:, 0] + u[:, 1] + u[:, 2] + u[:, 3]) / Kk,
         params["range_total_cell_min"], params["range_total_cell_max"])
 
     dof = 5 * mesh.n_nodes

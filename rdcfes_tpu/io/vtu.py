@@ -26,18 +26,45 @@ from ..mesh.core import Mesh
 
 SMALLEST_NUMBER = 1.0e-24
 
-_VTK_TYPE = {"TET4": 10, "HEX8": 12, "TRI3": 5, "QUAD4": 9}
+_VTK_TYPE = {"TET4": 10, "HEX8": 12, "TRI3": 5, "QUAD4": 9,
+             "PRISM6": 13, "PYRAMID5": 14}
 
 
 def elemental_to_nodal(mesh: Mesh, values: np.ndarray) -> np.ndarray:
     """Arithmetic average of adjacent element values at each node (the
     nodal projection applied to CONSTANT MONOMIAL fields on output)."""
-    conn = mesh.connectivity
+    values = np.asarray(values)
     total = np.zeros(mesh.n_nodes)
     count = np.zeros(mesh.n_nodes)
-    np.add.at(total, conn.ravel(), np.repeat(values, conn.shape[1]))
-    np.add.at(count, conn.ravel(), 1.0)
+    if getattr(mesh, "elem_type", None) == "MIXED":
+        off = 0
+        for b in mesh.blocks:
+            conn = b.connectivity
+            v = values[off:off + b.n_elems]
+            np.add.at(total, conn.ravel(), np.repeat(v, conn.shape[1]))
+            np.add.at(count, conn.ravel(), 1.0)
+            off += b.n_elems
+    else:
+        conn = mesh.connectivity
+        np.add.at(total, conn.ravel(), np.repeat(values, conn.shape[1]))
+        np.add.at(count, conn.ravel(), 1.0)
     return total / np.maximum(count, 1.0)
+
+
+def _cell_arrays(mesh) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat connectivity, offsets, vtk types) for single-type or MIXED
+    meshes (the VTK type map of the reference, src/paraview.h:210-234)."""
+    if getattr(mesh, "elem_type", None) == "MIXED":
+        conns, sizes, types = [], [], []
+        for b in mesh.blocks:
+            conns.append(b.connectivity.ravel())
+            sizes.append(np.full(b.n_elems, b.connectivity.shape[1]))
+            types.append(np.full(b.n_elems, _VTK_TYPE[b.elem_type]))
+        return (np.concatenate(conns), np.cumsum(np.concatenate(sizes)),
+                np.concatenate(types))
+    E, K = mesh.n_elems, mesh.nodes_per_elem
+    return (mesh.connectivity.ravel(), K * np.arange(1, E + 1),
+            np.full(E, _VTK_TYPE[mesh.elem_type]))
 
 
 def _fmt(x: float) -> str:
@@ -64,8 +91,7 @@ def write_vtu(
     E = mesh.n_elems
     N = mesh.n_nodes
     proc = processor_id if processor_id is not None else np.zeros(E, dtype=int)
-    vtk_type = _VTK_TYPE[mesh.elem_type]
-    K = mesh.nodes_per_elem
+    cells_flat, offsets, types = _cell_arrays(mesh)
 
     with open(path, "w") as f:
         w = f.write
@@ -103,13 +129,13 @@ def write_vtu(
         w("      </CellData>\n")
         w("      <Cells>\n")
         w('        <DataArray type="Int32" Name="connectivity" NumberOfComponents="1" format="ascii">\n')
-        w(" " + " ".join(str(int(v)) for v in mesh.connectivity.ravel()))
+        w(" " + " ".join(str(int(v)) for v in cells_flat))
         w("\n        </DataArray>\n")
         w('        <DataArray type="Int32" Name="offsets" NumberOfComponents="1" format="ascii">\n')
-        w(" " + " ".join(str(K * (e + 1)) for e in range(E)))
+        w(" " + " ".join(str(int(v)) for v in offsets))
         w("\n        </DataArray>\n")
         w('        <DataArray type="Int32" Name="types" NumberOfComponents="1" format="ascii">\n')
-        w(" " + " ".join(str(vtk_type) for _ in range(E)))
+        w(" " + " ".join(str(int(v)) for v in types))
         w("\n        </DataArray>\n")
         w("      </Cells>\n    </Piece>\n  </UnstructuredGrid>\n</VTKFile>\n")
 

@@ -1,5 +1,6 @@
-from .core import Mesh, ELEMENT_FACES, extract_boundary_faces
-from .generators import box_hex_mesh, box_tet_mesh
+from .core import (Mesh, MixedMesh, MeshBlock, ELEMENT_FACES,
+                   extract_boundary_faces)
+from .generators import box_hex_mesh, box_mixed_mesh, box_tet_mesh
 from .refine import refine_uniform, refine_flagged, Refinement
 from .adapt import AdaptiveMesh, AdaptOutcome, adapt_flagged
 from .constrain import ConstrainedAdaptResult, ConstrainedMesh
@@ -8,9 +9,12 @@ from . import transform
 
 __all__ = [
     "Mesh",
+    "MixedMesh",
+    "MeshBlock",
     "ELEMENT_FACES",
     "extract_boundary_faces",
     "box_hex_mesh",
+    "box_mixed_mesh",
     "box_tet_mesh",
     "refine_uniform",
     "refine_flagged",

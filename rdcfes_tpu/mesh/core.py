@@ -39,10 +39,28 @@ ELEMENT_FACES: Dict[str, Tuple[Tuple[int, ...], ...]] = {
         (3, 0, 4, 7),
         (4, 5, 6, 7),
     ),
+    # mixed-mesh transition types (libMesh Prism6/Pyramid5 side numbering)
+    "PRISM6": (
+        (0, 2, 1),
+        (0, 1, 4, 3),
+        (1, 2, 5, 4),
+        (2, 0, 3, 5),
+        (3, 4, 5),
+    ),
+    "PYRAMID5": (
+        (0, 1, 4),
+        (1, 2, 4),
+        (2, 3, 4),
+        (3, 0, 4),
+        (0, 3, 2, 1),
+    ),
 }
 
-NODES_PER_ELEM = {"TET4": 4, "HEX8": 8}
+NODES_PER_ELEM = {"TET4": 4, "HEX8": 8, "PRISM6": 6, "PYRAMID5": 5}
 FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4"}
+# volume element types allowed inside a single-type Mesh (the shipped-deck
+# surface); PRISM6/PYRAMID5 participate through MixedMesh blocks
+_SINGLE_TYPES = ("TET4", "HEX8")
 
 
 @dataclasses.dataclass
@@ -78,7 +96,7 @@ class Mesh:
         if self.subdomain_id is None:
             self.subdomain_id = np.zeros(self.n_elems, dtype=np.int32)
         self.subdomain_id = np.ascontiguousarray(self.subdomain_id, dtype=np.int32)
-        assert self.elem_type in NODES_PER_ELEM, self.elem_type
+        assert self.elem_type in _SINGLE_TYPES, self.elem_type
         assert self.connectivity.shape[1] == NODES_PER_ELEM[self.elem_type]
         if self.boundary_faces is None:
             faces, elems, sides = extract_boundary_faces(
@@ -183,6 +201,141 @@ def extract_boundary_faces(
     elem_ids = (idx // n_sides).astype(np.int32)
     side_ids = (idx % n_sides).astype(np.int32)
     return flat[idx].astype(np.int32), elem_ids, side_ids
+
+
+@dataclasses.dataclass
+class MeshBlock:
+    """One element-type block of a MixedMesh (static-shape batch: each
+    block compiles to its own fixed-shape assembly kernel — the
+    TPU-native representation of libMesh's heterogeneous element
+    containers, reference surface src/paraview.h:210-234)."""
+
+    elem_type: str
+    connectivity: np.ndarray  # (Eb, Kb) int32, into the SHARED node set
+    subdomain_id: np.ndarray  # (Eb,) int32
+
+    def __post_init__(self):
+        assert self.elem_type in NODES_PER_ELEM, self.elem_type
+        self.connectivity = np.ascontiguousarray(
+            self.connectivity, dtype=np.int32)
+        assert self.connectivity.shape[1] == NODES_PER_ELEM[self.elem_type]
+        if self.subdomain_id is None:
+            self.subdomain_id = np.zeros(len(self.connectivity),
+                                         dtype=np.int32)
+        self.subdomain_id = np.ascontiguousarray(
+            self.subdomain_id, dtype=np.int32)
+
+    @property
+    def n_elems(self) -> int:
+        return self.connectivity.shape[0]
+
+
+def _padded_faces(conn: np.ndarray, elem_type: str) -> np.ndarray:
+    """All (element, side) faces as (E, S, 4) with -1 padding for
+    triangles — a uniform keying layout across mixed face arities."""
+    rows = []
+    for fd in ELEMENT_FACES[elem_type]:
+        f = conn[:, list(fd)].astype(np.int32)
+        if f.shape[1] == 3:
+            f = np.concatenate(
+                [f, np.full((len(f), 1), -1, np.int32)], axis=1)
+        rows.append(f)
+    return np.stack(rows, axis=1)
+
+
+@dataclasses.dataclass
+class MixedMesh:
+    """A mesh of several element-type blocks over one shared node set.
+
+    The boundary is extracted GLOBALLY: a face shared between two blocks
+    (e.g. a prism quad against a hex quad) is interior.  Faces are stored
+    -1-padded to 4 nodes; boundary_block/boundary_elem locate the owning
+    (block, element-within-block) pair.  `elem_type` is the sentinel
+    "MIXED" so type-dispatching call sites (AMR, fast paths) fall through
+    to their generic branches."""
+
+    coords: np.ndarray
+    blocks: list
+    boundary_faces: Optional[np.ndarray] = None   # (F, 4), -1 pad
+    boundary_block: Optional[np.ndarray] = None
+    boundary_elem: Optional[np.ndarray] = None
+    boundary_side: Optional[np.ndarray] = None
+    boundary_id: Optional[np.ndarray] = None
+
+    elem_type = "MIXED"
+
+    def __post_init__(self):
+        self.coords = np.ascontiguousarray(self.coords, dtype=np.float64)
+        assert len(self.blocks) >= 1
+        if self.boundary_faces is None:
+            keys, blocks_of, elems_of, sides_of, faces_all = [], [], [], [], []
+            for bi, blk in enumerate(self.blocks):
+                pf = _padded_faces(blk.connectivity, blk.elem_type)
+                E, S, _ = pf.shape
+                keys.append(np.sort(pf, axis=-1).reshape(E * S, 4))
+                blocks_of.append(np.full(E * S, bi, np.int32))
+                elems_of.append(
+                    np.repeat(np.arange(E, dtype=np.int32), S))
+                sides_of.append(
+                    np.tile(np.arange(S, dtype=np.int32), E))
+                faces_all.append(pf.reshape(E * S, 4))
+            keys = np.concatenate(keys)
+            _, inv, counts = np.unique(
+                keys, axis=0, return_inverse=True, return_counts=True)
+            sel = counts[inv] == 1
+            self.boundary_faces = np.concatenate(faces_all)[sel]
+            self.boundary_block = np.concatenate(blocks_of)[sel]
+            self.boundary_elem = np.concatenate(elems_of)[sel]
+            self.boundary_side = np.concatenate(sides_of)[sel]
+            self.boundary_id = np.zeros(sel.sum(), dtype=np.int32)
+
+    # ------------------------------------------------------------------
+    @property
+    def n_nodes(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_elems(self) -> int:
+        return sum(b.n_elems for b in self.blocks)
+
+    @property
+    def dim(self) -> int:
+        return 3
+
+    @property
+    def subdomain_id(self) -> np.ndarray:
+        """Per-element subdomain ids, concatenated in block order (the
+        global element order contract of IC files and VTU output)."""
+        return np.concatenate([b.subdomain_id for b in self.blocks])
+
+    def subdomain_ids_present(self) -> np.ndarray:
+        return np.unique(self.subdomain_id)
+
+    def element_volumes(self) -> np.ndarray:
+        """Exact volumes per element, block order (quadrature-exact for
+        the affine/trilinear first-order types)."""
+        from ..fem import elements as _el
+
+        out = []
+        for b in self.blocks:
+            X = self.coords[b.connectivity]
+            qp, qw = _el.quadrature(b.elem_type)
+            dN = _el.shape_gradients(b.elem_type, qp)
+            J = np.einsum("ekd,qkr->eqdr", X, dN)
+            out.append(np.einsum("eq,q->e", np.linalg.det(J), qw))
+        return np.concatenate(out)
+
+    def print_info(self) -> str:
+        census = ", ".join(f"{b.n_elems} {b.elem_type}" for b in self.blocks)
+        lines = [
+            "Mesh Information:",
+            "  elem_type=MIXED (" + census + ")",
+            f"  n_nodes={self.n_nodes}",
+            f"  n_elems={self.n_elems}",
+            f"  n_subdomains={len(self.subdomain_ids_present())}",
+            f"  n_boundary_faces={len(self.boundary_faces)}",
+        ]
+        return "\n".join(lines)
 
 
 def element_neighbors(connectivity: np.ndarray, elem_type: str) -> np.ndarray:

@@ -93,10 +93,116 @@ def box_tet_mesh(nx: int, ny: int, nz: int,
     return mesh
 
 
+def box_mixed_mesh(nx: int, ny: int, nz: int,
+                   bounds=((0.0, 1.0), (0.0, 1.0), (0.0, 1.0))):
+    """Conforming mixed-type box mesh: a HEX8 zone (cells i < t), one
+    PYRAMID5+TET4 transition layer (i == t), and a Kuhn TET4 zone
+    (i > t), t = nx // 2.  Transition cells split into 5 pyramids with
+    apex at the cell center (quad bases mate the hex zone, the lateral
+    neighbors' pyramids, and the domain boundary) plus 2 tets whose
+    shared-face diagonal matches the Kuhn zone — globally conforming,
+    which the MixedMesh boundary extraction verifies structurally (every
+    interior face is shared by exactly two elements).
+
+    This is the synthetic stand-in for real-world mixed meshes the
+    reference reads through libMesh (e.g. a patient mesh with transition
+    prisms/pyramids); requires nx >= 3."""
+    from .core import MeshBlock, MixedMesh
+
+    assert nx >= 3, "box_mixed_mesh needs nx >= 3 (hex | transition | tet)"
+    t = nx // 2
+    coords, nid = _grid(nx, ny, nz, bounds)
+    N_grid = coords.shape[0]
+
+    hexv = lambda i, j, k: [
+        nid(i, j, k), nid(i + 1, j, k), nid(i + 1, j + 1, k),
+        nid(i, j + 1, k), nid(i, j, k + 1), nid(i + 1, j, k + 1),
+        nid(i + 1, j + 1, k + 1), nid(i, j + 1, k + 1),
+    ]
+
+    hex_conn = [hexv(i, j, k)
+                for k in range(nz) for j in range(ny) for i in range(t)]
+
+    tets_of_hex = [
+        (0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+        (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6),
+    ]
+    tet_conn = []
+    for k in range(nz):
+        for j in range(ny):
+            for i in range(t + 1, nx):
+                v = hexv(i, j, k)
+                for tt in tets_of_hex:
+                    tet_conn.append([v[tt[0]], v[tt[1]], v[tt[2]], v[tt[3]]])
+
+    # transition layer: apex node at each cell center
+    centers = []
+    pyr_conn = []
+    center_id = {}
+    for k in range(nz):
+        for j in range(ny):
+            v = hexv(t, j, k)
+            c = N_grid + len(centers)
+            center_id[(j, k)] = c
+            centers.append(coords[v].mean(axis=0))
+            # quad faces of the cell in HEX8 local numbering (core
+            # ELEMENT_FACES order: zmin, ymin, xmax, ymax, xmin, zmax);
+            # every face except x=1 becomes a pyramid — base ordered
+            # counterclockwise seen from the apex (reverse of outward)
+            for fd in ((0, 3, 2, 1), (0, 1, 5, 4), (2, 3, 7, 6),
+                       (3, 0, 4, 7), (4, 5, 6, 7)):
+                base = [v[x] for x in fd][::-1]
+                pyr_conn.append(base + [c])
+            # x=1 face {1, 2, 6, 5}: two tets split along the diagonal
+            # the Kuhn zone puts on its x=0 face (local 0-7 there =
+            # global (t+1,j,k)-(t+1,j+1,k+1) = our v1-v6)
+            tet_conn.append([v[1], v[2], v[6], c])
+            tet_conn.append([v[1], v[6], v[5], c])
+
+    coords = np.concatenate([coords, np.asarray(centers)], axis=0)
+
+    def _fix_tets(conn):
+        conn = np.asarray(conn, dtype=np.int32)
+        X = coords[conn]
+        vol6 = np.einsum("ei,ei->e",
+                         np.cross(X[:, 1] - X[:, 0], X[:, 2] - X[:, 0]),
+                         X[:, 3] - X[:, 0])
+        flip = vol6 < 0
+        conn[flip, 2], conn[flip, 3] = (conn[flip, 3].copy(),
+                                        conn[flip, 2].copy())
+        return conn
+
+    def _fix_pyrs(conn):
+        conn = np.asarray(conn, dtype=np.int32)
+        X = coords[conn]
+        # signed volume of the pyramid ~ base-normal . (apex - base ctr)
+        n = np.cross(X[:, 2] - X[:, 0], X[:, 3] - X[:, 1])
+        s = np.einsum("ei,ei->e", n, X[:, 4] - X[:, :4].mean(axis=1))
+        flip = s < 0
+        conn[flip, 1], conn[flip, 3] = (conn[flip, 3].copy(),
+                                        conn[flip, 1].copy())
+        return conn
+
+    blocks = [
+        MeshBlock("HEX8", np.asarray(hex_conn, dtype=np.int32),
+                  np.zeros(len(hex_conn), dtype=np.int32)),
+        MeshBlock("PYRAMID5", _fix_pyrs(pyr_conn),
+                  np.zeros(len(pyr_conn), dtype=np.int32)),
+        MeshBlock("TET4", _fix_tets(tet_conn),
+                  np.zeros(len(tet_conn), dtype=np.int32)),
+    ]
+    mesh = MixedMesh(coords=coords, blocks=blocks)
+    _assign_box_boundary_ids(mesh, bounds)
+    return mesh
+
+
 def _assign_box_boundary_ids(mesh: Mesh, bounds) -> None:
     (x0, x1), (y0, y1), (z0, z1) = bounds
     tol = 1e-10 * max(x1 - x0, y1 - y0, z1 - z0, 1.0)
-    fc = mesh.coords[mesh.boundary_faces].mean(axis=1)  # face centroids
+    bf = mesh.boundary_faces
+    valid = bf >= 0  # MixedMesh pads triangle faces with -1
+    fc = (np.where(valid[..., None], mesh.coords[np.maximum(bf, 0)], 0.0)
+          .sum(axis=1) / valid.sum(axis=1, keepdims=True))  # centroids
     bid = mesh.boundary_id
     bid[np.abs(fc[:, 2] - z0) < tol] = _FACE_IDS["zmin"]
     bid[np.abs(fc[:, 1] - y0) < tol] = _FACE_IDS["ymin"]

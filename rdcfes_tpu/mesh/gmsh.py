@@ -21,16 +21,22 @@ from typing import Dict, Optional, TextIO, Union
 
 import numpy as np
 
-from .core import ELEMENT_FACES, Mesh
+from .core import ELEMENT_FACES, MeshBlock, Mesh, MixedMesh
 
 # Gmsh element type codes (the subset the reference handles,
-# src/process_mesh.C:52-72)
+# src/process_mesh.C:52-72, plus the first-order mixed-mesh transition
+# types libMesh reads — reference surface src/paraview.h:210-234)
 _GMSH_TRI3 = 2
 _GMSH_QUAD4 = 3
 _GMSH_TET4 = 4
 _GMSH_HEX8 = 5
+_GMSH_PRISM6 = 6
+_GMSH_PYRAMID5 = 7
 
-_VOLUME_TYPES = {_GMSH_TET4: ("TET4", 4), _GMSH_HEX8: ("HEX8", 8)}
+_VOLUME_TYPES = {_GMSH_TET4: ("TET4", 4), _GMSH_HEX8: ("HEX8", 8),
+                 _GMSH_PRISM6: ("PRISM6", 6),
+                 _GMSH_PYRAMID5: ("PYRAMID5", 5)}
+_GMSH_CODE = {name: code for code, (name, _) in _VOLUME_TYPES.items()}
 _SURFACE_TYPES = {_GMSH_TRI3: ("TRI3", 3), _GMSH_QUAD4: ("QUAD4", 4)}
 _GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 15: 1}
 
@@ -91,13 +97,14 @@ def _read_lines(lines) -> Mesh:
     if not seek("$Elements"):
         raise ValueError("missing $Elements")
     n_elems_total = int(next(lines))
-    vol_conn = []
-    vol_subdomain = []
-    vol_type: Optional[str] = None
-    vol_census: dict = {}
+    # per-type blocks in first-seen order; a single TET4/HEX8 block
+    # compacts to the classic Mesh, anything else becomes a MixedMesh
+    # (libMesh reads arbitrary mixed meshes; reference surface
+    # src/paraview.h:210-234)
+    by_type: Dict[str, list] = {}
+    order: list = []
     surf_conn = []
     surf_bcid = []
-    surf_type: Optional[str] = None
     for _ in range(n_elems_total):
         parts = next(lines).split()
         etype = int(parts[1])
@@ -107,68 +114,67 @@ def _read_lines(lines) -> Mesh:
         physical = tags[0] if tags else 0
         if etype in _VOLUME_TYPES:
             name, k = _VOLUME_TYPES[etype]
-            vol_census[name] = vol_census.get(name, 0) + 1
-            if vol_type is None:
-                vol_type = name
-            elif vol_type != name:
-                # finish the census before rejecting so the message tells
-                # the user exactly what is in the file (libMesh would read
-                # mixed meshes; single-volume-type is a documented scope
-                # limit here — VERDICT r2 item "Mixed/multi-type mesh
-                # support", reference surface src/paraview.h:210-234)
-                for rest in lines:
-                    if rest.startswith("$EndElements"):
-                        break
-                    rp = rest.split()
-                    if len(rp) > 1 and int(rp[1]) in _VOLUME_TYPES:
-                        nm = _VOLUME_TYPES[int(rp[1])][0]
-                        vol_census[nm] = vol_census.get(nm, 0) + 1
-                census = ", ".join(f"{c} {t}" for t, c in
-                                   sorted(vol_census.items()))
-                raise ValueError(
-                    "mixed volume element types are not supported: this "
-                    f"mesh contains {census}. rdcfes_tpu assembles one "
-                    "batched element type per mesh (every shipped "
-                    "reference case is single-type); split the mesh by "
-                    "element type or re-mesh with a single volume type."
-                )
             assert len(nodes) == k
-            vol_conn.append(nodes)
-            vol_subdomain.append(physical)
+            if name not in by_type:
+                by_type[name] = []
+                order.append(name)
+            by_type[name].append((nodes, physical))
         elif etype in _SURFACE_TYPES:
             name, k = _SURFACE_TYPES[etype]
-            if surf_type is None:
-                surf_type = name
             assert len(nodes) == k
             surf_conn.append(nodes)
             surf_bcid.append(physical)
         else:
             # points / edges carry no information the reference uses
             continue
-    if vol_type is None:
+    if not by_type:
         raise ValueError("mesh contains no supported volume elements")
 
-    connectivity = np.asarray(vol_conn, dtype=np.int32)
-    mesh = Mesh(
-        coords=coords,
-        connectivity=connectivity,
-        elem_type=vol_type,
-        subdomain_id=np.asarray(vol_subdomain, dtype=np.int32),
-    )
+    if len(order) == 1 and order[0] in ("TET4", "HEX8"):
+        rows = by_type[order[0]]
+        mesh = Mesh(
+            coords=coords,
+            connectivity=np.asarray([r[0] for r in rows], dtype=np.int32),
+            elem_type=order[0],
+            subdomain_id=np.asarray([r[1] for r in rows], dtype=np.int32),
+        )
+        if surf_conn:
+            _attach_boundary_ids(mesh, surf_conn, surf_bcid)
+        return mesh
+
+    blocks = [
+        MeshBlock(name,
+                  np.asarray([r[0] for r in by_type[name]], dtype=np.int32),
+                  np.asarray([r[1] for r in by_type[name]], dtype=np.int32))
+        for name in order
+    ]
+    mesh = MixedMesh(coords=coords, blocks=blocks)
     if surf_conn:
-        _attach_boundary_ids(mesh, np.asarray(surf_conn, dtype=np.int32),
-                             np.asarray(surf_bcid, dtype=np.int32))
+        _attach_boundary_ids_mixed(mesh, surf_conn, surf_bcid)
     return mesh
 
 
-def _attach_boundary_ids(mesh: Mesh, surf_faces: np.ndarray,
-                         surf_ids: np.ndarray) -> None:
+def _attach_boundary_ids(mesh: Mesh, surf_faces, surf_ids) -> None:
     """Assign boundary-condition ids from file surface elements to the
     topologically extracted boundary faces (matching by sorted node key)."""
     bfaces = mesh.boundary_faces
     key_of = {tuple(sorted(f)): i for i, f in enumerate(bfaces)}
     for f, bid in zip(surf_faces, surf_ids):
-        i = key_of.get(tuple(sorted(f.tolist())))
+        i = key_of.get(tuple(sorted(int(x) for x in f)))
+        if i is not None:
+            mesh.boundary_id[i] = bid
+
+
+def _attach_boundary_ids_mixed(mesh: MixedMesh, surf_faces,
+                               surf_ids) -> None:
+    """MixedMesh variant: boundary faces are -1-padded to 4 nodes."""
+    key_of = {tuple(sorted(f)): i
+              for i, f in enumerate(mesh.boundary_faces.tolist())}
+    for f, bid in zip(surf_faces, surf_ids):
+        key = sorted(int(x) for x in f)
+        if len(key) == 3:
+            key = [-1] + key
+        i = key_of.get(tuple(key))
         if i is not None:
             mesh.boundary_id[i] = bid
 
@@ -196,6 +202,22 @@ def write(mesh: Mesh, path_or_file: Union[str, TextIO]) -> None:
         w("$Elements\n")
         w(f"{n_faces + mesh.n_elems}\n")
         index = 1
+        if mesh.elem_type == "MIXED":
+            if n_faces:
+                for f, bid in zip(mesh.boundary_faces, mesh.boundary_id):
+                    nodes = [int(n) for n in f if n >= 0]
+                    code = _GMSH_TRI3 if len(nodes) == 3 else _GMSH_QUAD4
+                    w(f"{index} {code} 2 {bid} 0 "
+                      + " ".join(str(n + 1) for n in nodes) + "\n")
+                    index += 1
+            for b in mesh.blocks:
+                code = _GMSH_CODE[b.elem_type]
+                for e in range(b.n_elems):
+                    nodes = " ".join(str(n + 1) for n in b.connectivity[e])
+                    w(f"{index} {code} 2 {b.subdomain_id[e]} 0 {nodes}\n")
+                    index += 1
+            w("$EndElements\n")
+            return
         gmsh_face = _GMSH_TRI3 if mesh.elem_type == "TET4" else _GMSH_QUAD4
         if n_faces:
             for f, bid in zip(mesh.boundary_faces, mesh.boundary_id):

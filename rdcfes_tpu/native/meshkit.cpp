@@ -156,6 +156,10 @@ int meshkit_read_gmsh(const char* path, GmshMesh* out) {
         surf_conn.push_back(idx);
       }
       surf_phys.push_back(phys);
+    } else if (etype == 6 || etype == 7) {      // PRISM6 / PYRAMID5
+      // mixed-element meshes take the Python MixedMesh path; bailing out
+      // (instead of skipping) prevents silently dropping volume elements
+      return fail(6);
     } else {                                    // points / edges: skip
       for (int i = 0; i < k; ++i) { strtoll(s, &end, 10); s = end; }
     }

@@ -167,12 +167,11 @@ def test_refined_mesh_solves():
     assert np.isfinite(u).all() and float(res) < 1e-10
 
 
-def test_mixed_mesh_rejected_with_census(tmp_path):
-    """A mixed TET4/HEX8 mesh is rejected with a precise element census
-    (documented scope limit; libMesh reads mixed meshes — reference
-    surface src/paraview.h:210-234)."""
-    import pytest
-
+def test_mixed_mesh_file_loads_as_blocks(tmp_path):
+    """A file mixing TET4 and HEX8 volume elements loads as a MixedMesh
+    with per-type blocks (libMesh reads mixed meshes natively — reference
+    surface src/paraview.h:210-234; round-2 rejection upgraded to full
+    support in round 3, systems/mixed.py)."""
     from rdcfes_tpu.mesh import box_tet_mesh, gmsh
 
     m = box_tet_mesh(2, 2, 2)
@@ -185,5 +184,7 @@ def test_mixed_mesh_rejected_with_census(tmp_path):
     j = lines.index("$EndElements")
     lines.insert(j, f"{n + 1} 5 2 0 0 1 2 3 4 5 6 7 8")
     open(p, "w").write("\n".join(lines) + "\n")
-    with pytest.raises(ValueError, match=r"1 HEX8, 48 TET4"):
-        gmsh.read(p)
+    mm = gmsh.read(p)
+    assert mm.elem_type == "MIXED"
+    census = {b.elem_type: b.n_elems for b in mm.blocks}
+    assert census == {"TET4": 48, "HEX8": 1}

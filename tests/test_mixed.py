@@ -1,0 +1,298 @@
+"""Mixed-element-type meshes: PRISM6/PYRAMID5 reference elements, the
+MixedMesh container, Gmsh mixed IO, the per-type-block transient system,
+and the PIHNA driver end-to-end.
+
+libMesh reads arbitrary mixed Gmsh meshes and the reference's writer
+maps 16 element types (reference src/paraview.h:210-234); this is the
+TPU-native equivalent: per-type static-shape blocks summed into one
+global operator (systems/mixed.py).
+"""
+
+import collections
+import os
+
+import numpy as np
+import pytest
+
+from rdcfes_tpu.fem import elements as el
+from rdcfes_tpu.mesh import (MeshBlock, MixedMesh, box_mixed_mesh,
+                             box_tet_mesh, gmsh)
+
+
+@pytest.fixture
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    return tmp_path
+
+
+def _duffy_rule(et, n=16):
+    """High-order exact reference rule via collapsed-coordinate maps."""
+    g, w = np.polynomial.legendre.leggauss(n)
+    pts, wts = [], []
+    if et == "PRISM6":
+        a = (g + 1) / 2
+        wa = w / 2
+        for i, ai in enumerate(a):
+            for j, bj in enumerate(a):
+                for k, zk in enumerate(g):
+                    pts.append([ai, bj * (1 - ai), zk])
+                    wts.append(wa[i] * wa[j] * (1 - ai) * w[k])
+    else:  # PYRAMID5
+        zq = (g + 1) / 2
+        wz = w / 2
+        for i, ai in enumerate(g):
+            for j, bj in enumerate(g):
+                for k, zk in enumerate(zq):
+                    pts.append([ai * (1 - zk), bj * (1 - zk), zk])
+                    wts.append(w[i] * w[j] * wz[k] * (1 - zk) ** 2)
+    return np.array(pts), np.array(wts)
+
+
+@pytest.mark.parametrize("et,vol,nodes", [
+    ("PRISM6", 1.0,
+     np.array([[0, 0, -1], [1, 0, -1], [0, 1, -1],
+               [0, 0, 1], [1, 0, 1], [0, 1, 1]], float)),
+    ("PYRAMID5", 4.0 / 3.0,
+     np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0],
+               [-1, 1, 0], [0, 0, 1]], float)),
+])
+def test_transition_reference_elements(et, vol, nodes):
+    """Shape functions are nodal-Kronecker / partition-of-unity and the
+    8-point conical rules integrate mass AND stiffness of the (rational,
+    for pyramids) first-order basis exactly."""
+    pts, wts = el.quadrature(et)
+    assert np.isclose(wts.sum(), vol)
+    phi = el.shape_functions(et, pts)
+    assert np.allclose(phi.sum(axis=1), 1.0)
+    assert np.allclose(el.shape_gradients(et, pts).sum(axis=1), 0.0,
+                       atol=1e-13)
+    assert np.allclose(el.shape_functions(et, nodes), np.eye(len(nodes)),
+                       atol=1e-14)
+    assert np.isfinite(el.shape_gradients(et, nodes)).all()  # apex guard
+    P, W = _duffy_rule(et)
+    phir = el.shape_functions(et, P)
+    Mq = np.einsum("qi,qj,q->ij", phi, phi, wts)
+    Mr = np.einsum("qi,qj,q->ij", phir, phir, W)
+    assert np.abs(Mq - Mr).max() < 1e-13
+    gq = el.shape_gradients(et, pts)
+    gr = el.shape_gradients(et, P)
+    Kq = np.einsum("qid,qjd,q->ij", gq, gq, wts)
+    Kr = np.einsum("qid,qjd,q->ij", gr, gr, W)
+    assert np.abs(Kq - Kr).max() < 1e-12
+    # finite-difference gradient check at interior points
+    rng = np.random.default_rng(0)
+    if et == "PRISM6":
+        Pt = np.stack([rng.uniform(0.05, 0.4, 5), rng.uniform(0.05, 0.4, 5),
+                       rng.uniform(-0.8, 0.8, 5)], axis=1)
+    else:
+        z = rng.uniform(0.05, 0.8, 5)
+        Pt = np.stack([rng.uniform(-0.8, 0.8, 5) * (1 - z),
+                       rng.uniform(-0.8, 0.8, 5) * (1 - z), z], axis=1)
+    h = 1e-6
+    g = el.shape_gradients(et, Pt)
+    for d in range(3):
+        Pp, Pm = Pt.copy(), Pt.copy()
+        Pp[:, d] += h
+        Pm[:, d] -= h
+        fd = (el.shape_functions(et, Pp) - el.shape_functions(et, Pm)) / (2 * h)
+        assert np.allclose(g[:, :, d], fd, atol=1e-6)
+
+
+def test_box_mixed_mesh_conforming():
+    """The HEX | PYRAMID+TET | TET box is globally conforming (every face
+    shared by exactly 1 or 2 elements), positively oriented, and carries
+    the cube boundary-id convention."""
+    from rdcfes_tpu.mesh.core import _padded_faces
+
+    m = box_mixed_mesh(5, 3, 3)
+    census = {b.elem_type for b in m.blocks}
+    assert census == {"HEX8", "PYRAMID5", "TET4"}
+    vols = m.element_volumes()
+    assert (vols > 0).all() and np.isclose(vols.sum(), 1.0)
+    keys = np.concatenate([
+        np.sort(_padded_faces(b.connectivity, b.elem_type),
+                axis=-1).reshape(-1, 4) for b in m.blocks])
+    _, counts = np.unique(keys, axis=0, return_counts=True)
+    assert set(counts.tolist()) <= {1, 2}
+    assert set(m.boundary_id.tolist()) == {0, 1, 2, 3, 4, 5}
+
+
+def test_gmsh_mixed_roundtrip(tmp_path):
+    m = box_mixed_mesh(5, 3, 3)
+    p = str(tmp_path / "mixed.msh")
+    gmsh.write(m, p)
+    m2 = gmsh.read(p)
+    assert m2.elem_type == "MIXED"
+    assert m2.n_nodes == m.n_nodes and m2.n_elems == m.n_elems
+    assert (sorted((b.elem_type, b.n_elems) for b in m.blocks)
+            == sorted((b.elem_type, b.n_elems) for b in m2.blocks))
+    assert (collections.Counter(m.boundary_id.tolist())
+            == collections.Counter(m2.boundary_id.tolist()))
+    # single-type files still come back as the classic Mesh (native path)
+    t = box_tet_mesh(3, 3, 3)
+    pt = str(tmp_path / "t.msh")
+    gmsh.write(t, pt)
+    t2 = gmsh.read(pt)
+    assert type(t2).__name__ == "Mesh" and t2.elem_type == "TET4"
+
+
+def _pihna_params():
+    from rdcfes_tpu.models.pihna import default_params
+
+    Kk = 2.39e5
+    p = default_params()
+    p.update(dt=0.1, cells_min_capacity=1.0, cells_max_capacity=Kk,
+             cells_max_capacity_exponent=3.0, cytokines_max_capacity=1e-8,
+             necrosis_c=500 / Kk, necrosis_h=200 / Kk, necrosis_v=300 / Kk,
+             produce_c=-2.5, switch_c2h=1.0, switch_h2c=1.82,
+             switch_h2n=0.5, diffuse_c=0.5, taxis_c=2e-5, diffuse_h=1.0,
+             taxis_h=4e-5, diffuse_v=0.5, taxis_v=1e-4, produce_v=10.0,
+             secrete_a_c=2.77e-13, secrete_a_h=5.22e-10, uptake_a_v=1e-3,
+             decay_a=5678.4)
+    return {k: float(v) for k, v in p.items()}
+
+
+def test_mixed_step_matches_direct_solve():
+    """One MixedTransientRDCSystem step == the equilibrated dense solve of
+    the block-summed operator (each block's element matrices are the
+    oracle-validated single-type kernels; this validates the cross-block
+    summation)."""
+    from rdcfes_tpu.models.pihna import pihna_physics
+    from rdcfes_tpu.systems import MixedTransientRDCSystem
+
+    mesh = box_mixed_mesh(5, 3, 3, bounds=((0, 30.0),) * 3)
+    p = _pihna_params()
+    N, V = mesh.n_nodes, 5
+    rng = np.random.default_rng(0)
+    u0 = np.abs(rng.random((N, V))) * np.array([1., 100., 50., 500., 1e-10])
+
+    sys_ = MixedTransientRDCSystem(mesh, V, pihna_physics, precision="mixed")
+    st, iters, res = sys_.step(sys_.initial_state(u0), params=p)
+    assert float(res) < 1e-10
+    u_raw = np.asarray(st["u_raw"])
+
+    A, rhs = sys_.assemble_scipy(u0.T, {}, p)
+    svar = np.abs(u0).max(axis=0) + 1e-30
+    Scol = np.concatenate([np.full(N, s) for s in svar])
+    Ad = A.toarray() * Scol[None, :]
+    rrow = 1.0 / (np.abs(Ad).max(axis=1) + 1e-300)
+    y = np.linalg.solve(Ad * rrow[:, None], rhs * rrow)
+    u_ref = (y * Scol).reshape(V, N).T
+    scale = np.abs(u_ref).max(axis=0) + 1e-30
+    rel = np.abs(u_raw - u_ref).max(axis=0) / scale
+    assert rel.max() < 1e-8, rel
+
+
+def test_mixed_single_block_matches_transient_system():
+    """A MixedMesh holding one TET4 block reproduces TransientRDCSystem on
+    the same mesh bit-for-bit in math (same kernels, same solver), and a
+    two-block split of the same elements matches too — the summation over
+    blocks is exact."""
+    from rdcfes_tpu.models.pihna import pihna_physics
+    from rdcfes_tpu.systems import MixedTransientRDCSystem, TransientRDCSystem
+
+    t = box_tet_mesh(4, 4, 4, bounds=((0, 30.0),) * 3)
+    p = _pihna_params()
+    N, V = t.n_nodes, 5
+    rng = np.random.default_rng(1)
+    u0 = np.abs(rng.random((N, V))) * np.array([1., 100., 50., 500., 1e-10])
+
+    ref = TransientRDCSystem(t, V, pihna_physics)
+    st_r = ref.initial_state(u0)
+
+    one = MixedMesh(coords=t.coords, blocks=[
+        MeshBlock("TET4", t.connectivity, t.subdomain_id)])
+    two = MixedMesh(coords=t.coords, blocks=[
+        MeshBlock("TET4", t.connectivity[::2], t.subdomain_id[::2]),
+        MeshBlock("TET4", t.connectivity[1::2], t.subdomain_id[1::2])])
+    for mm in (one, two):
+        sys_ = MixedTransientRDCSystem(mm, V, pihna_physics)
+        st = sys_.initial_state(u0)
+        st_r2 = dict(st_r)
+        for _ in range(3):
+            st, _, _ = sys_.step(st, params=p)
+            st_r2, _, _ = ref.step(st_r2, params=p)
+        a, b = np.asarray(st["u"]), np.asarray(st_r2["u"])
+        scale = np.abs(b).max(axis=0) + 1e-30
+        assert (np.abs(a - b).max(axis=0) / scale).max() < 1e-9
+
+
+def test_mixed_vtu_and_nodal_projection(tmp_path):
+    from rdcfes_tpu.io.vtu import elemental_to_nodal, write_vtu
+
+    m = box_mixed_mesh(4, 3, 3)
+    # constant elemental field projects to the same nodal constant
+    nod = elemental_to_nodal(m, np.full(m.n_elems, 7.0))
+    assert np.allclose(nod, 7.0)
+    path = str(tmp_path / "m.vtu")
+    write_vtu(path, m, [("f", np.arange(m.n_nodes, dtype=float))])
+    txt = open(path).read()
+    types = txt.split('Name="types"')[1].split(">")[1].split("<")[0].split()
+    cnt = collections.Counter(types)
+    for b in m.blocks:
+        code = {"TET4": "10", "HEX8": "12",
+                "PRISM6": "13", "PYRAMID5": "14"}[b.elem_type]
+        assert cnt[code] == b.n_elems
+    offs = txt.split('Name="offsets"')[1].split(">")[1].split("<")[0].split()
+    assert int(offs[-1]) == sum(
+        b.n_elems * b.connectivity.shape[1] for b in m.blocks)
+
+
+def test_pihna_driver_mixed_mesh(in_tmp):
+    """End-to-end: generated mixed-mesh PIHNA case through the real
+    driver — CSV metrics, VTU frames with heterogeneous cell types."""
+    import glob
+
+    from rdcfes_tpu import cases
+    from rdcfes_tpu.drivers import pihna
+
+    cases.make_pihna_case(".", n=4, n_steps=2, mixed=True)
+    deck = open("input.dat").read().replace("output_step = 10",
+                                            "output_step = 2")
+    open("input.dat", "w").write(deck)
+    out = pihna.run("input.dat")
+    csv = open(os.path.join(out, "output.csv")).read().splitlines()
+    vals = np.array(csv[-1].split(","), dtype=float)
+    assert np.isfinite(vals).all() and (vals >= 0).all()
+    vtu = sorted(glob.glob(os.path.join(out, "*.vtu")))
+    assert vtu
+    txt = open(vtu[-1]).read()
+    types = set(txt.split('Name="types"')[1].split(">")[1]
+                .split("<")[0].split())
+    assert {"10", "12", "14"} <= types
+
+
+def test_prism_block_assembles():
+    """A prism-bearing MixedMesh solves too (PRISM6 tables on the real
+    assembly path): split the mixed box's HEX8 block into prisms."""
+    from rdcfes_tpu.models.hcc import default_params, hcc_physics
+    from rdcfes_tpu.systems import MixedTransientRDCSystem
+
+    m = box_mixed_mesh(5, 2, 2)
+    blocks = []
+    for b in m.blocks:
+        if b.elem_type != "HEX8":
+            blocks.append(b)
+            continue
+        c = b.connectivity
+        # each hex -> 2 prisms, cut along the 0-2 base diagonal (the
+        # shared quad faces stay quad: only the hex-internal face splits)
+        pr = np.concatenate([
+            c[:, [0, 1, 2, 4, 5, 6]],
+            c[:, [0, 2, 3, 4, 6, 7]],
+        ])
+        sd = np.concatenate([b.subdomain_id, b.subdomain_id])
+        blocks.append(MeshBlock("PRISM6", pr, sd))
+    m2 = MixedMesh(coords=m.coords, blocks=blocks)
+    assert np.isclose(m2.element_volumes().sum(), 1.0)
+    params = default_params()
+    params.update(dt=0.05, diffuse_c=1e-3, produce_c=0.2,
+                  cells_max_capacity=1.0)
+    rng = np.random.default_rng(2)
+    u0 = np.abs(rng.random((m2.n_nodes, 3)))
+    sys_ = MixedTransientRDCSystem(m2, 3, hcc_physics)
+    st = sys_.initial_state(u0)
+    for _ in range(2):
+        st, it, res = sys_.step(st, params=params)
+        assert float(res) < 1e-10
+    assert np.isfinite(np.asarray(st["u"])).all()
