@@ -262,6 +262,21 @@ def test_pihna_driver_mixed_mesh(in_tmp):
     assert {"10", "12", "14"} <= types
 
 
+def test_mixed_multichip_rejected_clearly():
+    """Mixed meshes are single-chip for now: the driver surface rejects
+    parallel/n_devices > 1 with an actionable error."""
+    import io
+
+    from rdcfes_tpu.drivers.common import make_rdc_system
+    from rdcfes_tpu.io.getpot import Deck
+    from rdcfes_tpu.models.pihna import pihna_physics
+
+    m = box_mixed_mesh(4, 2, 2)
+    deck = Deck(io.StringIO("parallel/n_devices = 8\n"))
+    with pytest.raises(ValueError, match="mixed-element"):
+        make_rdc_system(m, 5, pihna_physics, deck)
+
+
 def test_prism_block_assembles():
     """A prism-bearing MixedMesh solves too (PRISM6 tables on the real
     assembly path): split the mixed box's HEX8 block into prisms."""
