@@ -1,11 +1,12 @@
 """Minimal ExodusII (.ex2) mesh writer.
 
 Covers the reference's ExodusII export surface (`ExodusII_IO(msh).write`,
-src/process_mesh.C:169): a single-element-block unstructured mesh with
-optional nodal variables.  ExodusII is NetCDF-3 classic underneath; this
-writer emits the standard dimension/variable layout through
-`scipy.io.netcdf_file` (no libnetcdf/exodus dependency), readable by
-ParaView / `exodus.py` / any NetCDF tool.
+src/process_mesh.C:169): an unstructured mesh — one element block per
+type (ExodusII's native multi-block layout, so MixedMesh exports
+directly) — with optional nodal variables.  ExodusII is NetCDF-3 classic
+underneath; this writer emits the standard dimension/variable layout
+through `scipy.io.netcdf_file` (no libnetcdf/exodus dependency),
+readable by ParaView / `exodus.py` / any NetCDF tool.
 """
 
 from __future__ import annotations
@@ -16,7 +17,8 @@ import numpy as np
 
 from ..mesh.core import Mesh
 
-_ELEM_TYPE_NAME = {"TET4": "TETRA4", "HEX8": "HEX8"}
+_ELEM_TYPE_NAME = {"TET4": "TETRA4", "HEX8": "HEX8",
+                   "PRISM6": "WEDGE6", "PYRAMID5": "PYRAMID5"}
 
 
 def write_exodus(
@@ -42,6 +44,12 @@ def write_exodus(
         f.floating_point_word_size = np.int32(8)
         f.file_size = np.int32(1)
 
+        # one element block per type (single-type meshes export one)
+        if getattr(mesh, "elem_type", None) == "MIXED":
+            blocks = [(b.elem_type, b.connectivity) for b in mesh.blocks]
+        else:
+            blocks = [(mesh.elem_type, mesh.connectivity)]
+
         # ---- dimensions (the unlimited one must come first in scipy) ------
         f.createDimension("time_step", None)  # unlimited
         f.createDimension("len_string", 33)
@@ -50,22 +58,25 @@ def write_exodus(
         f.createDimension("num_dim", 3)
         f.createDimension("num_nodes", mesh.n_nodes)
         f.createDimension("num_elem", mesh.n_elems)
-        f.createDimension("num_el_blk", 1)
-        f.createDimension("num_el_in_blk1", mesh.n_elems)
-        f.createDimension("num_nod_per_el1", mesh.nodes_per_elem)
+        f.createDimension("num_el_blk", len(blocks))
+        for i, (_, conn) in enumerate(blocks, 1):
+            f.createDimension(f"num_el_in_blk{i}", conn.shape[0])
+            f.createDimension(f"num_nod_per_el{i}", conn.shape[1])
 
-        # ---- element block ------------------------------------------------
+        # ---- element blocks -------------------------------------------------
         eb_status = f.createVariable("eb_status", "i", ("num_el_blk",))
-        eb_status[:] = np.ones(1, dtype=np.int32)
+        eb_status[:] = np.ones(len(blocks), dtype=np.int32)
         eb_prop = f.createVariable("eb_prop1", "i", ("num_el_blk",))
-        eb_prop[:] = np.ones(1, dtype=np.int32)
+        eb_prop[:] = np.arange(1, len(blocks) + 1, dtype=np.int32)
         eb_prop.name = b"ID"
 
-        connect = f.createVariable(
-            "connect1", "i", ("num_el_in_blk1", "num_nod_per_el1")
-        )
-        connect[:] = (mesh.connectivity + 1).astype(np.int32)  # 1-based
-        connect.elem_type = _ELEM_TYPE_NAME[mesh.elem_type].encode()
+        for i, (etype, conn) in enumerate(blocks, 1):
+            connect = f.createVariable(
+                f"connect{i}", "i",
+                (f"num_el_in_blk{i}", f"num_nod_per_el{i}")
+            )
+            connect[:] = (conn + 1).astype(np.int32)  # 1-based
+            connect.elem_type = _ELEM_TYPE_NAME[etype].encode()
 
         # ---- coordinates --------------------------------------------------
         coord = f.createVariable("coord", "d", ("num_dim", "num_nodes"))

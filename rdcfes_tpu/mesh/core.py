@@ -325,6 +325,10 @@ class MixedMesh:
             out.append(np.einsum("eq,q->e", np.linalg.det(J), qw))
         return np.concatenate(out)
 
+    def with_coords(self, coords: np.ndarray) -> "MixedMesh":
+        return dataclasses.replace(
+            self, coords=np.asarray(coords, dtype=np.float64))
+
     def print_info(self) -> str:
         census = ", ".join(f"{b.n_elems} {b.elem_type}" for b in self.blocks)
         lines = [

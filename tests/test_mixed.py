@@ -262,6 +262,39 @@ def test_pihna_driver_mixed_mesh(in_tmp):
     assert {"10", "12", "14"} <= types
 
 
+def test_exodus_multiblock(tmp_path):
+    """MixedMesh exports through ExodusII's native multi-block layout
+    (reference export surface: ExodusII_IO(msh).write,
+    src/process_mesh.C:169)."""
+    from scipy.io import netcdf_file
+
+    from rdcfes_tpu.io.exodus import write_exodus
+
+    m = box_mixed_mesh(4, 2, 2)
+    p = str(tmp_path / "m.ex2")
+    write_exodus(p, m, [("f", np.ones(m.n_nodes))])
+    f = netcdf_file(p, "r")
+    blk = int(f.dimensions["num_el_blk"])
+    assert blk == len(m.blocks)
+    total = sum(int(f.dimensions[f"num_el_in_blk{i}"])
+                for i in range(1, blk + 1))
+    assert total == m.n_elems
+    types = {f.variables[f"connect{i}"].elem_type for i in range(1, blk + 1)}
+    assert types == {b"HEX8", b"PYRAMID5", b"TETRA4"}
+    f.close()
+
+
+def test_transform_mixed():
+    """process_mesh's scale/translate/rotate path works on MixedMesh."""
+    from rdcfes_tpu.mesh import transform
+
+    m = box_mixed_mesh(4, 2, 2)
+    m2 = transform.transform_mesh(m, scale=2.0, translate=(1.0, 0, 0),
+                                  rotate_deg=(0, 0, 90.0))
+    assert m2.elem_type == "MIXED"
+    assert np.isclose(m2.element_volumes().sum(), 8.0)
+
+
 def test_mixed_multichip_rejected_clearly():
     """Mixed meshes are single-chip for now: the driver surface rejects
     parallel/n_devices > 1 with an actionable error."""
