@@ -93,26 +93,25 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
 
     n_dev = int(deck("parallel/n_devices", 0))
     if getattr(mesh, "elem_type", None) == "MIXED":
-        # mixed-element meshes run through the per-type-block system
+        # mixed-element meshes run through the per-type-block systems
         # (libMesh assembles them through one polymorphic loop; here each
-        # type is its own static-shape batch — systems/mixed.py)
-        if n_dev > 1:
-            raise ValueError(
-                "parallel/n_devices > 1 is not supported on mixed-element "
-                "meshes yet; run single-chip or split the mesh by type")
+        # type is its own static-shape batch — systems/mixed.py
+        # single-chip, parallel/halo.py multi-chip)
         if kwargs.get("constraints") is not None or kwargs.get("moving_mesh"):
             raise ValueError(
                 "constraints / moving_mesh are not supported on "
                 "mixed-element meshes")
-        from ..systems import MixedTransientRDCSystem
+        if n_dev <= 1:
+            from ..systems import MixedTransientRDCSystem
 
-        kw = {}
-        if clamp is not None:
-            kw["clamp"] = clamp
-        system = MixedTransientRDCSystem(mesh, n_vars, physics,
-                                         precision="mixed", **kw)
-        return (system, (lambda st: np.asarray(st["u"])),
-                system.initial_state)
+            kw = {}
+            if clamp is not None:
+                kw["clamp"] = clamp
+            system = MixedTransientRDCSystem(mesh, n_vars, physics,
+                                             precision="mixed", **kw)
+            return (system, (lambda st: np.asarray(st["u"])),
+                    system.initial_state)
+        # fall through to the halo-exchange multi-chip path below
     if n_dev > 1:
         import jax
         from jax.sharding import Mesh as DeviceMesh

@@ -238,29 +238,8 @@ class HaloPlan:
                 hang_mask[s, own_h - lo] = 0.0
 
         # ---- restriction (inverse-connectivity) tables --------------------
-        # node_gather[s, c, slot] = flat (k * Eb + e_local) corner index of
-        # the c-th contribution to local slot, pad = K * Eb (a zero column
-        # appended by the device program)
-        tables = []
-        Cmax = 1
-        for s in range(D):
-            E_s = e_starts[s + 1] - e_starts[s]
-            flat_targets = conn_local[s].reshape(-1)  # (K * Eb,) k-major
-            e_ids = np.tile(np.arange(Eb), K)
-            valid = np.nonzero(e_ids < E_s)[0]
-            order = valid[np.argsort(flat_targets[valid], kind="stable")]
-            tgt = flat_targets[order]
-            counts = np.bincount(tgt, minlength=Nloc)
-            Cs = int(counts.max()) if len(tgt) else 1
-            Cmax = max(Cmax, Cs)
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            tbl = np.full((Cs, Nloc), K * Eb, dtype=np.int32)
-            pos = np.arange(len(tgt)) - starts[tgt]
-            tbl[pos, tgt] = order
-            tables.append(tbl)
-        node_gather = np.full((D, Cmax, Nloc), K * Eb, dtype=np.int32)
-        for s, tbl in enumerate(tables):
-            node_gather[s, : tbl.shape[0]] = tbl
+        node_gather = _restriction_tables(
+            conn_local, e_starts[1:] - e_starts[:-1], Nloc)
 
         # ---- reverse-add tables -------------------------------------------
         # After the transpose ppermute, shard t holds rcat = concat over
@@ -299,6 +278,99 @@ class HaloPlan:
             rev_gather=rev_gather,
             has_cons=has_cons, cons_all=cons_all, hang_mask=hang_mask,
         )
+
+
+def _restriction_tables(conn_local: np.ndarray, elem_counts: np.ndarray,
+                        Nloc: int) -> np.ndarray:
+    """node_gather[s, c, slot] = flat (k * Eb + e_local) corner index of
+    the c-th contribution to local slot, pad = K * Eb (a zero column
+    appended by the device program)."""
+    D, K, Eb = conn_local.shape
+    tables = []
+    Cmax = 1
+    for s in range(D):
+        E_s = int(elem_counts[s])
+        flat_targets = conn_local[s].reshape(-1)  # (K * Eb,) k-major
+        e_ids = np.tile(np.arange(Eb), K)
+        valid = np.nonzero(e_ids < E_s)[0]
+        order = valid[np.argsort(flat_targets[valid], kind="stable")]
+        tgt = flat_targets[order]
+        counts = np.bincount(tgt, minlength=Nloc)
+        Cs = int(counts.max()) if len(tgt) else 1
+        Cmax = max(Cmax, Cs)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        tbl = np.full((Cs, Nloc), K * Eb, dtype=np.int32)
+        pos = np.arange(len(tgt)) - starts[tgt]
+        tbl[pos, tgt] = order
+        tables.append(tbl)
+    node_gather = np.full((D, Cmax, Nloc), K * Eb, dtype=np.int32)
+    for s, tbl in enumerate(tables):
+        node_gather[s, : tbl.shape[0]] = tbl
+    return node_gather
+
+
+def build_mixed_plan(mesh, D: int):
+    """(HaloPlan, per-block host tables) for a MixedMesh.
+
+    The node-side plan (ownership, ghost sets, exchange tables, reverse
+    add) is built once over the K_max-padded concatenation of all block
+    connectivities — padding repeats each element's corner 0, which adds
+    no nodes to any shard's used set, so the exchange contract is
+    identical to a per-block derivation.  Element-side tables are then
+    split back per block: plan.conn_local's padded corner rows repeat the
+    corner-0 slot by construction, so block conn_local is a column
+    selection + row truncation of it."""
+    from types import SimpleNamespace
+
+    blocks = mesh.blocks
+    Kmax = max(b.connectivity.shape[1] for b in blocks)
+    conns = []
+    block_of = []
+    for bi, b in enumerate(blocks):
+        c = b.connectivity.astype(np.int64)
+        if c.shape[1] < Kmax:
+            c = np.concatenate(
+                [c, np.repeat(c[:, :1], Kmax - c.shape[1], axis=1)], axis=1)
+        conns.append(c)
+        block_of.append(np.full(len(c), bi, dtype=np.int64))
+    conn_pad = np.concatenate(conns, axis=0)
+    block_of = np.concatenate(block_of)
+    pseudo = SimpleNamespace(connectivity=conn_pad, n_nodes=mesh.n_nodes,
+                             coords=mesh.coords)
+    plan = HaloPlan.build(pseudo, D)
+
+    Nloc = plan.No_max + plan.Gtot
+    block_sorted = block_of[plan.elem_order]
+    e_starts = np.concatenate([[0], np.cumsum(plan.elem_counts)])
+    per_block = []
+    for bi, b in enumerate(blocks):
+        Kb = b.connectivity.shape[1]
+        sel_per_shard = [
+            np.nonzero(block_sorted[e_starts[s]:e_starts[s + 1]] == bi)[0]
+            for s in range(D)]
+        counts_b = np.array([len(x) for x in sel_per_shard])
+        Eb_b = max(int(counts_b.max()), 1)
+        conn_local_b = np.zeros((D, Kb, Eb_b), dtype=np.int32)
+        for s in range(D):
+            sel = sel_per_shard[s]
+            conn_local_b[s, :, : len(sel)] = plan.conn_local[s][:Kb, sel]
+        ng_b = _restriction_tables(conn_local_b, counts_b, Nloc)
+        # positions of this block's elements in the shard-sorted concat
+        # order, block-local original order (for geometry / field split)
+        order_b = np.concatenate(
+            [e_starts[s] + sel_per_shard[s] for s in range(D)])
+        # renumbered, shard-ordered block connectivity (for geometry)
+        conn_sorted_b = plan.node_rank[
+            conn_pad[plan.elem_order[order_b]]][:, :Kb]
+        per_block.append({
+            "elem_type": b.elem_type, "K": Kb, "Eb": Eb_b,
+            "counts": counts_b, "conn_local": conn_local_b,
+            "node_gather": ng_b, "conn_sorted": conn_sorted_b,
+            # concat-order global element ids of this block's elements,
+            # in shard order (index into plan.elem_order positions)
+            "sorted_concat_idx": order_b,
+        })
+    return plan, per_block
 
 
 class HaloExchangeMixin:
@@ -404,6 +476,76 @@ class HaloShardedSystem(HaloExchangeMixin):
         self.maxiter = maxiter
         self.dmesh = device_mesh
         D = int(device_mesh.devices.size)
+        shard_last = lambda spec: NamedSharding(device_mesh, spec)
+        self._mixed = None
+        if getattr(mesh, "elem_type", None) == "MIXED":
+            # mixed-element meshes: one exchange plan over the padded
+            # concatenation of all blocks, per-type element tables, the
+            # dense shard step summing block restrictions
+            # (_linear_stage_blocks).  The qp/Pallas fast paths and
+            # moving-mesh/constraints stay single-type.
+            if constraints is not None:
+                raise ValueError("constraints are not supported on "
+                                 "mixed-element meshes")
+            if moving_mesh:
+                raise ValueError("moving_mesh is not supported on "
+                                 "mixed-element meshes")
+            self.physics_blocks = None
+            plan, per_block = build_mixed_plan(mesh, D)
+            self.plan = plan
+            coords_new = jnp.asarray(mesh.coords[plan.node_order])
+            tabs = []
+            self._phis = []
+            self._mixed_types = []
+            for pb in per_block:
+                phi_b, JxW_b, dphi_b = geometry_factors(
+                    coords_new, jnp.asarray(pb["conn_sorted"]),
+                    pb["elem_type"])
+                Q = np.asarray(JxW_b).shape[0]
+                Kb, Eb_b = pb["K"], pb["Eb"]
+                # shard-LEADING padded layouts so one P("d") prefix spec
+                # covers the whole tabs pytree
+                JxW_p = np.zeros((D, Q, Eb_b))
+                dphi_p = np.zeros((D, Q, Kb, 3, Eb_b))
+                off = np.concatenate([[0], np.cumsum(pb["counts"])])
+                for s in range(D):
+                    n_s = pb["counts"][s]
+                    JxW_p[s, :, :n_s] = np.asarray(
+                        JxW_b)[:, off[s]:off[s + 1]]
+                    dphi_p[s, ..., :n_s] = np.asarray(
+                        dphi_b)[..., off[s]:off[s + 1]]
+                tabs.append({
+                    "conn": jax.device_put(pb["conn_local"],
+                                           shard_last(P("d"))),
+                    "JxW": jax.device_put(JxW_p, shard_last(P("d"))),
+                    "dphi": jax.device_put(dphi_p, shard_last(P("d"))),
+                    "ng": jax.device_put(pb["node_gather"],
+                                         shard_last(P("d"))),
+                })
+                self._phis.append(phi_b)
+                self._mixed_types.append(pb["elem_type"])
+            self._mixed = tabs
+            self.rev_gather_s = jax.device_put(
+                plan.rev_gather, shard_last(P("d")))
+            self.send_idx_s = tuple(
+                jax.device_put(t, shard_last(P("d")))
+                for t in plan.send_idx)
+            mask = np.zeros((D, plan.No_max))
+            for s in range(D):
+                mask[s, : plan.owned_counts[s]] = 1.0
+            self.mask_s = jax.device_put(mask, shard_last(P("d")))
+            self._state_sharding = shard_last(P("d"))
+            in_specs = (
+                P("d"), P("d"), P(), P(),
+                P("d"),             # tabs pytree (all leaves shard-axis-0)
+                P("d"), P("d"),     # rev_gather, mask
+            ) + tuple(P("d") for _ in plan.send_idx)
+            self._step = jax.jit(shard_map(
+                self._step_shard_mixed, mesh=device_mesh,
+                in_specs=in_specs, out_specs=(P("d"), P(), P())))
+            self.moving_mesh = False
+            self._coords_cache = None
+            return
         self.plan = plan = HaloPlan.build(mesh, D, constraints=constraints)
         K = mesh.nodes_per_elem
 
@@ -551,8 +693,20 @@ class HaloShardedSystem(HaloExchangeMixin):
     # ------------------------------------------------------------------
     def _linear_stage(self, u_blk, Fe, Ke, diag_e, ng, msk, rev_gather,
                       send_tabs, conn, ca=None, hmask=None):
+        """Shared linear stage of the dense-Ke shard step (one element
+        block); see _linear_stage_blocks."""
+        return self._linear_stage_blocks(
+            u_blk, ((Fe, Ke, diag_e, ng, conn),), msk, rev_gather,
+            send_tabs, ca=ca, hmask=hmask)
+
+    def _linear_stage_blocks(self, u_blk, eblocks, msk, rev_gather,
+                             send_tabs, ca=None, hmask=None):
         """Shared linear stage of the dense-Ke shard step: assemble rhs /
         block-Jacobi from element kernels, distributed-BiCGStab, clamp.
+        `eblocks` is a tuple of per-element-type (Fe, Ke, diag_e,
+        node_gather, conn) — the global operator is the sum of block
+        restrictions, so mixed meshes ride the same exchange (one ghost
+        fill / reverse-add per matvec regardless of block count).
         With hanging-node constraints (ca/hmask present and plan.has_cons)
         the solve runs on C^T A C: local partial sums are C^T-folded
         BEFORE the reverse-add (each element is owned by exactly one
@@ -568,22 +722,24 @@ class HaloShardedSystem(HaloExchangeMixin):
         u = u_blk["u"][0]
         u_old = u_blk["u_old"][0]
 
-        def restrict(flat_local):
+        def restrict(ng_, flat_local):
             pad = jnp.zeros(flat_local.shape[:-1] + (1,), flat_local.dtype)
             f = jnp.concatenate([flat_local, pad], axis=-1)
-            acc = f[..., ng[0]]
-            for c in range(1, ng.shape[0]):
-                acc = acc + f[..., ng[c]]
+            acc = f[..., ng_[0]]
+            for c in range(1, ng_.shape[0]):
+                acc = acc + f[..., ng_[c]]
             return acc  # (..., Nloc)
 
         def pdot(a, b):
             return lax.psum(jnp.vdot(a, b), "d")
 
-        bl = restrict(Fe.reshape(V, -1))
+        bl = sum(restrict(ng_, Fe.reshape(V, -1))
+                 for Fe, _, _, ng_, _ in eblocks)
         if has_cons:
             bl = self._cons_fold(bl, ca, 0.5)
         b = self._reverse_add(bl, rev_gather)
-        dl = restrict(diag_e.reshape(V, V, -1))
+        dl = sum(restrict(ng_, diag_e.reshape(V, V, -1))
+                 for _, _, diag_e, ng_, _ in eblocks)
         if has_cons:
             # own-row C^T A C diagonal contribution; zeroed hanging rows
             # fall into the empty->identity branch below, which IS the
@@ -603,9 +759,12 @@ class HaloShardedSystem(HaloExchangeMixin):
             xg = self._ghost_fill(x, send_tabs)
             if has_cons:
                 xg = self._c_apply(xg, ca)
-            ue = xg[:, conn]                                  # (V, K, Eb)
-            ye = jnp.sum(Ke * ue[None, :, None, :, :], axis=(1, 3))
-            yl = restrict(ye.reshape(V, -1))
+            yl = None
+            for _, Ke, _, ng_, conn in eblocks:
+                ue = xg[:, conn]                              # (V, K, Eb)
+                ye = jnp.sum(Ke * ue[None, :, None, :, :], axis=(1, 3))
+                yb = restrict(ng_, ye.reshape(V, -1))
+                yl = yb if yl is None else yl + yb
             if has_cons:
                 yl = self._cons_fold(yl, ca, 0.5)
             return self._reverse_add(yl, rev_gather)
@@ -663,6 +822,36 @@ class HaloShardedSystem(HaloExchangeMixin):
         return self._linear_stage(u_blk, Fe, Ke, diag_e, ng, msk,
                                   rev_gather, send_tabs, conn,
                                   ca=ca, hmask=hmask)
+
+    def _step_shard_mixed(self, u_blk, efields, scalars, params, tabs,
+                          rev_gather, mask, *send_tabs):
+        """Mixed-element shard step: per-type element kernels on the
+        ghost-filled old solution, block restrictions summed in
+        _linear_stage_blocks — the distributed counterpart of
+        MixedTransientRDCSystem (one ghost exchange per matvec regardless
+        of block count)."""
+        u = u_blk["u"][0]
+        msk = mask[0]
+        fields = {k: v[0] for k, v in efields.items()}
+        fields.update(scalars)
+        ug = self._ghost_fill(u, send_tabs)
+        eblocks = []
+        for bi, tab in enumerate(tabs):
+            conn = tab["conn"][0]      # (Kb, Eb_b)
+            JxW = tab["JxW"][0]        # (Q, Eb_b)
+            dphi = tab["dphi"][0]      # (Q, Kb, 3, Eb_b)
+            ng = tab["ng"][0]
+            phi = self._phis[bi]
+            u_qp, grad_qp = interpolate_at_qp(ug, conn, phi, dphi)
+            wf = self.physics(u_qp, grad_qp, fields, params)
+            Fe = element_vectors(wf, phi, JxW, dphi)
+            Ke, diag_e = element_matrices(
+                wf, phi, JxW, dphi,
+                grad_const=(self._mixed_types[bi] == "TET4"),
+                return_diag=True)
+            eblocks.append((Fe, Ke, diag_e, ng, conn))
+        return self._linear_stage_blocks(u_blk, tuple(eblocks), msk,
+                                         rev_gather, send_tabs)
 
     def _step_shard_moving(self, u_blk, coords_blk, efields, scalars, params,
                            conn_mv, node_gather, rev_gather, mask,
@@ -853,6 +1042,16 @@ class HaloShardedSystem(HaloExchangeMixin):
         Chained in device programs of at most `segment` steps (default 50,
         env RDCFES_SCAN_SEGMENT) to stay under the TPU watchdog — same
         policy as TransientRDCSystem.run_steps."""
+        if self._mixed is not None:
+            # mixed meshes: per-step dispatch through the cached dense
+            # program (the scan fast path is a single-type optimization)
+            its, ress = [], []
+            for _ in range(int(n)):
+                state, it, res = self.step(state, fields=fields,
+                                           params=params, scalars=scalars)
+                its.append(it)
+                ress.append(res)
+            return state, jnp.stack(its), jnp.stack(ress)
         assert self.physics_blocks is not None, "run_steps needs physics_blocks"
         assert params and all(
             isinstance(v, (int, float)) for v in params.values()
@@ -912,6 +1111,11 @@ class HaloShardedSystem(HaloExchangeMixin):
         "time"); coords: current node positions for the moving-mesh path
         ((N, 3) global or an already-distributed (D, 3, No_max) slab)."""
         params = params or {}
+        if self._mixed is not None:
+            assert coords is None, "moving mesh unsupported on mixed meshes"
+            return self._step(state, fields or {}, scalars or {}, params,
+                              self._mixed, self.rev_gather_s, self.mask_s,
+                              *self.send_idx_s)
         if coords is not None:
             if self._step_moving is None:
                 in_specs = (

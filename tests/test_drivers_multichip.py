@@ -73,6 +73,24 @@ def test_pihna_multichip(in_tmp):
     })
 
 
+def test_pihna_multichip_mixed_mesh(in_tmp):
+    """Mixed-element meshes ride the halo system too (build_mixed_plan):
+    the 8-device run of a HEX8/PYRAMID5/TET4 case matches single-chip
+    artifacts through the real driver."""
+    from rdcfes_tpu.drivers import pihna
+
+    def prep():
+        cases.make_pihna_case(".", n=4, n_steps=3, mixed=True)
+        return open("input.dat").read().replace("output_step = 10",
+                                                "output_step = 3")
+
+    _run_both(pihna, prep, {
+        "csv": _csv_rows,
+        "c": lambda o: _vtu_field(
+            os.path.join(o, "Brain_Model-3.vtu"), "c"),
+    })
+
+
 def test_adpm_multichip(in_tmp):
     from rdcfes_tpu.drivers import adpm
 

@@ -295,19 +295,63 @@ def test_transform_mixed():
     assert np.isclose(m2.element_volumes().sum(), 8.0)
 
 
-def test_mixed_multichip_rejected_clearly():
-    """Mixed meshes are single-chip for now: the driver surface rejects
-    parallel/n_devices > 1 with an actionable error."""
-    import io
+def test_mixed_multichip_matches_single_chip():
+    """Mixed meshes run multi-chip through the halo system: one exchange
+    plan over the padded concatenation of all blocks, per-type element
+    tables, block restrictions summed inside the shard program
+    (parallel/halo.py build_mixed_plan / _step_shard_mixed).  3 PIHNA
+    steps on the 8-device mesh match MixedTransientRDCSystem, through
+    both step() and run_steps()."""
+    import jax
+    from jax.sharding import Mesh as DeviceMesh
 
-    from rdcfes_tpu.drivers.common import make_rdc_system
-    from rdcfes_tpu.io.getpot import Deck
     from rdcfes_tpu.models.pihna import pihna_physics
+    from rdcfes_tpu.parallel.halo import HaloShardedSystem
+    from rdcfes_tpu.systems import MixedTransientRDCSystem
+
+    mesh = box_mixed_mesh(6, 4, 4, bounds=((0, 30.0),) * 3)
+    p = _pihna_params()
+    N, V = mesh.n_nodes, 5
+    rng = np.random.default_rng(0)
+    u0 = np.abs(rng.random((N, V))) * np.array([1., 100., 50., 500., 1e-10])
+
+    ref = MixedTransientRDCSystem(mesh, V, pihna_physics, precision="mixed")
+    st_r = ref.initial_state(u0)
+    dmesh = DeviceMesh(np.array(jax.devices()), ("d",))
+    sys_ = HaloShardedSystem(mesh, V, pihna_physics, dmesh)
+    # per-device slab is O(N/D + boundary), not O(N): same scaling
+    # contract as the single-type halo system (test_halo.py)
+    assert sys_.plan.No_max < mesh.n_nodes // 2
+    st = sys_.initial_state(u0)
+    for _ in range(3):
+        st, it, res = sys_.step(st, params=p)
+        st_r, _, _ = ref.step(st_r, params=p)
+        assert float(res) < 1e-8
+    a, b = sys_.gather(st["u"]), np.asarray(st_r["u"])
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    assert rel < 1e-8, f"mixed halo/single-chip divergence {rel:.3e}"
+    # run_steps (per-step dispatch on mixed) reproduces the step() chain
+    st2, _, _ = sys_.run_steps(sys_.initial_state(u0), 3, params=p)
+    a2 = sys_.gather(st2["u"])
+    assert np.linalg.norm(a2 - a) / np.linalg.norm(a) < 1e-12
+
+
+def test_mixed_multichip_unsupported_features_rejected():
+    """Constraints / moving mesh stay single-type on the halo system and
+    are rejected with actionable errors on mixed meshes."""
+    import jax
+    from jax.sharding import Mesh as DeviceMesh
+
+    from rdcfes_tpu.models.pihna import pihna_physics
+    from rdcfes_tpu.parallel.halo import HaloShardedSystem
 
     m = box_mixed_mesh(4, 2, 2)
-    deck = Deck(io.StringIO("parallel/n_devices = 8\n"))
-    with pytest.raises(ValueError, match="mixed-element"):
-        make_rdc_system(m, 5, pihna_physics, deck)
+    dmesh = DeviceMesh(np.array(jax.devices()), ("d",))
+    with pytest.raises(ValueError, match="constraints"):
+        HaloShardedSystem(m, 5, pihna_physics, dmesh,
+                          constraints=np.zeros((1, 3), dtype=np.int64))
+    with pytest.raises(ValueError, match="moving_mesh"):
+        HaloShardedSystem(m, 5, pihna_physics, dmesh, moving_mesh=True)
 
 
 def test_prism_block_assembles():
