@@ -119,19 +119,29 @@ def run(deck_path: str = "input.dat") -> str:
                     else jnp.asarray(tracts))
 
     # driver-local geometry for the CSV quadrature loop (independent of the
-    # system's internal layout, which differs multi-chip)
+    # system's internal layout, which differs multi-chip); mixed meshes
+    # integrate per type block and concatenate in block order
     from ..fem.geometry import geometry_factors
-    _phi, _JxW, _dphi = geometry_factors(
-        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
-        mesh.elem_type)
-    _conn_T = jnp.asarray(mesh.connectivity.T)
+    _coords = jnp.asarray(mesh.coords)
+    if mesh.elem_type == "MIXED":
+        _geo = [(jnp.asarray(b.connectivity.T),)
+                + geometry_factors(_coords, jnp.asarray(b.connectivity),
+                                   b.elem_type)
+                for b in mesh.blocks]
+    else:
+        _geo = [(jnp.asarray(mesh.connectivity.T),)
+                + geometry_factors(_coords, jnp.asarray(mesh.connectivity),
+                                   mesh.elem_type)]
 
     def elem_averages(u: np.ndarray) -> np.ndarray:
         """JxW-integrated (A_b, Tau) per element — the quadrature loop of
         save_solution (src/adpm.C:765-781)."""
-        u_qp, _ = interpolate_at_qp(jnp.asarray(u).T, _conn_T, _phi, _dphi)
-        integ = jnp.einsum("vqe,qe->ve", u_qp[1:3], _JxW)
-        return np.asarray(integ).T  # (E, 2)
+        u_T = jnp.asarray(u).T
+        outs = []
+        for conn_T, phi_b, JxW_b, dphi_b in _geo:
+            u_qp, _ = interpolate_at_qp(u_T, conn_T, phi_b, dphi_b)
+            outs.append(jnp.einsum("vqe,qe->ve", u_qp[1:3], JxW_b))
+        return np.asarray(jnp.concatenate(outs, axis=1)).T  # (E, 2)
 
     def save(t: int, time_value: float):
         u = get_u(state)

@@ -30,6 +30,17 @@ def _elem_in_range(mesh, u_col: np.ndarray, lo: float, hi: float) -> np.ndarray:
     return _all_nodes_in_range(u_col[mesh.connectivity], lo, hi)
 
 
+def _elem_mask(mesh, u_cols, cond) -> np.ndarray:
+    """General per-element corner mask: `cond` maps one (E, K) corner
+    gather per column in `u_cols` to an (E,) bool; block-concatenated
+    on MixedMesh (element order matches element_volumes)."""
+    if getattr(mesh, "elem_type", None) == "MIXED":
+        return np.concatenate([
+            cond(*[c[b.connectivity] for c in u_cols])
+            for b in mesh.blocks])
+    return cond(*[c[mesh.connectivity] for c in u_cols])
+
+
 # ----------------------------------------------------------------------
 # PIHNA (src/pihna.C:842-976)
 # ----------------------------------------------------------------------
@@ -89,18 +100,18 @@ def adpm_row(csv: TextIO, mesh: Mesh, u: np.ndarray, time: float,
     (src/adpm.C:780-784 uses `=` not `+=`).
     """
     vols = mesh.element_volumes()
-    conn = mesh.connectivity
-    Ab_e = u[conn, 1]
-    Ta_e = u[conn, 2]
-    parcellation = sorted(int(s) for s in np.unique(mesh.subdomain_id))
+    subdomain = np.asarray(mesh.subdomain_id)
+    parcellation = sorted(int(s) for s in np.unique(subdomain))
 
     conc = {}
     for pid in parcellation:
-        last = np.nonzero(mesh.subdomain_id == pid)[0][-1]
+        last = np.nonzero(subdomain == pid)[0][-1]
         conc[pid] = (elem_avg[last, 0] / vols[last], elem_avg[last, 1] / vols[last])
 
-    ab_ok = _all_nodes_in_range(Ab_e, params["range_A_b_min"], params["range_A_b_max"])
-    ta_ok = _all_nodes_in_range(Ta_e, params["range_Tau_min"], params["range_Tau_max"])
+    ab_ok = _elem_in_range(mesh, u[:, 1],
+                           params["range_A_b_min"], params["range_A_b_max"])
+    ta_ok = _elem_in_range(mesh, u[:, 2],
+                           params["range_Tau_min"], params["range_Tau_max"])
 
     row = [f"{time:g}"]
     for pid in parcellation:
@@ -119,17 +130,12 @@ def adpm_row(csv: TextIO, mesh: Mesh, u: np.ndarray, time: float,
 def ripf_row(csv: TextIO, mesh: Mesh, u: np.ndarray, time: float,
              params: Dict[str, float]) -> None:
     vols = mesh.element_volumes()
-    conn = mesh.connectivity
-    HU_e = u[conn, 0]
-    cc_e = u[conn, 1]
-    fb_e = u[conn, 2]
-
-    tum = np.all(
+    tum = _elem_mask(mesh, (u[:, 0], u[:, 1]), lambda HU_e, cc_e: np.all(
         (HU_e >= params["range_cc_HU_min"]) & (HU_e <= params["range_cc_HU_max"])
-        & (cc_e >= params["range_cc_min"]), axis=1)
-    fib = np.all(
+        & (cc_e >= params["range_cc_min"]), axis=1))
+    fib = _elem_mask(mesh, (u[:, 0], u[:, 2]), lambda HU_e, fb_e: np.all(
         (HU_e >= params["range_fb_HU_min"]) & (HU_e <= params["range_fb_HU_max"])
-        & (fb_e >= params["range_fb_min"]), axis=1)
+        & (fb_e >= params["range_fb_min"]), axis=1))
 
     csv.write(f"{time:g},{vols[tum].sum():g},{vols[fib].sum():g}\n")
     csv.flush()

@@ -525,6 +525,14 @@ class HaloShardedSystem(HaloExchangeMixin):
                 self._phis.append(phi_b)
                 self._mixed_types.append(pb["elem_type"])
             self._mixed = tabs
+            # host metadata for per-block elemental aux fields (ADPM
+            # tracts etc.): concat-order element ids of each block's
+            # elements in shard order + per-shard counts, consumed by
+            # shard_elem_field's mixed branch
+            self._mixed_meta = [{
+                "counts": pb["counts"], "Eb": pb["Eb"],
+                "concat_ids": plan.elem_order[pb["sorted_concat_idx"]],
+            } for pb in per_block]
             self.rev_gather_s = jax.device_put(
                 plan.rev_gather, shard_last(P("d")))
             self.send_idx_s = tuple(
@@ -635,7 +643,13 @@ class HaloShardedSystem(HaloExchangeMixin):
         sharded along the shard axis, elements permuted into partition
         order and zero-padded, original axis order preserved per shard
         (the reference's aux systems are owner-local the same way, e.g.
-        Tracts adpm.C:230-262)."""
+        Tracts adpm.C:230-262).
+
+        On mixed meshes the field arrives in block-concat element order
+        and returns a TUPLE of per-block (D, Eb_b, ...) slabs (one per
+        MixedMesh block, matching _step_shard_mixed's kernel batches)."""
+        if self._mixed is not None:
+            return self._shard_elem_field_mixed(arr, axis)
         plan = self.plan
         a = np.asarray(arr)
         a = np.moveaxis(a, axis, -1)
@@ -649,6 +663,26 @@ class HaloShardedSystem(HaloExchangeMixin):
         # restore the caller's axis order behind the leading shard axis
         out = np.moveaxis(out, -1, axis if axis < 0 else axis + 1)
         return jax.device_put(jnp.asarray(out), self._state_sharding)
+
+    def _shard_elem_field_mixed(self, arr, axis: int = 0):
+        """Mixed-mesh variant: (n_elems, ...) block-concat order -> tuple
+        of per-block (D, Eb_b, ...) padded slabs in shard order."""
+        assert axis == 0, "mixed meshes take elemental fields as (E, ...)"
+        a = np.asarray(arr)
+        assert a.shape[0] == self.plan.n_elems, "axis 0 must index elements"
+        D = self.plan.D
+        out = []
+        for meta in self._mixed_meta:
+            sel = a[meta["concat_ids"]]
+            slab = np.zeros((D, meta["Eb"]) + a.shape[1:], a.dtype)
+            off = 0
+            for s in range(D):
+                n_s = int(meta["counts"][s])
+                slab[s, :n_s] = sel[off:off + n_s]
+                off += n_s
+            out.append(jax.device_put(jnp.asarray(slab),
+                                      self._state_sharding))
+        return tuple(out)
 
     def scatter_nodal(self, arr: np.ndarray) -> jnp.ndarray:
         """(N, V) global original-order -> (D, V, No_max) distributed."""
@@ -829,11 +863,11 @@ class HaloShardedSystem(HaloExchangeMixin):
         ghost-filled old solution, block restrictions summed in
         _linear_stage_blocks — the distributed counterpart of
         MixedTransientRDCSystem (one ghost exchange per matvec regardless
-        of block count)."""
+        of block count).  Elemental aux fields arrive as per-block
+        tuples from shard_elem_field's mixed branch; non-tuple entries
+        (nodal / replicated) are shared across blocks."""
         u = u_blk["u"][0]
         msk = mask[0]
-        fields = {k: v[0] for k, v in efields.items()}
-        fields.update(scalars)
         ug = self._ghost_fill(u, send_tabs)
         eblocks = []
         for bi, tab in enumerate(tabs):
@@ -842,6 +876,9 @@ class HaloShardedSystem(HaloExchangeMixin):
             dphi = tab["dphi"][0]      # (Q, Kb, 3, Eb_b)
             ng = tab["ng"][0]
             phi = self._phis[bi]
+            fields = {k: (v[bi][0] if isinstance(v, tuple) else v[0])
+                      for k, v in efields.items()}
+            fields.update(scalars)
             u_qp, grad_qp = interpolate_at_qp(ug, conn, phi, dphi)
             wf = self.physics(u_qp, grad_qp, fields, params)
             Fe = element_vectors(wf, phi, JxW, dphi)

@@ -92,6 +92,15 @@ class MixedTransientRDCSystem:
 
         coords = jnp.asarray(mesh.coords)
         self._blk = []
+        # concat-order [start, start+n) range of each block: elemental
+        # aux fields (e.g. ADPM tracts, adpm.C:32-37) arrive as one
+        # (n_elems, ...) array over the block-concatenated element order
+        # and are sliced per block before the physics call
+        off = 0
+        self._block_off = []
+        for b in mesh.blocks:
+            self._block_off.append((off, b.n_elems))
+            off += b.n_elems
         for b in mesh.blocks:
             conn = jnp.asarray(b.connectivity)
             sp = build_sparsity(b.connectivity, mesh.n_nodes)
@@ -122,12 +131,27 @@ class MixedTransientRDCSystem:
                 for k, v in gstate.items()}
 
     # ------------------------------------------------------------------
-    def _block_kernels(self, blk, u_T, fields, params):
+    def _fields_for_block(self, bi, fields):
+        """Slice elemental aux fields (leading axis == n_elems, e.g. ADPM
+        tracts) to block bi's concat-order range; everything else (nodal
+        fields, scalars) passes through unchanged."""
+        off, nb = self._block_off[bi]
+        out = {}
+        for k, v in (fields or {}).items():
+            if (getattr(v, "ndim", 0) >= 1
+                    and v.shape[0] == self.mesh.n_elems):
+                out[k] = v[off:off + nb]
+            else:
+                out[k] = v
+        return out
+
+    def _block_kernels(self, bi, blk, u_T, fields, params):
         """(Fe, Ke, diag_e) of one block from the linearized-CN weak form
         — the per-type instance of TransientRDCSystem._element_kernels."""
         u_qp, grad_qp = interpolate_at_qp(u_T, blk["conn_T"], blk["phi"],
                                           blk["dphi"])
-        wf = self.physics(u_qp, grad_qp, fields, params)
+        wf = self.physics(u_qp, grad_qp,
+                          self._fields_for_block(bi, fields), params)
         Fe = element_vectors(wf, blk["phi"], blk["JxW"], blk["dphi"])
         Ke, diag_e = element_matrices(
             wf, blk["phi"], blk["JxW"], blk["dphi"],
@@ -160,8 +184,9 @@ class MixedTransientRDCSystem:
     def _assemble_all(self, u_T, fields, params):
         V = self.n_vars
         Fes, Kes, b, diag = [], [], None, None
-        for blk in self._blk:
-            Fe, Ke, diag_e = self._block_kernels(blk, u_T, fields, params)
+        for bi, blk in enumerate(self._blk):
+            Fe, Ke, diag_e = self._block_kernels(bi, blk, u_T, fields,
+                                                 params)
             Kes.append(Ke)
             bb = assemble_vector_gather(Fe, blk["node_gather"])
             db = self._restrict(
@@ -196,7 +221,11 @@ class MixedTransientRDCSystem:
 
     def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0):
         """f32 inner BiCGStab + f64 residual correction (the same
-        iterative refinement as TransientRDCSystem._solve_mixed)."""
+        iterative refinement as TransientRDCSystem._solve_mixed), with an
+        f64 fallback solve when the refinement stalls — f32 inner sweeps
+        stagnate on strongly advection-dominated operators (taxis CFL of
+        a few; poor-quality transition elements lower the threshold),
+        where the reference's f64 PETSc KSP still converges."""
         f32 = jnp.float32
         bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
         safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
@@ -218,7 +247,15 @@ class MixedTransientRDCSystem:
         init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
-        return x, iters, rnorm / safe_b
+
+        def fallback(x):
+            r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=self.rtol,
+                         maxiter=self.maxiter)
+            return r.x, iters + r.iters, r.residual
+
+        return jax.lax.cond(
+            rnorm > tol, fallback,
+            lambda x: (x, iters, rnorm / safe_b), x)
 
     def _step_impl(self, state, fields, params):
         Kes, b, diag = self._assemble_all(state["u"].T, fields, params)
@@ -271,10 +308,12 @@ class MixedTransientRDCSystem:
         V, N = self.n_vars, self.mesh.n_nodes
         A = None
         b = None
-        for blk, mb in zip(self._blk, self.mesh.blocks):
+        for bi, (blk, mb) in enumerate(zip(self._blk, self.mesh.blocks)):
             u_qp, grad_qp = interpolate_at_qp(
                 jnp.asarray(u_T), blk["conn_T"], blk["phi"], blk["dphi"])
-            wf = self.physics(u_qp, grad_qp, fields or {}, params or {})
+            wf = self.physics(u_qp, grad_qp,
+                              self._fields_for_block(bi, fields or {}),
+                              params or {})
             Fe = element_vectors(wf, blk["phi"], blk["JxW"], blk["dphi"])
             Ke = element_matrices(wf, blk["phi"], blk["JxW"], blk["dphi"],
                                   grad_const=(blk["elem_type"] == "TET4"))

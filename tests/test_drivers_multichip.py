@@ -103,6 +103,21 @@ def test_adpm_multichip(in_tmp):
     _run_both(adpm, prep, {"csv": _csv_rows})
 
 
+def test_adpm_multichip_mixed_mesh(in_tmp):
+    """Mixed-element ADPM multi-chip: elemental Tracts ride the per-block
+    tuple path of shard_elem_field; also regression for the f64 fallback
+    in the single-chip mixed refinement (the deck's taxis amplitude
+    stalls the f32 inner sweeps on transition elements)."""
+    from rdcfes_tpu.drivers import adpm
+
+    def prep():
+        cases.make_adpm_case(".", n=4, n_steps=2, mixed=True)
+        return open("input.dat").read().replace("output_step = 20",
+                                                "output_step = 2")
+
+    _run_both(adpm, prep, {"csv": _csv_rows})
+
+
 def test_proteas_multichip(in_tmp):
     from rdcfes_tpu.drivers import proteas
 
