@@ -134,11 +134,18 @@ decay/a = 5678.4
 
 
 def make_ripf_case(directory: str, n: int = 16, seed: int = 2,
-                   n_steps: int = 120) -> str:
+                   n_steps: int = 120, mixed: bool = False) -> str:
     """Synthetic RIPF lung-fibrosis case (deck values = run/RIPF133/input.dat;
     the real case is 15,700 nodes)."""
     os.makedirs(directory, exist_ok=True)
-    mesh = box_tet_mesh(n, n, n, bounds=((0, 250.0), (0, 180.0), (0, 250.0)))
+    if mixed:
+        from .mesh import box_mixed_mesh
+
+        mesh = box_mixed_mesh(max(n, 3), n, n,
+                              bounds=((0, 250.0), (0, 180.0), (0, 250.0)))
+    else:
+        mesh = box_tet_mesh(n, n, n,
+                            bounds=((0, 250.0), (0, 180.0), (0, 250.0)))
     gmsh.write(mesh, os.path.join(directory, "Lung_Model.msh"))
 
     rng = np.random.default_rng(seed)
@@ -281,7 +288,7 @@ decay/Tau/pulse/0 = 0.0005
 
 
 def make_proteas_case(directory: str, n: int = 12, seed: int = 3,
-                      n_steps: int = 40) -> str:
+                      n_steps: int = 40, mixed: bool = False) -> str:
     """Synthetic PROTEAS radiotherapy-response case.
 
     No run/ deck ships for PROTEAS (it is the only driver taking
@@ -290,8 +297,14 @@ def make_proteas_case(directory: str, n: int = 12, seed: int = 3,
     a brain-like hos/tum/nec/vsc/oed composition and a CT+RT-dose aux
     field."""
     os.makedirs(directory, exist_ok=True)
-    mesh = box_tet_mesh(n, n, n,
-                        bounds=((0, 100.0), (0, 100.0), (0, 100.0)))
+    if mixed:
+        from .mesh import box_mixed_mesh
+
+        mesh = box_mixed_mesh(max(n, 3), n, n,
+                              bounds=((0, 100.0),) * 3)
+    else:
+        mesh = box_tet_mesh(n, n, n,
+                            bounds=((0, 100.0), (0, 100.0), (0, 100.0)))
     gmsh.write(mesh, os.path.join(directory, "Proteas_Model.msh"))
 
     rng = np.random.default_rng(seed)

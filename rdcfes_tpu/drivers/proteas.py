@@ -111,18 +111,31 @@ def run(deck_path: str = "input.dat") -> str:
     sharded = hasattr(system, "shard_elem_field")
 
     # RTD at quadrature points (fixed for the whole run: AUX is static);
-    # shape-function table from the element tables, system-independent
+    # shape-function table from the element tables, system-independent.
+    # Mixed meshes sample per type block (per-block Q differs) and pass
+    # the per-block tuple the mixed systems expect.
     from ..fem.elements import tabulate
-    conn = np.asarray(mesh.connectivity)
-    phi = tabulate(mesh.elem_type)[0]  # (Q, K)
-    if sampling == "reference":
-        # the reference's sampling quirk: phi_1(qp) * HU(local node 1)
-        # channel-first (Q, E)
-        RTD_qp = phi[:, 1][:, None] * aux[conn[:, 1], 0][None, :]
+    if mesh.elem_type == "MIXED":
+        cblocks = [(np.asarray(b.connectivity), tabulate(b.elem_type)[0])
+                   for b in mesh.blocks]
     else:
-        RTD_qp = np.einsum("qk,ek->qe", phi, aux[conn, 1])
-    fields = {"RTD": (system.shard_elem_field(RTD_qp) if sharded
-                      else jnp.asarray(RTD_qp))}
+        cblocks = [(np.asarray(mesh.connectivity),
+                    tabulate(mesh.elem_type)[0])]
+    RTD_list = []
+    for conn, phi in cblocks:
+        if sampling == "reference":
+            # the reference's sampling quirk: phi_1(qp) * HU(local node 1)
+            # channel-first (Q, E)
+            RTD_list.append(phi[:, 1][:, None] * aux[conn[:, 1], 0][None, :])
+        else:
+            RTD_list.append(np.einsum("qk,ek->qe", phi, aux[conn, 1]))
+    if mesh.elem_type == "MIXED":
+        RTD_f = (system.shard_elem_field(tuple(RTD_list), axis=-1)
+                 if sharded else tuple(jnp.asarray(r) for r in RTD_list))
+    else:
+        RTD_f = (system.shard_elem_field(RTD_list[0]) if sharded
+                 else jnp.asarray(RTD_list[0]))
+    fields = {"RTD": RTD_f}
 
     paraview = ParaviewWriter(mesh)
     # on resume into the same results dir, extend instead of truncating

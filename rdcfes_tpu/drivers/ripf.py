@@ -135,12 +135,20 @@ def run(deck_path: str = "input.dat") -> str:
             physics_blocks=ripf_blocks)
         state = put_state(u0)
     sharded = hasattr(system, "shard_elem_field")
-    # driver-local geometry for the TD qp fields (system-independent)
+    # driver-local geometry for the TD qp fields (system-independent);
+    # mixed meshes sample per type block
     from ..fem.geometry import geometry_factors
-    _phi, _JxW, _dphi = geometry_factors(
-        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
-        mesh.elem_type)
-    _conn_T = jnp.asarray(mesh.connectivity.T)
+    _coords = jnp.asarray(mesh.coords)
+    _mixed = mesh.elem_type == "MIXED"
+    if _mixed:
+        _geo = [(jnp.asarray(b.connectivity.T),)
+                + geometry_factors(_coords, jnp.asarray(b.connectivity),
+                                   b.elem_type)
+                for b in mesh.blocks]
+    else:
+        _geo = [(jnp.asarray(mesh.connectivity.T),)
+                + geometry_factors(_coords, jnp.asarray(mesh.connectivity),
+                                   mesh.elem_type)]
 
     # --- check_solution state (TD fields, RT schedule) --------------------
     td = np.zeros((mesh.n_nodes, 3))
@@ -167,17 +175,28 @@ def run(deck_path: str = "input.dat") -> str:
 
     def qp_fields():
         stacked = jnp.asarray(np.stack([td[:, 1], td[:, 2], rt_total], axis=0))
-        vals_qp, grads_qp = interpolate_at_qp(stacked, _conn_T, _phi, _dphi)
-        g = grads_qp[2]  # (Q, 3, E)
-        norm = jnp.linalg.norm(g, axis=-2, keepdims=True)
-        out = {
-            "cc_dtime": vals_qp[0],
-            "fb_dtime": vals_qp[1],
-            "RT": vals_qp[2],
-            "RT_grad_unit": jnp.where(norm > 0.0, g / jnp.where(norm == 0, 1.0, norm), 0.0),
-        }
-        if sharded:
-            out = {k: system.shard_elem_field(np.asarray(v)) for k, v in out.items()}
+        parts = {"cc_dtime": [], "fb_dtime": [], "RT": [], "RT_grad_unit": []}
+        for _conn_T, _phi, _JxW, _dphi in _geo:
+            vals_qp, grads_qp = interpolate_at_qp(stacked, _conn_T, _phi,
+                                                  _dphi)
+            g = grads_qp[2]  # (Q, 3, E)
+            norm = jnp.linalg.norm(g, axis=-2, keepdims=True)
+            parts["cc_dtime"].append(vals_qp[0])
+            parts["fb_dtime"].append(vals_qp[1])
+            parts["RT"].append(vals_qp[2])
+            parts["RT_grad_unit"].append(jnp.where(
+                norm > 0.0, g / jnp.where(norm == 0, 1.0, norm), 0.0))
+        if _mixed:
+            out = {k: tuple(v) for k, v in parts.items()}
+            if sharded:
+                out = {k: system.shard_elem_field(
+                    tuple(np.asarray(b) for b in v), axis=-1)
+                    for k, v in out.items()}
+        else:
+            out = {k: v[0] for k, v in parts.items()}
+            if sharded:
+                out = {k: system.shard_elem_field(np.asarray(v))
+                       for k, v in out.items()}
         return out
 
     # initial check before the loop (src/ripf.C:50-53)

@@ -529,10 +529,13 @@ class HaloShardedSystem(HaloExchangeMixin):
             # tracts etc.): concat-order element ids of each block's
             # elements in shard order + per-shard counts, consumed by
             # shard_elem_field's mixed branch
+            starts = np.concatenate(
+                [[0], np.cumsum([b.n_elems for b in mesh.blocks])])
             self._mixed_meta = [{
                 "counts": pb["counts"], "Eb": pb["Eb"],
                 "concat_ids": plan.elem_order[pb["sorted_concat_idx"]],
-            } for pb in per_block]
+                "start": int(starts[bi]),
+            } for bi, pb in enumerate(per_block)]
             self.rev_gather_s = jax.device_put(
                 plan.rev_gather, shard_last(P("d")))
             self.send_idx_s = tuple(
@@ -665,13 +668,35 @@ class HaloShardedSystem(HaloExchangeMixin):
         return jax.device_put(jnp.asarray(out), self._state_sharding)
 
     def _shard_elem_field_mixed(self, arr, axis: int = 0):
-        """Mixed-mesh variant: (n_elems, ...) block-concat order -> tuple
-        of per-block (D, Eb_b, ...) padded slabs in shard order."""
+        """Mixed-mesh variant -> tuple of per-block (D, ...) padded slabs
+        in shard order.  Two input forms:
+
+        - one (n_elems, ...) array in block-concat element order
+          (axis=0), e.g. ADPM tracts;
+        - a tuple/list of per-block arrays with the element axis LAST
+          (axis=-1), e.g. driver-sampled qp fields whose leading Q
+          differs per element type."""
+        D = self.plan.D
+        out = []
+        if isinstance(arr, (tuple, list)):
+            assert axis == -1, "per-block fields take elements on axis -1"
+            assert len(arr) == len(self._mixed_meta)
+            for meta, a in zip(self._mixed_meta, arr):
+                a = np.asarray(a)
+                sel = a[..., meta["concat_ids"] - meta["start"]]
+                slab = np.zeros((D,) + a.shape[:-1] + (meta["Eb"],),
+                                a.dtype)
+                off = 0
+                for s in range(D):
+                    n_s = int(meta["counts"][s])
+                    slab[s][..., :n_s] = sel[..., off:off + n_s]
+                    off += n_s
+                out.append(jax.device_put(jnp.asarray(slab),
+                                          self._state_sharding))
+            return tuple(out)
         assert axis == 0, "mixed meshes take elemental fields as (E, ...)"
         a = np.asarray(arr)
         assert a.shape[0] == self.plan.n_elems, "axis 0 must index elements"
-        D = self.plan.D
-        out = []
         for meta in self._mixed_meta:
             sel = a[meta["concat_ids"]]
             slab = np.zeros((D, meta["Eb"]) + a.shape[1:], a.dtype)

@@ -133,12 +133,16 @@ class MixedTransientRDCSystem:
     # ------------------------------------------------------------------
     def _fields_for_block(self, bi, fields):
         """Slice elemental aux fields (leading axis == n_elems, e.g. ADPM
-        tracts) to block bi's concat-order range; everything else (nodal
-        fields, scalars) passes through unchanged."""
+        tracts) to block bi's concat-order range; per-block TUPLES (one
+        entry per block, e.g. driver-sampled qp fields whose Q differs by
+        element type) select entry bi; everything else (nodal fields,
+        scalars) passes through unchanged."""
         off, nb = self._block_off[bi]
         out = {}
         for k, v in (fields or {}).items():
-            if (getattr(v, "ndim", 0) >= 1
+            if isinstance(v, (tuple, list)):
+                out[k] = v[bi]
+            elif (getattr(v, "ndim", 0) >= 1
                     and v.shape[0] == self.mesh.n_elems):
                 out[k] = v[off:off + nb]
             else:

@@ -143,6 +143,35 @@ def test_ripf_multichip(in_tmp):
     _run_both(ripf, prep, {"csv": _csv_rows})
 
 
+def test_proteas_multichip_mixed_mesh(in_tmp):
+    """Mixed-element PROTEAS: per-block qp-sampled RTD aux rides the
+    tuple form of shard_elem_field (element axis last, per-block Q)."""
+    from rdcfes_tpu.drivers import proteas
+
+    def prep():
+        cases.make_proteas_case(".", n=3, n_steps=2, mixed=True)
+        return open("input.dat").read()
+
+    _run_both(proteas, prep, {
+        "tum": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "tum"),
+    })
+
+
+def test_ripf_multichip_mixed_mesh(in_tmp):
+    """Mixed-element RIPF: the four per-step TD/RT qp fields (including
+    the (Q, 3, E) RT gradient) ride the per-block tuple path."""
+    from rdcfes_tpu.drivers import ripf
+
+    def prep():
+        cases.make_ripf_case(".", n=4, n_steps=3, mixed=True)
+        return open("input.dat").read().replace(
+            "output_time_points = ' 10 30 60 90 120 '",
+            "output_time_points = ' 3 '",
+        )
+
+    _run_both(ripf, prep, {"csv": _csv_rows})
+
+
 def test_pihna_multichip_with_amr(in_tmp):
     """Selective AMR under distributed execution: flags are computed from
     the gathered state, the mesh adapts identically, and the halo system
