@@ -20,10 +20,13 @@ gathers and block rolls.  Stage routing comes from recursive bipartite
 edge coloring (König: a 2^k-regular bipartite multigraph splits into
 perfect matchings by repeated Euler-circuit halving).
 
-This module is pure NumPy (host, setup time): it builds the five stage
+This module runs on the host at setup time: it builds the five stage
 index tables for a given destination<-source map and provides a NumPy
 reference `apply_plan` for unit tests; the device kernel that consumes
-the tables lives in fem/pallas_perm.py.
+the tables lives in fem/pallas_perm.py.  The edge-coloring walks (the
+setup-time hot path, ~30 s in pure Python at bench scale) dispatch to
+the native C++ walker (native/meshkit.cpp meshkit_benes_color_batch)
+when libmeshkit.so is built, with a pure-Python fallback.
 
 Reference context: this machinery replaces the XLA gathers under the
 reference's PETSc SpMV (src/pihna.C:80) — measured at ~0.2 G indices/s in
@@ -112,6 +115,25 @@ def edge_color_bipartite(src: np.ndarray, dst: np.ndarray, n_left: int,
     return colors
 
 
+def edge_color_batch(src: np.ndarray, dst: np.ndarray, seg_ptr: np.ndarray,
+                     n_left: int, n_right: int, degree: int) -> np.ndarray:
+    """Batched edge coloring over independent segments (the router's hot
+    path): native C++ walker when libmeshkit is built, else the Python
+    walker per segment.  Any valid coloring yields a valid plan, so the
+    two backends are interchangeable."""
+    from ..native import benes_color_batch
+
+    out = benes_color_batch(src, dst, seg_ptr, n_left, n_right, degree)
+    if out is not None:
+        return out
+    colors = np.empty(len(src), dtype=np.int32)
+    for s in range(len(seg_ptr) - 1):
+        lo, hi = int(seg_ptr[s]), int(seg_ptr[s + 1])
+        colors[lo:hi] = edge_color_bipartite(src[lo:hi], dst[lo:hi],
+                                             n_left, n_right, degree)
+    return colors
+
+
 # ----------------------------------------------------------------------
 # the five-stage plan
 # ----------------------------------------------------------------------
@@ -159,24 +181,24 @@ def _a_stage_tables(a_src_of_dst: np.ndarray, A: int, AP: int):
     full[:A] = a_src_of_dst
     full[A:] = np.arange(A, AP, dtype=np.int64)[:, None]
 
-    jA1 = np.zeros((AP, C), dtype=np.uint8)
-    rA = np.zeros((AP, C), dtype=np.uint8)
-    jA2 = np.zeros((AP, C), dtype=np.uint8)
-
     a_dst = np.broadcast_to(np.arange(AP)[:, None], (AP, C))
     u = (full // BLK).astype(np.int64)        # source block per (dst, col)
     v = (a_dst // BLK).astype(np.int64)       # dest block
-    # color per column: edges (u -> v), 8-regular on nb+nb vertices
-    for c in range(C):
-        col = edge_color_bipartite(u[:, c], v[:, c], nb, nb, BLK)
-        # element with color s travels at within-block position s
-        # stage jA1: within SOURCE block u: position s <- a_src % 8
-        jA1[u[:, c] * BLK + col, c] = (full[:, c] % BLK).astype(np.uint8)
-        # stage rA: target slot (v, s) pulls from block u: roll distance
-        rA[v[:, c] * BLK + col, c] = ((v[:, c] - u[:, c]) % nb).astype(
-            np.uint8)
-        # stage jA2: within DEST block: dest row a_dst reads position col
-        jA2[np.arange(AP), c] = col.astype(np.uint8)
+    # color per column: edges (u -> v), 8-regular on nb+nb vertices,
+    # one batched call (C independent segments, column-major layout)
+    seg_ptr = np.arange(C + 1, dtype=np.int64) * AP
+    col = edge_color_batch(u.T.reshape(-1), v.T.reshape(-1), seg_ptr,
+                           nb, nb, BLK).reshape(C, AP).T.astype(np.int64)
+    cgrid = np.broadcast_to(np.arange(C), (AP, C))
+    jA1 = np.zeros((AP, C), dtype=np.uint8)
+    rA = np.zeros((AP, C), dtype=np.uint8)
+    # element with color s travels at within-block position s
+    # stage jA1: within SOURCE block u: position s <- a_src % 8
+    jA1[u * BLK + col, cgrid] = (full % BLK).astype(np.uint8)
+    # stage rA: target slot (v, s) pulls from block u: roll distance
+    rA[v * BLK + col, cgrid] = ((v - u) % nb).astype(np.uint8)
+    # stage jA2: within DEST block: dest row a_dst reads position col
+    jA2 = col.astype(np.uint8)
     return jA1, rA, jA2
 
 
@@ -201,24 +223,28 @@ def build_grid_permutation(src_of_dst: np.ndarray, A: int = 36,
     r_d = a_d * B + b_d
 
     # ---- level 1: color by lane t (128-regular rows multigraph) -------
-    t = edge_color_bipartite(r_s, r_d, A * B, A * B, L)
+    t = edge_color_batch(r_s, r_d, np.array([0, T], dtype=np.int64),
+                         A * B, A * B, L)
     iL1 = np.zeros((A * B, L), dtype=np.uint8)
     iL1[r_s, t] = l_s.astype(np.uint8)
 
     # ---- level 2 per lane: rows bijection -> color by b' --------------
+    # one batched coloring call over the L per-lane segments, then
+    # vectorized table scatters (each destination written exactly once)
+    order = np.argsort(t, kind="stable")
+    t_o = t[order].astype(np.int64)
+    seg_ptr = np.searchsorted(t_o, np.arange(L + 1, dtype=np.int64))
+    As, Bs = a_s[order], b_s[order]
+    Ad, Bd = a_d[order], b_d[order]
+    bp = edge_color_batch(As, Ad, seg_ptr, A, A, B).astype(np.int64)
     iB1 = np.zeros((A, B, L), dtype=np.uint8)
     a_src_tab = np.zeros((A, B * L), dtype=np.int64)  # A-stage per (b', t)
     iB2 = np.zeros((A, B, L), dtype=np.uint8)
     iL2 = np.zeros((A * B, L), dtype=np.uint8)
-    for lane in range(L):
-        sel = np.nonzero(t == lane)[0]          # one edge per row each side
-        As, Bs = a_s[sel], b_s[sel]
-        Ad, Bd = a_d[sel], b_d[sel]
-        bp = edge_color_bipartite(As, Ad, A, A, B)
-        iB1[As, bp, lane] = Bs.astype(np.uint8)
-        a_src_tab[Ad, bp * L + lane] = As
-        iB2[Ad, Bd, lane] = bp.astype(np.uint8)
-        iL2[Ad * B + Bd, l_d[sel]] = np.uint8(lane)
+    iB1[As, bp, t_o] = Bs.astype(np.uint8)
+    a_src_tab[Ad, bp * L + t_o] = As
+    iB2[Ad, Bd, t_o] = bp.astype(np.uint8)
+    iL2[Ad * B + Bd, l_d[order]] = t_o.astype(np.uint8)
 
     jA1, rA, jA2 = _a_stage_tables(a_src_tab, A, AP)
     return GridPermPlan(A=A, B=B, L=L, AP=AP, iL1=iL1, iB1=iB1, jA1=jA1,

@@ -56,8 +56,36 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.meshkit_free.argtypes = [ctypes.c_void_p]
+    lib.meshkit_benes_color_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.meshkit_benes_color_batch.restype = ctypes.c_int32
     _lib = lib
     return lib
+
+
+def benes_color_batch(src: np.ndarray, dst: np.ndarray, seg_ptr: np.ndarray,
+                      n_left: int, n_right: int, degree: int):
+    """Native batched bipartite edge coloring (the Benes-router hot path,
+    fem/benes.py).  Returns (E,) int32 colors, or None when the shared
+    library is absent (callers fall back to the pure-Python walker)."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    seg_ptr = np.ascontiguousarray(seg_ptr, dtype=np.int64)
+    colors = np.empty(len(src), dtype=np.int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.meshkit_benes_color_batch(
+        src.ctypes.data_as(i64p), dst.ctypes.data_as(i64p),
+        seg_ptr.ctypes.data_as(i64p), len(seg_ptr) - 1, n_left, n_right,
+        degree, colors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if rc != 0:
+        raise RuntimeError("meshkit_benes_color_batch failed")
+    return colors
 
 
 def available() -> bool:

@@ -270,4 +270,114 @@ void meshkit_partition_rcb(const double* centers, int64_t E, int32_t n_parts,
   rcb(centers, ids, 0, n_parts, part_out);
 }
 
+// ---------------------------------------------------------------------------
+// Bipartite edge coloring by recursive Euler-circuit halving (Gabow)
+// ---------------------------------------------------------------------------
+// Host-side router of the Benes permutation kernels (fem/benes.py): a
+// 2^k-regular bipartite multigraph splits into perfect matchings by
+// repeatedly orienting Euler circuits and keeping each direction class.
+// This is the setup-time critical path of the TPU fast-gather plans
+// (tens of seconds in pure Python at production scale, dominated by the
+// per-edge circuit walks), replacing the routing libMesh/PETSc never
+// needed because CPUs gather natively.
+
+namespace {
+
+struct EulerWS {  // reusable workspace across recursion levels
+  std::vector<int64_t> adj;     // 2E edge slots sorted by endpoint
+  std::vector<int64_t> ptr;     // nv + 1
+  std::vector<int64_t> cursor;  // per-vertex scan position
+  std::vector<int64_t> deg;
+  std::vector<uint8_t> used;    // per local edge
+  std::vector<uint8_t> side;    // per local edge: true = left-to-right
+};
+
+// Split the sub-multigraph over edge ids `idx` into two regular halves.
+// side[i] (local, parallel to idx) = true for the first half.
+void euler_split(const int64_t* src, const int64_t* dst, int64_t n_left,
+                 int64_t n_right, const std::vector<int64_t>& idx,
+                 EulerWS& ws) {
+  const int64_t E = (int64_t)idx.size();
+  const int64_t nv = n_left + n_right;
+  ws.deg.assign(nv, 0);
+  for (int64_t i = 0; i < E; ++i) {
+    ++ws.deg[src[idx[i]]];
+    ++ws.deg[n_left + dst[idx[i]]];
+  }
+  ws.ptr.assign(nv + 1, 0);
+  for (int64_t v = 0; v < nv; ++v) ws.ptr[v + 1] = ws.ptr[v] + ws.deg[v];
+  ws.adj.resize(2 * E);
+  ws.cursor.assign(ws.ptr.begin(), ws.ptr.end() - 1);
+  for (int64_t i = 0; i < E; ++i) {
+    ws.adj[ws.cursor[src[idx[i]]]++] = i;
+    ws.adj[ws.cursor[n_left + dst[idx[i]]]++] = i;
+  }
+  ws.cursor.assign(ws.ptr.begin(), ws.ptr.end() - 1);
+  ws.used.assign(E, 0);
+  ws.side.assign(E, 0);
+  for (int64_t start_v = 0; start_v < nv; ++start_v) {
+    for (;;) {
+      int64_t c = ws.cursor[start_v];
+      while (c < ws.ptr[start_v + 1] && ws.used[ws.adj[c]]) ++c;
+      ws.cursor[start_v] = c;
+      if (c >= ws.ptr[start_v + 1]) break;
+      int64_t v = start_v;
+      for (;;) {  // walk one circuit, orienting edges alternately
+        int64_t cv = ws.cursor[v];
+        while (cv < ws.ptr[v + 1] && ws.used[ws.adj[cv]]) ++cv;
+        ws.cursor[v] = cv;
+        if (cv >= ws.ptr[v + 1]) break;
+        int64_t e = ws.adj[cv];
+        ws.used[e] = 1;
+        if (v < n_left) {
+          ws.side[e] = 1;
+          v = n_left + dst[idx[e]];
+        } else {
+          ws.side[e] = 0;
+          v = src[idx[e]];
+        }
+      }
+    }
+  }
+}
+
+void color_rec(const int64_t* src, const int64_t* dst, int64_t n_left,
+               int64_t n_right, std::vector<int64_t>& idx, int32_t base,
+               int32_t k, int32_t* colors, EulerWS& ws) {
+  if (k == 1) {
+    for (int64_t e : idx) colors[e] = base;
+    return;
+  }
+  euler_split(src, dst, n_left, n_right, idx, ws);
+  std::vector<int64_t> a, b;
+  a.reserve(idx.size() / 2);
+  b.reserve(idx.size() / 2);
+  for (size_t i = 0; i < idx.size(); ++i)
+    (ws.side[i] ? a : b).push_back(idx[i]);
+  color_rec(src, dst, n_left, n_right, a, base, k / 2, colors, ws);
+  color_rec(src, dst, n_left, n_right, b, base + k / 2, k / 2, colors, ws);
+}
+
+}  // namespace
+
+// Color n_seg independent `degree`-regular bipartite multigraphs (edges of
+// segment s are [seg_ptr[s], seg_ptr[s+1]) in src/dst, vertex ids local to
+// the segment).  degree must be a power of two.  colors: out, per edge, in
+// [0, degree).  Returns 0 on success.
+int32_t meshkit_benes_color_batch(const int64_t* src, const int64_t* dst,
+                                  const int64_t* seg_ptr, int64_t n_seg,
+                                  int64_t n_left, int64_t n_right,
+                                  int32_t degree, int32_t* colors) {
+  if (degree <= 0 || (degree & (degree - 1))) return -1;
+  EulerWS ws;
+  for (int64_t s = 0; s < n_seg; ++s) {
+    int64_t lo = seg_ptr[s], hi = seg_ptr[s + 1];
+    if (hi < lo) return -1;
+    std::vector<int64_t> idx((size_t)(hi - lo));
+    for (int64_t i = lo; i < hi; ++i) idx[(size_t)(i - lo)] = i;
+    color_rec(src, dst, n_left, n_right, idx, 0, degree, colors, ws);
+  }
+  return 0;
+}
+
 }  // extern "C"

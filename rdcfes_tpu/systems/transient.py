@@ -421,7 +421,18 @@ class TransientRDCSystem:
         init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
-        return x, iters, rnorm / safe_b
+        # f64 fallback when the refinement stalls (f32 inner sweeps
+        # stagnate on strongly advection-dominated operators where the
+        # reference's f64 PETSc KSP still converges); dense-Ke path only
+        # — the kernel fast path stays single-program (PERF.md section 5)
+        def fallback(x):
+            r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=self.rtol,
+                         maxiter=self.maxiter)
+            return r.x, iters + r.iters, r.residual
+
+        return jax.lax.cond(
+            rnorm > tol, fallback,
+            lambda x: (x, iters, rnorm / safe_b), x)
 
     def _fresh_dinv(self, diag_e):
         # pivot=False: the CN diagonal blocks are lumped-mass + O(dt)
@@ -716,8 +727,12 @@ class TransientRDCSystem:
                     _mv32c = mv32_core
                     mv32_core = lambda x: ct_fold(_mv32c(c_apply(x)))
                 mv32 = lambda x: M32(mv32_core(x))
+                # f64 stall fallback only off the kernel fast path: the
+                # extra BiCGStab instance would duplicate Pallas call
+                # sites and break the compile-helper budget (PERF.md 5)
                 u_raw, iters, resid = self._refine_mixed(
-                    mv32, pre_matvec, pre_b, x0)
+                    mv32, pre_matvec, pre_b, x0,
+                    f64_fallback=(fast is None))
             else:
                 fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
                 r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,
@@ -738,9 +753,12 @@ class TransientRDCSystem:
         self._qp_step_cache[key] = step_fn
         return step_fn
 
-    def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0):
+    def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0,
+                      f64_fallback: bool = False):
         """Same mixed-precision refinement as _solve_mixed, with caller-
-        supplied inner f32 matvec."""
+        supplied inner f32 matvec.  f64_fallback adds the stall rescue
+        (see _solve_mixed) — callers on the Pallas fast path keep it off
+        to stay within the compile-helper budget."""
         f32 = jnp.float32
         bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
         safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
@@ -764,7 +782,17 @@ class TransientRDCSystem:
         init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
                 jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
         x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
-        return x, iters, rnorm / safe_b
+        if not f64_fallback:
+            return x, iters, rnorm / safe_b
+
+        def fallback(x):
+            r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=self.rtol,
+                         maxiter=self.maxiter)
+            return r.x, iters + r.iters, r.residual
+
+        return jax.lax.cond(
+            rnorm > tol, fallback,
+            lambda x: (x, iters, rnorm / safe_b), x)
 
     def _qp_multi_fn(self, params: Dict, n: int):
         """Jitted n-step advance (lax.scan) for one static parameter set:

@@ -51,3 +51,42 @@ def test_rcb_partition_balanced():
         counts = np.bincount(part, minlength=n_parts)
         assert counts.max() - counts.min() <= 1
         assert counts.sum() == m.n_elems
+
+
+def test_benes_color_batch_native_matches_contract(monkeypatch):
+    """The native edge-coloring walker produces proper matchings (each
+    color class hits every left and right vertex exactly once per
+    segment), and the Python fallback path builds equally valid plans —
+    build_grid_permutation output is checked against the permutation
+    itself under both backends."""
+    from rdcfes_tpu.fem import benes
+
+    rng = np.random.default_rng(0)
+    # direct contract check on a random 8-regular bipartite multigraph
+    nl = nr = 6
+    deg = 8
+    src = np.repeat(np.arange(nl), deg)
+    dst = np.concatenate([rng.permutation(np.repeat(np.arange(nr),
+                                                    deg // 2))[:nl * deg // 2],
+                          rng.permutation(np.repeat(np.arange(nr),
+                                                    deg // 2))[:nl * deg // 2]])
+    # make it exactly deg-regular on the right too
+    dst = np.concatenate([rng.permutation(np.repeat(np.arange(nr), deg))])
+    seg = np.array([0, len(src)], dtype=np.int64)
+    colors = benes.edge_color_batch(src, dst, seg, nl, nr, deg)
+    for c in range(deg):
+        sel = colors == c
+        assert np.array_equal(np.sort(src[sel]), np.arange(nl))
+        assert np.array_equal(np.sort(dst[sel]), np.arange(nr))
+
+    # plan validity under the native backend and the Python fallback
+    T = 5 * 16 * 16
+    perm = rng.permutation(T)
+    x = rng.standard_normal(T)
+    plan_native = benes.build_grid_permutation(perm, 5, 16, 16)
+    assert np.array_equal(benes.apply_plan(plan_native, x), x[perm])
+    import rdcfes_tpu.native as native_mod
+    monkeypatch.setattr(native_mod, "benes_color_batch",
+                        lambda *a, **k: None)
+    plan_py = benes.build_grid_permutation(perm, 5, 16, 16)
+    assert np.array_equal(benes.apply_plan(plan_py, x), x[perm])

@@ -147,3 +147,46 @@ def test_left_preconditioned_solve_penalty_scaled_rows():
     x_ref = np.linalg.solve(A, np.asarray(b).ravel())
     np.testing.assert_allclose(np.asarray(res.x).ravel(), x_ref,
                                rtol=1e-8, atol=1e-12 * np.abs(x_ref).max())
+
+
+def test_refine_mixed_f64_fallback():
+    """The mixed-precision refinement rescues itself with an f64 solve
+    when the f32 inner sweeps stagnate (advection-dominated operators /
+    extreme conditioning — the reference's f64 PETSc KSP converges there,
+    so silent non-convergence would be a behavioral regression; caught
+    live on a mixed-mesh ADPM case where step 1 returned residual 0.3)."""
+    import jax
+
+    from rdcfes_tpu.models.hcc import hcc_physics
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    sys_ = TransientRDCSystem(box_tet_mesh(2, 2, 2), 3, hcc_physics,
+                              precision="mixed")
+
+    rng = np.random.default_rng(0)
+    n = 64
+    # strongly non-normal triangular operator with 1e7 diagonal range:
+    # f32 BiCGStab stalls around cond * eps_f32 ~ 1e-1 relative
+    A = np.triu(0.5 * rng.standard_normal((n, n)))
+    A[np.diag_indices(n)] = np.logspace(0, 7, n)
+    x_true = rng.standard_normal(n)
+    b = A @ x_true
+    A64, b64 = jnp.asarray(A), jnp.asarray(b)
+    A32 = A64.astype(jnp.float32)
+    mv64 = lambda x: A64 @ x
+    mv32 = lambda x: A32 @ x
+
+    x, iters, res = jax.jit(
+        lambda: sys_._refine_mixed(mv32, mv64, b64, jnp.zeros(n),
+                                   f64_fallback=True))()
+    assert float(res) < 1e-10
+    # forward error is bounded by cond * residual (~1e-3 here); check the
+    # residual identity instead of the ill-conditioned solution itself
+    rr = np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b)
+    assert rr < 1e-9, rr
+
+    # without the fallback the same refinement stalls — this guards the
+    # test itself against the operator being accidentally easy
+    _, _, res0 = jax.jit(
+        lambda: sys_._refine_mixed(mv32, mv64, b64, jnp.zeros(n)))()
+    assert float(res0) > 1e-8
