@@ -221,7 +221,11 @@ def run(deck_path: str = "input.dat") -> str:
             p_elem, vm_elem, fibre_cur = (
                 np.asarray(p_j), np.asarray(vm_j), np.asarray(fc_j)
             )
-        if l in rtp and amr_done < amr_max_steps:
+        if (l in rtp and amr_done < amr_max_steps
+                and mesh.elem_type == "MIXED"):
+            print(f"remeshing step {l}: mixed-element meshes do not "
+                  "refine; continuing on the fixed mesh", file=sys.stderr)
+        elif l in rtp and amr_done < amr_max_steps:
             # adaptive remeshing (src/solid.C:330-369): Kelly on the
             # pressure + Von Mises fields, mean-stddev flagging, conforming
             # 1:8 refinement; positions are P1-prolonged (the undeformed

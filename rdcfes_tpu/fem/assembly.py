@@ -102,6 +102,47 @@ def build_sparsity(connectivity: np.ndarray, n_nodes: int) -> NodePairSparsity:
     )
 
 
+def build_sparsity_mixed(blocks, n_nodes: int):
+    """Union node-pair sparsity over MixedMesh blocks + per-block slot
+    tables.
+
+    Returns (sp, slots_flat_cf_list): `sp` is the union NodePairSparsity
+    (its per-element `slots` field is empty — with heterogeneous K there
+    is no single (E, K, K) table; consumers that assemble use the
+    returned per-block channel-first flat slot tables instead, and the
+    solver stack only reads the CSR structure)."""
+    keys_all, shapes = [], []
+    for b in blocks:
+        conn = np.asarray(b.connectivity, dtype=np.int64)
+        E, K = conn.shape
+        rows = np.repeat(conn, K, axis=1).reshape(-1)
+        cols = np.tile(conn, (1, K)).reshape(-1)
+        keys_all.append(rows * np.int64(n_nodes) + cols)
+        shapes.append((E, K))
+    uniq, inv = np.unique(np.concatenate(keys_all), return_inverse=True)
+    nnz = uniq.shape[0]
+    u_rows = (uniq // n_nodes).astype(np.int32)
+    u_cols = (uniq % n_nodes).astype(np.int32)
+    row_ptr = np.zeros(n_nodes + 1, dtype=np.int64)
+    np.add.at(row_ptr, u_rows + 1, 1)
+    row_ptr = np.cumsum(row_ptr)
+    diag = np.nonzero(u_rows == u_cols)[0]
+    diag_slots = np.full(n_nodes, -1, dtype=np.int32)
+    diag_slots[u_rows[diag]] = diag.astype(np.int32)
+    sp = NodePairSparsity(
+        n_nodes=n_nodes, nnz=nnz, rows=u_rows, cols=u_cols,
+        slots=np.zeros((0, 1, 1), dtype=np.int32), row_ptr=row_ptr,
+        diag_slots=diag_slots,
+    )
+    slot_lists, off = [], 0
+    for E, K in shapes:
+        s = inv[off:off + E * K * K].reshape(E, K, K).astype(np.int32)
+        off += E * K * K
+        slot_lists.append(
+            np.ascontiguousarray(np.transpose(s, (1, 2, 0))).reshape(-1))
+    return sp, slot_lists
+
+
 def ell_structure(sp: NodePairSparsity) -> Tuple[np.ndarray, np.ndarray]:
     """ELLPACK view of the block-CSR sparsity: per-row padded column/slot
     tables in channel-first layout (host precompute).

@@ -150,10 +150,26 @@ class SolidSystem:
         self.mesh = mesh
         self.newton = newton
         self.penalty = float(penalty)
-        self.sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
-        self.conn = jnp.asarray(mesh.connectivity)
-        self.conn_flat_cf = jnp.asarray(mesh.connectivity.T.reshape(-1))
-        self.slots_flat_cf = jnp.asarray(self.sp.slots_flat_cf())
+        # per-element-type blocks: a single-type mesh is the one-block
+        # case; MixedMesh assembles every block into the union sparsity
+        # (libMesh's polymorphic element loop, src/solid_system.C:146,
+        # as fixed-shape batches — same design as systems/mixed.py)
+        mixed = getattr(mesh, "elem_type", None) == "MIXED"
+        if mixed:
+            if device_mesh is not None:
+                raise ValueError(
+                    "multi-chip solid is single-element-type; mixed "
+                    "meshes run single-chip")
+            from ..fem.assembly import build_sparsity_mixed
+
+            conns = [(b.elem_type, np.asarray(b.connectivity))
+                     for b in mesh.blocks]
+            self.sp, slot_lists = build_sparsity_mixed(
+                mesh.blocks, mesh.n_nodes)
+        else:
+            conns = [(mesh.elem_type, np.asarray(mesh.connectivity))]
+            self.sp = build_sparsity(mesh.connectivity, mesh.n_nodes)
+            slot_lists = [self.sp.slots_flat_cf()]
         self.diag_slots = jnp.asarray(self.sp.diag_slots)
         self.X0 = jnp.asarray(mesh.coords)  # undeformed configuration
 
@@ -198,7 +214,32 @@ class SolidSystem:
             fibres = np.zeros((E, 3))
         self.fibres = jnp.asarray(fibres)
 
-        # boundary-condition face tables (static shapes)
+        # per-block element tables (channel-first undeformed coords,
+        # materials sliced in block-concat element order)
+        self.eblocks = []
+        off = 0
+        for (et, conn), slots_b in zip(conns, slot_lists):
+            Eb = conn.shape[0]
+            sel = slice(off, off + Eb)
+            off += Eb
+            self.eblocks.append({
+                "elem_type": et,
+                "conn": jnp.asarray(conn),
+                "conn_flat_cf": jnp.asarray(conn.T.reshape(-1)),
+                "slots_flat_cf": jnp.asarray(slots_b),
+                "X0e_cf": jnp.asarray(
+                    np.transpose(mesh.coords[conn], (1, 2, 0))),
+                "young": jnp.asarray(young[sel]),
+                "poisson": jnp.asarray(poisson[sel]),
+                "fibre_k": jnp.asarray(fibre_k[sel]),
+                "rates": jnp.asarray(rates[sel]),
+                "fibres": jnp.asarray(np.asarray(fibres)[sel]),
+            })
+
+        # boundary-condition face tables (static shapes); on MixedMesh
+        # boundary_faces are -1-padded to 4 nodes and carry BOTH face
+        # arities (pyramids expose tri and quad faces), so penalty BCs
+        # are grouped by face type
         bfaces, bmask, bdisp = [], [], []
         for bid, disp in bcs.items():
             sel = mesh.boundary_id == bid
@@ -210,29 +251,34 @@ class SolidSystem:
             bfaces.append(faces)
             bmask.append(np.broadcast_to(m, (len(faces), 3)).copy())
             bdisp.append(np.broadcast_to(np.nan_to_num(d), (len(faces), 3)).copy())
+        self.bc_groups = []
         if bfaces:
-            self.bc_faces = jnp.asarray(np.concatenate(bfaces))
-            self.bc_mask = jnp.asarray(np.concatenate(bmask).astype(np.float64))
-            self.bc_disp = jnp.asarray(np.concatenate(bdisp))
-            # face slot table into the volume sparsity
-            slot_lookup = {}
-            for s in range(self.sp.nnz):
-                slot_lookup[(int(self.sp.rows[s]), int(self.sp.cols[s]))] = s
-            fc = np.asarray(self.bc_faces)
-            Fn, Kf = fc.shape
-            fslots = np.empty((Fn, Kf, Kf), dtype=np.int32)
-            for f in range(Fn):
-                for i in range(Kf):
-                    for j in range(Kf):
-                        fslots[f, i, j] = slot_lookup[(fc[f, i], fc[f, j])]
-            self.bc_slots = jnp.asarray(fslots)
-        else:
-            self.bc_faces = None
-
-        # channel-first undeformed element coordinates (K, 3, E)
-        self.X0e_cf = jnp.asarray(
-            np.transpose(mesh.coords[mesh.connectivity], (1, 2, 0)))
-        self.face_type = FACE_TYPE[mesh.elem_type]
+            faces = np.concatenate(bfaces)
+            mask = np.concatenate(bmask).astype(np.float64)
+            disp = np.concatenate(bdisp)
+            if mixed:
+                quad = faces[:, 3] >= 0
+                face_sets = [("QUAD4", quad, 4), ("TRI3", ~quad, 3)]
+            else:
+                face_sets = [(FACE_TYPE[mesh.elem_type], np.ones(
+                    len(faces), dtype=bool), faces.shape[1])]
+            # face slot lookup into the union sparsity: pair keys are the
+            # sorted uniques, so searchsorted replaces the dict scan
+            keys = (self.sp.rows.astype(np.int64) * mesh.n_nodes
+                    + self.sp.cols)
+            for ft, fsel, kf in face_sets:
+                if not fsel.any():
+                    continue
+                fc = faces[fsel][:, :kf].astype(np.int64)
+                fkeys = fc[:, :, None] * mesh.n_nodes + fc[:, None, :]
+                fslots = np.searchsorted(keys, fkeys).astype(np.int32)
+                self.bc_groups.append({
+                    "face_type": ft,
+                    "faces": jnp.asarray(fc),
+                    "mask": jnp.asarray(mask[fsel]),
+                    "disp": jnp.asarray(disp[fsel]),
+                    "slots": jnp.asarray(fslots),
+                })
         self._newton = NewtonSolver(self.sp, newton)
         self.dmesh = device_mesh
         self._assemble_jit = jax.jit(self.assemble)
@@ -244,86 +290,90 @@ class SolidSystem:
         return self.X0
 
     # ------------------------------------------------------------------
-    def _element_kernels_cf(self, x, conn, X0e_cf, young, poisson,
-                            fibre_k, rates, fibres, pseudo_time):
-        """See module-level element_kernels_cf (shared with the multi-chip
-        solid)."""
-        return element_kernels_cf(
-            self.mesh.elem_type, x, conn, X0e_cf, young, poisson,
-            fibre_k, rates, fibres, pseudo_time, want_tangent=True)
-
-    # ------------------------------------------------------------------
     def assemble(self, x_T: jnp.ndarray, pseudo_time) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Residual (3, N) and block tangent values (3, 3, nnz) at current
-        positions x_T (3, N) — channel-first at the solver boundary."""
+        positions x_T (3, N) — channel-first at the solver boundary; the
+        global operator is the sum of per-type block assemblies."""
         x = x_T.T  # (N, 3)
-        Fe, Ke = self._element_kernels_cf(
-            x, self.conn, self.X0e_cf, self.young, self.poisson,
-            self.fibre_k, self.rates, self.fibres, pseudo_time)
-        values = assemble_matrix(Ke, self.slots_flat_cf, self.sp.nnz)
-        R = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
+        R = None
+        values = None
+        for blk in self.eblocks:
+            Fe, Ke = element_kernels_cf(
+                blk["elem_type"], x, blk["conn"], blk["X0e_cf"],
+                blk["young"], blk["poisson"], blk["fibre_k"],
+                blk["rates"], blk["fibres"], pseudo_time,
+                want_tangent=True)
+            v = assemble_matrix(Ke, blk["slots_flat_cf"], self.sp.nnz)
+            r = assemble_vector(Fe, blk["conn_flat_cf"], self.sp.n_nodes)
+            values = v if values is None else values + v
+            R = r if R is None else R + r
 
-        if self.bc_faces is not None:
+        if self.bc_groups:
             R, values = self._apply_penalty_bcs(x, pseudo_time, R, values)
         return R, values
 
-    def _element_residual_cf(self, x, pseudo_time):
-        """Residual-only element kernel Fe (3, K, E): the constitutive
-        evaluation without the (much larger) tangent contraction — used by
-        Newton line-search backtracking trials, which only need ||R||."""
-        Fe, _ = element_kernels_cf(
-            self.mesh.elem_type, x, self.conn, self.X0e_cf, self.young,
-            self.poisson, self.fibre_k, self.rates, self.fibres,
-            pseudo_time, want_tangent=False)
-        return Fe
-
     def assemble_residual(self, x_T: jnp.ndarray, pseudo_time) -> jnp.ndarray:
-        """Residual (3, N) only — no tangent assembly (line-search path)."""
+        """Residual (3, N) only — no tangent assembly: the constitutive
+        evaluation without the (much larger) tangent contraction, used by
+        Newton line-search backtracking trials, which only need ||R||."""
         x = x_T.T
-        Fe = self._element_residual_cf(x, pseudo_time)
-        R = assemble_vector(Fe, self.conn_flat_cf, self.sp.n_nodes)
-        if self.bc_faces is not None:
+        R = None
+        for blk in self.eblocks:
+            Fe, _ = element_kernels_cf(
+                blk["elem_type"], x, blk["conn"], blk["X0e_cf"],
+                blk["young"], blk["poisson"], blk["fibre_k"],
+                blk["rates"], blk["fibres"], pseudo_time,
+                want_tangent=False)
+            r = assemble_vector(Fe, blk["conn_flat_cf"], self.sp.n_nodes)
+            R = r if R is None else R + r
+        if self.bc_groups:
             R = self._penalty_bc_residual(x, pseudo_time, R)
         return R
 
     def _penalty_bc_residual(self, x, pseudo_time, R):
         """The residual half of _apply_penalty_bcs."""
         ratio = pseudo_time * 1.000001
-        psi, JxWf, xyz, _ = face_geometry_factors(x, self.bc_faces,
-                                                  self.face_type)
-        orig = jnp.einsum("qk,fkd->fqd", psi, self.X0[self.bc_faces])
-        target = ratio * self.bc_disp
-        diff = xyz - orig - target[:, None, :]
-        masked = diff * self.bc_mask[:, None, :]
-        Rf = self.penalty * jnp.einsum("fq,qi,fqv->vfi", JxWf, psi, masked)
-        bcf = self.bc_faces.reshape(-1)
-        return jnp.stack([
-            R[v].at[bcf].add(Rf[v].reshape(-1)) for v in range(3)
-        ])
+        for g in self.bc_groups:
+            psi, JxWf, xyz, _ = face_geometry_factors(x, g["faces"],
+                                                      g["face_type"])
+            orig = jnp.einsum("qk,fkd->fqd", psi, self.X0[g["faces"]])
+            target = ratio * g["disp"]
+            diff = xyz - orig - target[:, None, :]
+            masked = diff * g["mask"][:, None, :]
+            Rf = self.penalty * jnp.einsum("fq,qi,fqv->vfi", JxWf, psi,
+                                           masked)
+            bcf = g["faces"].reshape(-1)
+            R = jnp.stack([
+                R[v].at[bcf].add(Rf[v].reshape(-1)) for v in range(3)
+            ])
+        return R
 
     def _apply_penalty_bcs(self, x, pseudo_time, R, values):
         """Penalty Dirichlet contributions (src/solid_system.C:273-371).
 
         R (3, N); values (3, 3, nnz) — channel-first scatter targets."""
         R = self._penalty_bc_residual(x, pseudo_time, R)
-        psi, JxWf, _, _ = face_geometry_factors(x, self.bc_faces,
-                                                self.face_type)
-        # jacobian: penalty * psi_i psi_j on constrained axes (diagonal blocks)
-        Kf_pen = self.penalty * jnp.einsum("fq,qi,qj->fij", JxWf, psi, psi)
-        # (3, 3, F, i, j): delta_vw * mask[f, v] * Kf_pen[f, i, j]
-        Kblocks = (
-            jnp.eye(3)[:, :, None, None, None]
-            * self.bc_mask.T[:, None, :, None, None]
-            * Kf_pen[None, None, :, :, :]
-        )
-        bcs_flat = self.bc_slots.reshape(-1)
-        values = jnp.stack([
-            jnp.stack([
-                values[v, w].at[bcs_flat].add(Kblocks[v, w].reshape(-1))
-                for w in range(3)
+        for g in self.bc_groups:
+            psi, JxWf, _, _ = face_geometry_factors(x, g["faces"],
+                                                    g["face_type"])
+            # jacobian: penalty * psi_i psi_j on constrained axes
+            # (diagonal blocks)
+            Kf_pen = self.penalty * jnp.einsum("fq,qi,qj->fij", JxWf, psi,
+                                               psi)
+            # (3, 3, F, i, j): delta_vw * mask[f, v] * Kf_pen[f, i, j]
+            Kblocks = (
+                jnp.eye(3)[:, :, None, None, None]
+                * g["mask"].T[:, None, :, None, None]
+                * Kf_pen[None, None, :, :, :]
+            )
+            bcs_flat = g["slots"].reshape(-1)
+            values = jnp.stack([
+                jnp.stack([
+                    values[v, w].at[bcs_flat].add(Kblocks[v, w].reshape(-1))
+                    for w in range(3)
+                ])
+                for v in range(3)
             ])
-            for v in range(3)
-        ])
         return R, values
 
     # ------------------------------------------------------------------
@@ -346,35 +396,48 @@ class SolidSystem:
     # ------------------------------------------------------------------
     def _post_impl(self, x: jnp.ndarray, pseudo_time):
         """Per-element pressure, Von Mises, current fibre vector
-        (reference post_process, src/solid_system.C:394-538)."""
-        phi, JxW, dphi = geometry_factors(x, self.conn, self.mesh.elem_type)
-        Q, K = phi.shape
-        grad_X = [
-            [sum(dphi[:, k, r, :] * self.X0e_cf[k, d, :] for k in range(K))
-             for r in range(3)]
-            for d in range(3)
-        ]
-        lam_e = 1.0 + pseudo_time * self.rates
-        sigma, _, F = stress_and_tangent_cf(
-            grad_X, [lam_e[:, d] for d in range(3)],
-            [self.fibres[:, d] for d in range(3)],
-            self.young, self.poisson, self.fibre_k, want_tangent=False,
-        )
-        # arithmetic qp mean, as the reference; back to (E, 3, 3) only for
-        # the tiny per-element eigensolver input
-        nq = Q
-        sigma_avg = jnp.stack([
-            jnp.stack([sigma[i][j].sum(axis=0) / nq for j in range(3)],
-                      axis=-1)
-            for i in range(3)
-        ], axis=-2)  # (E, 3, 3)
-        p, vm = principal_stress_invariants(sigma_avg)
-        fibre_cur = jnp.stack([
-            (F[i][0] * self.fibres[:, 0] + F[i][1] * self.fibres[:, 1]
-             + F[i][2] * self.fibres[:, 2]).sum(axis=0) / nq
-            for i in range(3)
-        ], axis=-1)  # (E, 3)
-        return p, vm, fibre_cur
+        (reference post_process, src/solid_system.C:394-538); per-type
+        blocks concatenated in block-concat element order."""
+        ps, vms, fcs = [], [], []
+        for blk in self.eblocks:
+            phi, JxW, dphi = geometry_factors(x, blk["conn"],
+                                              blk["elem_type"])
+            Q, K = phi.shape
+            grad_X = [
+                [sum(dphi[:, k, r, :] * blk["X0e_cf"][k, d, :]
+                     for k in range(K))
+                 for r in range(3)]
+                for d in range(3)
+            ]
+            lam_e = 1.0 + pseudo_time * blk["rates"]
+            fib = blk["fibres"]
+            sigma, _, F = stress_and_tangent_cf(
+                grad_X, [lam_e[:, d] for d in range(3)],
+                [fib[:, d] for d in range(3)],
+                blk["young"], blk["poisson"], blk["fibre_k"],
+                want_tangent=False,
+            )
+            # arithmetic qp mean, as the reference; back to (E, 3, 3)
+            # only for the tiny per-element eigensolver input
+            nq = Q
+            sigma_avg = jnp.stack([
+                jnp.stack([sigma[i][j].sum(axis=0) / nq for j in range(3)],
+                          axis=-1)
+                for i in range(3)
+            ], axis=-2)  # (E, 3, 3)
+            p, vm = principal_stress_invariants(sigma_avg)
+            fibre_cur = jnp.stack([
+                (F[i][0] * fib[:, 0] + F[i][1] * fib[:, 1]
+                 + F[i][2] * fib[:, 2]).sum(axis=0) / nq
+                for i in range(3)
+            ], axis=-1)  # (E, 3)
+            ps.append(p)
+            vms.append(vm)
+            fcs.append(fibre_cur)
+        if len(ps) == 1:
+            return ps[0], vms[0], fcs[0]
+        return (jnp.concatenate(ps), jnp.concatenate(vms),
+                jnp.concatenate(fcs, axis=0))
 
     def post_process(self, x: jnp.ndarray, pseudo_time: float):
         return self._post(x, jnp.asarray(pseudo_time, jnp.float64))
