@@ -352,24 +352,41 @@ oedema/diffusion = 0.1
 
 
 def make_hcc_case(directory: str, n: int = 8, seed: int = 4,
-                  n_steps: int = 40, n_loading: int = 4) -> str:
+                  n_steps: int = 40, n_loading: int = 4,
+                  mixed: bool = False) -> str:
     """Synthetic coupled-HCC case (deck values = run/Coupled/HCC/input.dat,
     scaled down; the patient HCC_Model.msh is LFS-stripped).
 
     Box TET4 mesh with three subdomains (3000 host / 3001 capsule / 3002
     growing tumour core, the material ids of the shipped deck) and the
-    shipped boundary-condition table mapped onto the box faces."""
+    shipped boundary-condition table mapped onto the box faces.
+    mixed=True meshes the box with HEX8 + PYRAMID5 + TET4 blocks (both
+    coupled halves then assemble per type block, single-chip)."""
     os.makedirs(directory, exist_ok=True)
-    mesh = box_tet_mesh(n, n, n, bounds=((0, 10.0), (0, 10.0), (0, 10.0)))
-    centers = mesh.coords[mesh.connectivity].mean(axis=1)
-    rc2 = ((centers - 5.0) ** 2).sum(axis=1)
-    mesh.subdomain_id[:] = 3000
-    mesh.subdomain_id[rc2 < 9.0] = 3001
-    mesh.subdomain_id[rc2 < 4.0] = 3002
+    if mixed:
+        from .mesh import box_mixed_mesh
+
+        mesh = box_mixed_mesh(max(n, 3), n, n, bounds=((0, 10.0),) * 3)
+        for b in mesh.blocks:
+            centers = mesh.coords[b.connectivity].mean(axis=1)
+            rc2 = ((centers - 5.0) ** 2).sum(axis=1)
+            b.subdomain_id[:] = 3000
+            b.subdomain_id[rc2 < 9.0] = 3001
+            b.subdomain_id[rc2 < 4.0] = 3002
+    else:
+        mesh = box_tet_mesh(n, n, n, bounds=((0, 10.0),) * 3)
+        centers = mesh.coords[mesh.connectivity].mean(axis=1)
+        rc2 = ((centers - 5.0) ** 2).sum(axis=1)
+        mesh.subdomain_id[:] = 3000
+        mesh.subdomain_id[rc2 < 9.0] = 3001
+        mesh.subdomain_id[rc2 < 4.0] = 3002
     # shipped BC ids: 2000 fixed, 2002/2003 z-pinned; map onto z=0 (fixed)
     # and the two x faces (pinned) of the box
     bid = mesh.boundary_id
-    fc = mesh.coords[mesh.boundary_faces].mean(axis=1)
+    bf = mesh.boundary_faces
+    valid = bf >= 0  # MixedMesh pads triangle faces with -1
+    fc = (np.where(valid[..., None], mesh.coords[np.maximum(bf, 0)], 0.0)
+          .sum(axis=1) / valid.sum(axis=1, keepdims=True))
     bid[:] = 0
     bid[np.isclose(fc[:, 2], 0.0)] = 2000
     bid[np.isclose(fc[:, 0], 0.0)] = 2002

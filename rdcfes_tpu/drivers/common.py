@@ -97,16 +97,21 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
         # (libMesh assembles them through one polymorphic loop; here each
         # type is its own static-shape batch — systems/mixed.py
         # single-chip, parallel/halo.py multi-chip)
-        if kwargs.get("constraints") is not None or kwargs.get("moving_mesh"):
+        if kwargs.get("constraints") is not None:
             raise ValueError(
-                "constraints / moving_mesh are not supported on "
-                "mixed-element meshes")
+                "constraints are not supported on mixed-element meshes")
+        if kwargs.get("moving_mesh") and n_dev > 1:
+            raise ValueError(
+                "moving_mesh on mixed-element meshes is single-chip; "
+                "drop parallel/n_devices or split the mesh by type")
         if n_dev <= 1:
             from ..systems import MixedTransientRDCSystem
 
             kw = {}
             if clamp is not None:
                 kw["clamp"] = clamp
+            if kwargs.get("moving_mesh"):
+                kw["moving_mesh"] = True
             system = MixedTransientRDCSystem(mesh, n_vars, physics,
                                              precision="mixed", **kw)
             return (system, (lambda st: np.asarray(st["u"])),

@@ -211,7 +211,11 @@ def run(deck_path: str = "input.dat") -> str:
                 p_elem, vm_elem, fibre_cur = (
                     np.asarray(p_j), np.asarray(vm_j), np.asarray(fc_j)
                 )
-        if t in rtp and amr_done < amr_max_steps:
+        if (t in rtp and amr_done < amr_max_steps
+                and mesh.elem_type == "MIXED"):
+            print(f"remeshing step {t}: mixed-element meshes do not "
+                  "refine; continuing on the fixed mesh")
+        elif t in rtp and amr_done < amr_max_steps:
             # adaptive remeshing (src/coupled_hcc.C:733-780): Kelly on
             # hydrostatic pressure + tumor concentration, mean-stddev
             # flagging, conforming 1:8 refinement; both the RDC state and

@@ -72,6 +72,7 @@ class MixedTransientRDCSystem:
         precision: str = "f64",
         precond_refresh: int = 1,
         physics_blocks: Optional[Callable] = None,  # accepted, unused
+        moving_mesh: bool = False,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
@@ -114,8 +115,13 @@ class MixedTransientRDCSystem:
                 "JxW": JxW.astype(self.dtype),
                 "dphi": dphi.astype(self.dtype),
             })
+        # moving mesh (coupled RDC<->solid, reference coupled_hcc.C:114):
+        # geometry factors are rebuilt per block from the coords passed
+        # to step() — same contract as TransientRDCSystem(moving_mesh=)
+        self.moving_mesh = moving_mesh
         self._step = jax.jit(self._step_impl)
         self._step_reuse = jax.jit(self._step_reuse_impl)
+        self._step_moving = jax.jit(self._step_moving_impl)
 
     # ------------------------------------------------------------------
     def initial_state(self, u0: np.ndarray) -> Dict[str, jnp.ndarray]:
@@ -149,16 +155,18 @@ class MixedTransientRDCSystem:
                 out[k] = v
         return out
 
-    def _block_kernels(self, bi, blk, u_T, fields, params):
+    def _block_kernels(self, bi, blk, u_T, fields, params, geom=None):
         """(Fe, Ke, diag_e) of one block from the linearized-CN weak form
-        — the per-type instance of TransientRDCSystem._element_kernels."""
+        — the per-type instance of TransientRDCSystem._element_kernels.
+        `geom` overrides the cached (JxW, dphi) on the moving-mesh path."""
+        JxW, dphi = geom if geom is not None else (blk["JxW"], blk["dphi"])
         u_qp, grad_qp = interpolate_at_qp(u_T, blk["conn_T"], blk["phi"],
-                                          blk["dphi"])
+                                          dphi)
         wf = self.physics(u_qp, grad_qp,
                           self._fields_for_block(bi, fields), params)
-        Fe = element_vectors(wf, blk["phi"], blk["JxW"], blk["dphi"])
+        Fe = element_vectors(wf, blk["phi"], JxW, dphi)
         Ke, diag_e = element_matrices(
-            wf, blk["phi"], blk["JxW"], blk["dphi"],
+            wf, blk["phi"], JxW, dphi,
             grad_const=(blk["elem_type"] == "TET4"), return_diag=True,
         )
         return (Fe.astype(self.dtype), Ke.astype(self.dtype),
@@ -185,12 +193,13 @@ class MixedTransientRDCSystem:
             y = yb if y is None else y + yb
         return y
 
-    def _assemble_all(self, u_T, fields, params):
+    def _assemble_all(self, u_T, fields, params, geoms=None):
         V = self.n_vars
         Fes, Kes, b, diag = [], [], None, None
         for bi, blk in enumerate(self._blk):
-            Fe, Ke, diag_e = self._block_kernels(bi, blk, u_T, fields,
-                                                 params)
+            Fe, Ke, diag_e = self._block_kernels(
+                bi, blk, u_T, fields, params,
+                geom=None if geoms is None else geoms[bi])
             Kes.append(Ke)
             bb = assemble_vector_gather(Fe, blk["node_gather"])
             db = self._restrict(
@@ -270,12 +279,32 @@ class MixedTransientRDCSystem:
         Kes, b, _ = self._assemble_all(state["u"].T, fields, params)
         return self._solve_clamped(state, Kes, b, Dinv)
 
+    def _step_moving_impl(self, state, fields, params, coords):
+        """Geometry rebuilt per block from current node positions (the
+        deformed-configuration RDC solve of the coupled driver)."""
+        from ..fem.geometry import geometry_factors
+
+        geoms = []
+        for blk, mb in zip(self._blk, self.mesh.blocks):
+            _, JxW, dphi = geometry_factors(
+                coords, jnp.asarray(mb.connectivity), blk["elem_type"])
+            geoms.append((JxW.astype(self.dtype), dphi.astype(self.dtype)))
+        Kes, b, diag = self._assemble_all(state["u"].T, fields, params,
+                                          geoms=geoms)
+        Dinv = small_block_inverse(diag, pivot=False)
+        return self._solve_clamped(state, Kes, b, Dinv)
+
     # ------------------------------------------------------------------
     def step(self, state: Dict, fields: Optional[Dict] = None,
              params: Optional[Dict] = None,
-             scalars: Optional[Dict] = None):
+             scalars: Optional[Dict] = None,
+             coords: Optional[jnp.ndarray] = None):
         if scalars:
             fields = {**(fields or {}), **scalars}
+        if self.moving_mesh:
+            assert coords is not None, "moving_mesh system needs current coords"
+            return self._step_moving(state, fields or {}, params or {},
+                                     jnp.asarray(coords))
         if (self.precond_refresh > 1 and self._dinv_cache is not None
                 and self._steps_since_precond < self.precond_refresh):
             self._steps_since_precond += 1
