@@ -321,8 +321,6 @@ class ConstrainedMesh:
         if not C:
             return None
 
-        edge_sorted = np.sort(conn[:, _TET_EDGES].reshape(-1, 2), axis=1)
-
         while C:
             C_arr = np.fromiter(C, dtype=np.int64)
             removed = np.isin(eg, C_arr)

@@ -56,12 +56,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
     ]
     lib.meshkit_free.argtypes = [ctypes.c_void_p]
-    lib.meshkit_benes_color_batch.argtypes = [
-        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
-        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
-    ]
-    lib.meshkit_benes_color_batch.restype = ctypes.c_int32
+    try:
+        # newer symbol: a libmeshkit.so built before the Benes router
+        # landed must not break the (previously working) older entry
+        # points — edge_color_batch falls back to pure Python instead
+        lib.meshkit_benes_color_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.meshkit_benes_color_batch.restype = ctypes.c_int32
+        lib._has_benes = True
+    except AttributeError:
+        lib._has_benes = False
     _lib = lib
     return lib
 
@@ -72,7 +79,7 @@ def benes_color_batch(src: np.ndarray, dst: np.ndarray, seg_ptr: np.ndarray,
     fem/benes.py).  Returns (E,) int32 colors, or None when the shared
     library is absent (callers fall back to the pure-Python walker)."""
     lib = _load()
-    if lib is None:
+    if lib is None or not getattr(lib, "_has_benes", False):
         return None
     src = np.ascontiguousarray(src, dtype=np.int64)
     dst = np.ascontiguousarray(dst, dtype=np.int64)

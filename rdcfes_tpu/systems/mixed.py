@@ -47,7 +47,7 @@ from ..solvers.krylov import (
     gmres,
     small_block_inverse,
 )
-from .transient import clamp_nonnegative
+from .transient import clamp_nonnegative, refine_mixed
 
 
 class MixedTransientRDCSystem:
@@ -220,8 +220,9 @@ class MixedTransientRDCSystem:
             Kes32 = [K.astype(f32) for K in Kes]
             M32 = partial(apply_block_jacobi, Dinv.astype(f32))
             mv32 = lambda x: M32(self._matvec(Kes32, x))
-            u_raw, iters, resid = self._refine_mixed(
-                mv32, pre_matvec, pre_b, x0)
+            u_raw, iters, resid = refine_mixed(
+                mv32, pre_matvec, pre_b, x0, self.rtol, self.maxiter,
+                f64_fallback=True)
         else:
             fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
             r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,
@@ -231,44 +232,6 @@ class MixedTransientRDCSystem:
         new_state = {"u": u_new.T, "u_old": state["u"],
                      "u_older": state["u_old"], "u_raw": u_raw.T}
         return new_state, iters, resid
-
-    def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0):
-        """f32 inner BiCGStab + f64 residual correction (the same
-        iterative refinement as TransientRDCSystem._solve_mixed), with an
-        f64 fallback solve when the refinement stalls — f32 inner sweeps
-        stagnate on strongly advection-dominated operators (taxis CFL of
-        a few; poor-quality transition elements lower the threshold),
-        where the reference's f64 PETSc KSP still converges."""
-        f32 = jnp.float32
-        bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
-        safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
-        tol = self.rtol * safe_b
-
-        def cond(s):
-            x, r, rnorm, iters, k = s
-            return jnp.logical_and(rnorm > tol, k < 12)
-
-        def body(s):
-            x, r, _, iters, k = s
-            inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
-            x = x + inner.x.astype(jnp.float64)
-            r2 = pre_b - pre_matvec64(x)
-            return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real),
-                    iters + inner.iters, k + 1)
-
-        r0 = pre_b - pre_matvec64(x0)
-        init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
-                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
-
-        def fallback(x):
-            r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=self.rtol,
-                         maxiter=self.maxiter)
-            return r.x, iters + r.iters, r.residual
-
-        return jax.lax.cond(
-            rnorm > tol, fallback,
-            lambda x: (x, iters, rnorm / safe_b), x)
 
     def _step_impl(self, state, fields, params):
         Kes, b, diag = self._assemble_all(state["u"].T, fields, params)

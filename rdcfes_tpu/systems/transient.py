@@ -75,6 +75,54 @@ def clamp_nonnegative(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(u, 0.0)
 
 
+def refine_mixed(mv32, pre_matvec64, pre_b, x0, rtol, maxiter,
+                 f64_fallback: bool = False):
+    """Mixed-precision iterative refinement (shared by TransientRDCSystem
+    and MixedTransientRDCSystem): f32 inner BiCGStab on the caller's
+    preconditioned matvec, f64 outer residual correction.  The f64
+    preconditioned residual is CARRIED, not recomputed — one
+    true-operator application per outer pass instead of two.
+
+    f64_fallback adds the stall rescue: f32 inner sweeps stagnate on
+    strongly advection-dominated operators (taxis CFL of a few;
+    poor-quality transition elements lower the threshold) where the
+    reference's f64 PETSc KSP still converges, so a conditional f64
+    BiCGStab finishes the solve.  Callers on the Pallas fast path keep
+    it off — the extra BiCGStab instance would duplicate kernel call
+    sites and break the compile-helper budget (PERF.md section 5)."""
+    f32 = jnp.float32
+    bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
+    safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
+    tol = rtol * safe_b
+
+    def cond(s):
+        x, r, rnorm, iters, k = s
+        return jnp.logical_and(rnorm > tol, k < 12)
+
+    def body(s):
+        x, r, _, iters, k = s
+        inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
+        x = x + inner.x.astype(jnp.float64)
+        r2 = pre_b - pre_matvec64(x)
+        return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real),
+                iters + inner.iters, k + 1)
+
+    r0 = pre_b - pre_matvec64(x0)
+    init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
+            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+    x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
+    if not f64_fallback:
+        return x, iters, rnorm / safe_b
+
+    def fallback(x):
+        r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=rtol, maxiter=maxiter)
+        return r.x, iters + r.iters, r.residual
+
+    return jax.lax.cond(
+        rnorm > tol, fallback,
+        lambda x: (x, iters, rnorm / safe_b), x)
+
+
 class TransientRDCSystem:
     """A transient multi-species RDC system on a fixed mesh.
 
@@ -393,46 +441,17 @@ class TransientRDCSystem:
         preconditioned system, f64 outer residual correction.  Converges to
         the same f64 preconditioned-residual tolerance as the pure-f64
         solve (the 1e-8 parity bar is far above it) at roughly half the
-        matvec cost — the f32 element blocks stream at ~2x the bandwidth."""
+        matvec cost — the f32 element blocks stream at ~2x the bandwidth.
+        The dense-Ke path carries the f64 stall fallback (see
+        refine_mixed); the kernel fast path stays single-program
+        (PERF.md section 5)."""
         f32 = jnp.float32
         Ke32 = Ke.astype(f32)
         Dinv32 = Dinv.astype(f32)
         M32 = partial(apply_block_jacobi, Dinv32)
         mv32 = lambda x: M32(self._elem_matvec(Ke32, x))
-
-        bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
-        safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
-        tol = self.rtol * safe_b
-
-        def cond(s):
-            x, r, rnorm, iters, k = s
-            return jnp.logical_and(rnorm > tol, k < 12)
-
-        def body(s):
-            # f64 residual carried (see _refine_mixed)
-            x, r, _, iters, k = s
-            inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
-            x = x + inner.x.astype(jnp.float64)
-            r2 = pre_b - pre_matvec64(x)
-            return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real),
-                    iters + inner.iters, k + 1)
-
-        r0 = pre_b - pre_matvec64(x0)
-        init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
-                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
-        # f64 fallback when the refinement stalls (f32 inner sweeps
-        # stagnate on strongly advection-dominated operators where the
-        # reference's f64 PETSc KSP still converges); dense-Ke path only
-        # — the kernel fast path stays single-program (PERF.md section 5)
-        def fallback(x):
-            r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=self.rtol,
-                         maxiter=self.maxiter)
-            return r.x, iters + r.iters, r.residual
-
-        return jax.lax.cond(
-            rnorm > tol, fallback,
-            lambda x: (x, iters, rnorm / safe_b), x)
+        return refine_mixed(mv32, pre_matvec64, pre_b, x0, self.rtol,
+                            self.maxiter, f64_fallback=True)
 
     def _fresh_dinv(self, diag_e):
         # pivot=False: the CN diagonal blocks are lumped-mass + O(dt)
@@ -755,44 +774,11 @@ class TransientRDCSystem:
 
     def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0,
                       f64_fallback: bool = False):
-        """Same mixed-precision refinement as _solve_mixed, with caller-
-        supplied inner f32 matvec.  f64_fallback adds the stall rescue
-        (see _solve_mixed) — callers on the Pallas fast path keep it off
-        to stay within the compile-helper budget."""
-        f32 = jnp.float32
-        bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
-        safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
-        tol = self.rtol * safe_b
-
-        def cond(s):
-            x, r, rnorm, iters, k = s
-            return jnp.logical_and(rnorm > tol, k < 12)
-
-        def body(s):
-            # the f64 preconditioned residual is CARRIED, not recomputed:
-            # one true-operator application per outer pass instead of two
-            x, r, _, iters, k = s
-            inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
-            x = x + inner.x.astype(jnp.float64)
-            r2 = pre_b - pre_matvec64(x)
-            return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real),
-                    iters + inner.iters, k + 1)
-
-        r0 = pre_b - pre_matvec64(x0)
-        init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
-                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-        x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
-        if not f64_fallback:
-            return x, iters, rnorm / safe_b
-
-        def fallback(x):
-            r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=self.rtol,
-                         maxiter=self.maxiter)
-            return r.x, iters + r.iters, r.residual
-
-        return jax.lax.cond(
-            rnorm > tol, fallback,
-            lambda x: (x, iters, rnorm / safe_b), x)
+        """Module-level refine_mixed with this system's tolerances.
+        f64_fallback adds the stall rescue — callers on the Pallas fast
+        path keep it off to stay within the compile-helper budget."""
+        return refine_mixed(mv32, pre_matvec64, pre_b, x0, self.rtol,
+                            self.maxiter, f64_fallback=f64_fallback)
 
     def _qp_multi_fn(self, params: Dict, n: int):
         """Jitted n-step advance (lax.scan) for one static parameter set:
