@@ -43,20 +43,28 @@ def _brain_mesh(n: int = 28):
 
 
 def make_pihna_case(directory: str, n: int = 28, seed: int = 0,
-                    n_steps: int = 120, mixed: bool = False) -> str:
+                    n_steps: int = 120, mixed: bool = False,
+                    order: int = 1) -> str:
     """Synthetic PIHNA glioma case (deck values = run/PIHNA/input.dat).
 
     mixed=True meshes the same box with HEX8 + PYRAMID5 + TET4 blocks
     (mesh/generators.box_mixed_mesh) — the stand-in for real patient
-    meshes carrying transition elements, which libMesh reads natively."""
+    meshes carrying transition elements, which libMesh reads natively.
+    order=2 upgrades the tet mesh to TET10 (SECOND/LAGRANGE — a
+    capability beyond the reference's FIRST-order decks, pihna.C:30-34)."""
     os.makedirs(directory, exist_ok=True)
     if mixed:
         from .mesh import box_mixed_mesh
 
+        assert order == 1, "mixed meshes are first-order"
         mesh = box_mixed_mesh(max(n, 3), n, n,
                               bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
     else:
         mesh = _brain_mesh(n)
+        if order == 2:
+            from .mesh import tet4_to_tet10
+
+            mesh = tet4_to_tet10(mesh)
     gmsh.write(mesh, os.path.join(directory, "Brain_Model.msh"))
 
     rng = np.random.default_rng(seed)

@@ -246,9 +246,9 @@ def run(deck_path: str = "input.dat") -> str:
                 state, iters, res = system.step(state, params=params)
         if (refinement_step > 0 and t % refinement_step == 0
                 and amr_done < amr_max_steps
-                and mesh.elem_type == "MIXED"):
+                and mesh.elem_type in ("MIXED", "TET10")):
             amr_done += 1
-            print(f"AMR step {t}: mixed-element meshes do not refine; "
+            print(f"AMR step {t}: {mesh.elem_type} meshes do not refine; "
                   "mesh unchanged")
         elif (refinement_step > 0 and t % refinement_step == 0
                 and amr_done < amr_max_steps):

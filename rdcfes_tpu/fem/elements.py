@@ -91,6 +91,30 @@ def quadrature(elem_type: str) -> Tuple[np.ndarray, np.ndarray]:
                         for (x, y) in tpts])
         wts = np.array([w for _ in range(2) for w in twts])
         return pts, wts
+    if elem_type == "TET10":
+        # Keast degree-5 14-point rule (all-positive weights): the P2
+        # basis needs a rule exact past degree 4 for the mass matrix
+        # (libMesh: default_quadrature_order = 2p+1 = FIFTH for p = 2)
+        a1, c1, w1 = 0.3108859192633005, 0.0673422422100983, \
+            0.018781320953002642
+        a2, c2, w2 = 0.09273525031089123, 0.7217942490673263, \
+            0.012248840519393658
+        a3, b3, w3 = 0.04550370412564965, 0.45449629587435036, \
+            0.007091003462846911
+        pts, wts = [], []
+        for (a, c, w) in ((a1, c1, w1), (a2, c2, w2)):
+            # barycentric (a, a, a, c) orbit: c in each slot
+            bary = [(c, a, a, a), (a, c, a, a), (a, a, c, a), (a, a, a, c)]
+            pts += [[x, y, z] for (_, x, y, z) in bary]
+            wts += [w] * 4
+        # barycentric (a, a, b, b) orbit: 6 placements of the two b's
+        for i in range(3):
+            for j in range(i + 1, 4):
+                bl = [a3] * 4
+                bl[i] = bl[j] = b3
+                pts.append(bl[1:])
+                wts.append(w3)
+        return np.array(pts), np.array(wts)
     if elem_type == "PYRAMID5":
         # z-direction: 2-point Gauss-Jacobi for int_0^1 (1-z)^2 f(z) dz
         # (nodes/weights from the moment equations of the weight t^2,
@@ -145,6 +169,18 @@ def shape_functions(elem_type: str, pts: np.ndarray) -> np.ndarray:
         lo = (1.0 - z[:, None]) / 2.0
         hi = (1.0 + z[:, None]) / 2.0
         return np.concatenate([L * lo, L * hi], axis=1)
+    if elem_type == "TET10":
+        # quadratic Lagrange on the reference tet, Gmsh node order:
+        # vertices 0..3, then mid-edge nodes (0,1),(1,2),(0,2),(0,3),
+        # (2,3),(1,3)
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        L0, L1, L2, L3 = 1.0 - x - y - z, x, y, z
+        return np.stack([
+            L0 * (2 * L0 - 1), L1 * (2 * L1 - 1),
+            L2 * (2 * L2 - 1), L3 * (2 * L3 - 1),
+            4 * L0 * L1, 4 * L1 * L2, 4 * L0 * L2,
+            4 * L0 * L3, 4 * L2 * L3, 4 * L1 * L3,
+        ], axis=1)
     if elem_type == "PYRAMID5":
         # rational first-order pyramid basis (libMesh Pyramid5 LAGRANGE):
         # base quad [-1,1]^2 at z=0, apex (0,0,1); s = 1-z.  At the apex
@@ -205,6 +241,18 @@ def shape_gradients(elem_type: str, pts: np.ndarray) -> np.ndarray:
                              dL[:, 1] * hi[:, None]], axis=1)
         gz = np.concatenate([-0.5 * L, 0.5 * L], axis=1)
         return np.stack([gx, gy, gz], axis=2)
+    if elem_type == "TET10":
+        x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
+        L = [1.0 - x - y - z, x, y, z]                   # (4,) of (Q,)
+        dL = np.array([[-1.0, -1.0, -1.0], [1.0, 0.0, 0.0],
+                       [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])  # (4, 3)
+        cols = []
+        for i in range(4):                                # vertex nodes
+            cols.append((4 * L[i] - 1)[:, None] * dL[i])
+        for (i, j) in ((0, 1), (1, 2), (0, 2),            # mid-edge nodes
+                       (0, 3), (2, 3), (1, 3)):
+            cols.append(4 * (L[i][:, None] * dL[j] + L[j][:, None] * dL[i]))
+        return np.stack(cols, axis=1)                     # (Q, 10, 3)
     if elem_type == "PYRAMID5":
         # gradients of the rational basis are singular AT the apex
         # (standard for Pyramid5 LAGRANGE); quadrature points are always

@@ -27,7 +27,7 @@ from ..mesh.core import Mesh
 SMALLEST_NUMBER = 1.0e-24
 
 _VTK_TYPE = {"TET4": 10, "HEX8": 12, "TRI3": 5, "QUAD4": 9,
-             "PRISM6": 13, "PYRAMID5": 14}
+             "PRISM6": 13, "PYRAMID5": 14, "TET10": 24}
 
 
 def elemental_to_nodal(mesh: Mesh, values: np.ndarray) -> np.ndarray:
@@ -63,7 +63,12 @@ def _cell_arrays(mesh) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         return (np.concatenate(conns), np.cumsum(np.concatenate(sizes)),
                 np.concatenate(types))
     E, K = mesh.n_elems, mesh.nodes_per_elem
-    return (mesh.connectivity.ravel(), K * np.arange(1, E + 1),
+    conn = mesh.connectivity
+    if mesh.elem_type == "TET10":
+        # VTK_QUADRATIC_TETRA orders edges (0,1),(1,2),(0,2),(0,3),
+        # (1,3),(2,3); gmsh swaps the last two
+        conn = conn[:, [0, 1, 2, 3, 4, 5, 6, 7, 9, 8]]
+    return (conn.ravel(), K * np.arange(1, E + 1),
             np.full(E, _VTK_TYPE[mesh.elem_type]))
 
 

@@ -1,6 +1,7 @@
 from .core import (Mesh, MixedMesh, MeshBlock, ELEMENT_FACES,
                    extract_boundary_faces)
-from .generators import box_hex_mesh, box_mixed_mesh, box_tet_mesh
+from .generators import (box_hex_mesh, box_mixed_mesh, box_tet_mesh,
+                         tet4_to_tet10)
 from .refine import refine_uniform, refine_flagged, Refinement
 from .adapt import AdaptiveMesh, AdaptOutcome, adapt_flagged
 from .constrain import ConstrainedAdaptResult, ConstrainedMesh
@@ -16,6 +17,7 @@ __all__ = [
     "box_hex_mesh",
     "box_mixed_mesh",
     "box_tet_mesh",
+    "tet4_to_tet10",
     "refine_uniform",
     "refine_flagged",
     "AdaptiveMesh",

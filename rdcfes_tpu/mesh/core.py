@@ -54,13 +54,25 @@ ELEMENT_FACES: Dict[str, Tuple[Tuple[int, ...], ...]] = {
         (3, 0, 4),
         (0, 3, 2, 1),
     ),
+    # second-order tet (gmsh node order: vertices, then mid-edge nodes
+    # (0,1),(1,2),(0,2),(0,3),(2,3),(1,3)); sides are TRI6 — the TET4
+    # corner face plus its three mid-edge nodes
+    "TET10": (
+        (0, 2, 1, 6, 5, 4),
+        (0, 1, 3, 4, 9, 7),
+        (1, 2, 3, 5, 8, 9),
+        (2, 0, 3, 6, 7, 8),
+    ),
 }
 
-NODES_PER_ELEM = {"TET4": 4, "HEX8": 8, "PRISM6": 6, "PYRAMID5": 5}
+NODES_PER_ELEM = {"TET4": 4, "HEX8": 8, "PRISM6": 6, "PYRAMID5": 5,
+                  "TET10": 10}
 FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4"}
 # volume element types allowed inside a single-type Mesh (the shipped-deck
-# surface); PRISM6/PYRAMID5 participate through MixedMesh blocks
-_SINGLE_TYPES = ("TET4", "HEX8")
+# surface); PRISM6/PYRAMID5 participate through MixedMesh blocks.  TET10
+# is the second-order capability upgrade (every reference deck is
+# FIRST/LAGRANGE, pihna.C:30-34): supported on the RDC path, single-type.
+_SINGLE_TYPES = ("TET4", "HEX8", "TET10")
 
 
 @dataclasses.dataclass
@@ -140,11 +152,11 @@ class Mesh:
             v1 = X[:, 2] - X[:, 0]
             v2 = X[:, 3] - X[:, 0]
             return np.einsum("ei,ei->e", np.cross(v0, v1), v2) / 6.0
-        # HEX8 via the quadrature used everywhere else
+        # HEX8 / TET10 via the quadrature used everywhere else
         from ..fem import elements as _el
 
-        qp, qw = _el.quadrature("HEX8")
-        dN = _el.shape_gradients("HEX8", qp)  # (Q, K, 3)
+        qp, qw = _el.quadrature(self.elem_type)
+        dN = _el.shape_gradients(self.elem_type, qp)  # (Q, K, 3)
         J = np.einsum("ekd,qkr->eqdr", X, dN)
         detJ = np.linalg.det(J)
         return np.einsum("eq,q->e", detJ, qw)
@@ -233,6 +245,10 @@ class MeshBlock:
 def _padded_faces(conn: np.ndarray, elem_type: str) -> np.ndarray:
     """All (element, side) faces as (E, S, 4) with -1 padding for
     triangles — a uniform keying layout across mixed face arities."""
+    if elem_type == "TET10":
+        raise ValueError(
+            "second-order TET10 blocks are single-type meshes; MixedMesh "
+            "blocks are first-order (TET4/HEX8/PRISM6/PYRAMID5)")
     rows = []
     for fd in ELEMENT_FACES[elem_type]:
         f = conn[:, list(fd)].astype(np.int32)

@@ -196,6 +196,36 @@ def box_mixed_mesh(nx: int, ny: int, nz: int,
     return mesh
 
 
+def tet4_to_tet10(mesh: Mesh) -> Mesh:
+    """Second-order upgrade of a TET4 mesh: one new node per unique edge
+    (gmsh TET10 node order: vertices, then mid-edge nodes (0,1),(1,2),
+    (0,2),(0,3),(2,3),(1,3)).  Subdomain and boundary-condition ids
+    carry over (boundary faces are re-extracted as TRI6 and matched to
+    the TET4 faces by their corner key)."""
+    assert mesh.elem_type == "TET4", mesh.elem_type
+    conn = mesh.connectivity.astype(np.int64)
+    edges = np.array([(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)])
+    ev = np.sort(conn[:, edges], axis=-1)            # (E, 6, 2)
+    flat = ev.reshape(-1, 2)
+    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+    mid = 0.5 * (mesh.coords[uniq[:, 0]] + mesh.coords[uniq[:, 1]])
+    N = mesh.n_nodes
+    coords = np.concatenate([mesh.coords, mid])
+    conn10 = np.concatenate(
+        [conn, N + inv.reshape(conn.shape[0], 6)], axis=1)
+    out = Mesh(coords=coords, connectivity=conn10.astype(np.int32),
+               elem_type="TET10", subdomain_id=mesh.subdomain_id.copy())
+    if mesh.boundary_id is not None:
+        old = {tuple(sorted(f)): bid
+               for f, bid in zip(mesh.boundary_faces.tolist(),
+                                 mesh.boundary_id.tolist())}
+        for i, f in enumerate(out.boundary_faces):
+            bid = old.get(tuple(sorted(int(x) for x in f[:3])))
+            if bid is not None:
+                out.boundary_id[i] = bid
+    return out
+
+
 def _assign_box_boundary_ids(mesh: Mesh, bounds) -> None:
     (x0, x1), (y0, y1), (z0, z1) = bounds
     tol = 1e-10 * max(x1 - x0, y1 - y0, z1 - z0, 1.0)

@@ -32,13 +32,18 @@ _GMSH_TET4 = 4
 _GMSH_HEX8 = 5
 _GMSH_PRISM6 = 6
 _GMSH_PYRAMID5 = 7
+_GMSH_TRI6 = 9
+_GMSH_TET10 = 11
 
 _VOLUME_TYPES = {_GMSH_TET4: ("TET4", 4), _GMSH_HEX8: ("HEX8", 8),
                  _GMSH_PRISM6: ("PRISM6", 6),
-                 _GMSH_PYRAMID5: ("PYRAMID5", 5)}
+                 _GMSH_PYRAMID5: ("PYRAMID5", 5),
+                 _GMSH_TET10: ("TET10", 10)}
 _GMSH_CODE = {name: code for code, (name, _) in _VOLUME_TYPES.items()}
-_SURFACE_TYPES = {_GMSH_TRI3: ("TRI3", 3), _GMSH_QUAD4: ("QUAD4", 4)}
-_GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 15: 1}
+_SURFACE_TYPES = {_GMSH_TRI3: ("TRI3", 3), _GMSH_QUAD4: ("QUAD4", 4),
+                  _GMSH_TRI6: ("TRI6", 6)}
+_GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 9: 6, 11: 10,
+                15: 1}
 
 
 def read(path_or_file: Union[str, TextIO]) -> Mesh:
@@ -130,7 +135,7 @@ def _read_lines(lines) -> Mesh:
     if not by_type:
         raise ValueError("mesh contains no supported volume elements")
 
-    if len(order) == 1 and order[0] in ("TET4", "HEX8"):
+    if len(order) == 1 and order[0] in ("TET4", "HEX8", "TET10"):
         rows = by_type[order[0]]
         mesh = Mesh(
             coords=coords,
@@ -218,13 +223,14 @@ def write(mesh: Mesh, path_or_file: Union[str, TextIO]) -> None:
                     index += 1
             w("$EndElements\n")
             return
-        gmsh_face = _GMSH_TRI3 if mesh.elem_type == "TET4" else _GMSH_QUAD4
+        gmsh_face = {"TET4": _GMSH_TRI3, "HEX8": _GMSH_QUAD4,
+                     "TET10": _GMSH_TRI6}[mesh.elem_type]
         if n_faces:
             for f, bid in zip(mesh.boundary_faces, mesh.boundary_id):
                 nodes = " ".join(str(n + 1) for n in f)
                 w(f"{index} {gmsh_face} 2 {bid} 0 {nodes}\n")
                 index += 1
-        gmsh_vol = _GMSH_TET4 if mesh.elem_type == "TET4" else _GMSH_HEX8
+        gmsh_vol = _GMSH_CODE[mesh.elem_type]
         for e in range(mesh.n_elems):
             nodes = " ".join(str(n + 1) for n in mesh.connectivity[e])
             w(f"{index} {gmsh_vol} 2 {mesh.subdomain_id[e]} 0 {nodes}\n")

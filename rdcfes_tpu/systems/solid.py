@@ -155,6 +155,10 @@ class SolidSystem:
         # (libMesh's polymorphic element loop, src/solid_system.C:146,
         # as fixed-shape batches — same design as systems/mixed.py)
         mixed = getattr(mesh, "elem_type", None) == "MIXED"
+        if mesh.elem_type not in ("TET4", "HEX8", "MIXED"):
+            raise ValueError(
+                f"solid mechanics supports first-order element types "
+                f"(TET4/HEX8/MIXED), got {mesh.elem_type}")
         if mixed:
             if device_mesh is not None:
                 raise ValueError(

@@ -269,6 +269,10 @@ class TransientRDCSystem:
         if self.fast_gather == "off" or self.physics_blocks is None:
             return None
         if self.fast_gather == "auto":
+            if self.mesh.elem_type not in ("TET4", "HEX8"):
+                # the permutation-kernel plans are hardware-validated on
+                # the first-order types only; TET10 runs the XLA qp path
+                return None
             platform = jax.devices()[0].platform.lower()
             if not ("tpu" in platform or "axon" in platform):
                 return None
