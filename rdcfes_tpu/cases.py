@@ -222,17 +222,20 @@ fb/haptotaxis=0.05
 
 
 def make_adpm_case(directory: str, n: int = 28, seed: int = 1,
-                   n_steps: int = 400, mixed: bool = False) -> str:
+                   n_steps: int = 400, mixed: bool = False,
+                   order: int = 1) -> str:
     """Synthetic ADPM Alzheimer's case (deck values = run/HCP102513/input.dat;
     the real case is 25,935 nodes / 125,702 elements).
 
     mixed=True meshes the box with HEX8 + PYRAMID5 + TET4 blocks — the
     elemental Tracts aux field (adpm.C:32-37) then exercises the
-    per-block elemental-field split of the mixed systems."""
+    per-block elemental-field split of the mixed systems.  order=2
+    upgrades the tet mesh to TET10."""
     os.makedirs(directory, exist_ok=True)
     if mixed:
         from .mesh import box_mixed_mesh
 
+        assert order == 1, "mixed meshes are first-order"
         mesh = box_mixed_mesh(max(n, 3), n, n,
                               bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
         # a couple of parcellation regions for the CSV surface
@@ -243,6 +246,10 @@ def make_adpm_case(directory: str, n: int = 28, seed: int = 1,
         mesh = _brain_mesh(n)
         mid = mesh.coords[mesh.connectivity].mean(axis=1)
         mesh.subdomain_id[:] = np.where(mid[:, 0] < 75.0, 10, 20)
+        if order == 2:
+            from .mesh import tet4_to_tet10
+
+            mesh = tet4_to_tet10(mesh)
     gmsh.write(mesh, os.path.join(directory, "Brain_Model.msh"))
 
     rng = np.random.default_rng(seed)

@@ -18,7 +18,8 @@ import numpy as np
 from ..mesh.core import Mesh
 
 _ELEM_TYPE_NAME = {"TET4": "TETRA4", "HEX8": "HEX8",
-                   "PRISM6": "WEDGE6", "PYRAMID5": "PYRAMID5"}
+                   "PRISM6": "WEDGE6", "PYRAMID5": "PYRAMID5",
+                   "TET10": "TETRA10"}
 
 
 def write_exodus(

@@ -258,3 +258,34 @@ def test_tet10_out_of_scope_guards():
         MixedMesh(coords=m.coords, blocks=[
             MeshBlock("TET10", m.connectivity,
                       np.zeros(m.n_elems, np.int32))])
+
+
+def test_tet10_adpm_driver_and_exodus(in_tmp, tmp_path):
+    """ADPM (elemental tracts) on an order-2 case through the real
+    driver; ExodusII exports TET10 as the TETRA10 block type."""
+    import glob
+    import os
+
+    from scipy.io import netcdf_file
+
+    from rdcfes_tpu import cases
+    from rdcfes_tpu.drivers import adpm
+    from rdcfes_tpu.io.exodus import write_exodus
+    from rdcfes_tpu.mesh import box_tet_mesh
+
+    cases.make_adpm_case(".", n=3, n_steps=2, order=2)
+    deck = open("input.dat").read().replace("output_step = 20",
+                                            "output_step = 2")
+    open("input.dat", "w").write(deck)
+    out = adpm.run("input.dat")
+    csv = open(os.path.join(out, "output.csv")).read().splitlines()
+    vals = np.array(csv[-1].split(","), dtype=float)
+    assert np.isfinite(vals).all()
+    assert glob.glob(os.path.join(out, "*.vtu"))
+
+    m = tet4_to_tet10(box_tet_mesh(2, 2, 2))
+    p = str(tmp_path / "t10.ex2")
+    write_exodus(p, m, [("f", np.ones(m.n_nodes))])
+    f = netcdf_file(p, "r")
+    assert f.variables["connect1"].elem_type == b"TETRA10"
+    f.close()
