@@ -142,7 +142,8 @@ decay/a = 5678.4
 
 
 def make_ripf_case(directory: str, n: int = 16, seed: int = 2,
-                   n_steps: int = 120, mixed: bool = False) -> str:
+                   n_steps: int = 120, mixed: bool = False,
+                   order: int = 1) -> str:
     """Synthetic RIPF lung-fibrosis case (deck values = run/RIPF133/input.dat;
     the real case is 15,700 nodes)."""
     os.makedirs(directory, exist_ok=True)
@@ -154,6 +155,10 @@ def make_ripf_case(directory: str, n: int = 16, seed: int = 2,
     else:
         mesh = box_tet_mesh(n, n, n,
                             bounds=((0, 250.0), (0, 180.0), (0, 250.0)))
+        if order == 2:
+            from .mesh import tet4_to_tet10
+
+            mesh = tet4_to_tet10(mesh)
     gmsh.write(mesh, os.path.join(directory, "Lung_Model.msh"))
 
     rng = np.random.default_rng(seed)
@@ -303,7 +308,8 @@ decay/Tau/pulse/0 = 0.0005
 
 
 def make_proteas_case(directory: str, n: int = 12, seed: int = 3,
-                      n_steps: int = 40, mixed: bool = False) -> str:
+                      n_steps: int = 40, mixed: bool = False,
+                      order: int = 1) -> str:
     """Synthetic PROTEAS radiotherapy-response case.
 
     No run/ deck ships for PROTEAS (it is the only driver taking
@@ -320,6 +326,10 @@ def make_proteas_case(directory: str, n: int = 12, seed: int = 3,
     else:
         mesh = box_tet_mesh(n, n, n,
                             bounds=((0, 100.0), (0, 100.0), (0, 100.0)))
+        if order == 2:
+            from .mesh import tet4_to_tet10
+
+            mesh = tet4_to_tet10(mesh)
     gmsh.write(mesh, os.path.join(directory, "Proteas_Model.msh"))
 
     rng = np.random.default_rng(seed)

@@ -289,3 +289,33 @@ def test_tet10_adpm_driver_and_exodus(in_tmp, tmp_path):
     f = netcdf_file(p, "r")
     assert f.variables["connect1"].elem_type == b"TETRA10"
     f.close()
+
+
+def test_tet10_proteas_and_ripf_drivers(in_tmp):
+    """PROTEAS (qp-sampled nodal aux incl. the reference sampling quirk)
+    and RIPF (per-step TD/RT qp fields) run order-2 cases end-to-end."""
+    import glob
+    import os
+    import shutil
+
+    from rdcfes_tpu import cases
+    from rdcfes_tpu.drivers import proteas, ripf
+
+    cases.make_proteas_case(".", n=3, n_steps=2, order=2)
+    out = proteas.run("input.dat")
+    assert glob.glob(os.path.join(out, "*.vtu"))
+    for f in os.listdir("."):
+        if os.path.isdir(f):
+            shutil.rmtree(f)
+        else:
+            os.unlink(f)
+
+    cases.make_ripf_case(".", n=3, n_steps=2, order=2)
+    deck = open("input.dat").read().replace(
+        "output_time_points = ' 10 30 60 90 120 '",
+        "output_time_points = ' 2 '")
+    open("input.dat", "w").write(deck)
+    out = ripf.run("input.dat")
+    csv = open(os.path.join(out, "output.csv")).read().splitlines()
+    vals = np.array(csv[-1].split(","), dtype=float)
+    assert np.isfinite(vals).all()
