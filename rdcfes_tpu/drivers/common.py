@@ -100,10 +100,6 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
         if kwargs.get("constraints") is not None:
             raise ValueError(
                 "constraints are not supported on mixed-element meshes")
-        if kwargs.get("moving_mesh") and n_dev > 1:
-            raise ValueError(
-                "moving_mesh on mixed-element meshes is single-chip; "
-                "drop parallel/n_devices or split the mesh by type")
         if n_dev <= 1:
             from ..systems import MixedTransientRDCSystem
 

@@ -483,12 +483,11 @@ class HaloShardedSystem(HaloExchangeMixin):
             # concatenation of all blocks, per-type element tables, the
             # dense shard step summing block restrictions
             # (_linear_stage_blocks).  The qp/Pallas fast paths and
-            # moving-mesh/constraints stay single-type.
+            # constraints stay single-type; moving_mesh recomputes the
+            # per-block geometry inside the shard program
+            # (_step_shard_moving_mixed).
             if constraints is not None:
                 raise ValueError("constraints are not supported on "
-                                 "mixed-element meshes")
-            if moving_mesh:
-                raise ValueError("moving_mesh is not supported on "
                                  "mixed-element meshes")
             self.physics_blocks = None
             plan, per_block = build_mixed_plan(mesh, D)
@@ -514,9 +513,25 @@ class HaloShardedSystem(HaloExchangeMixin):
                         JxW_b)[:, off[s]:off[s + 1]]
                     dphi_p[s, ..., :n_s] = np.asarray(
                         dphi_b)[..., off[s]:off[s + 1]]
+                # moving-mesh tables: pad columns clone the shard's first
+                # element of this block so per-step geometry from current
+                # coords stays non-degenerate where possible; `valid`
+                # masks pad columns (and _step_shard_moving_mixed
+                # nan_to_nums the geometry for shards holding ZERO
+                # elements of a block, whose pad conn is all node 0)
+                conn_mv_b = pb["conn_local"].copy()
+                valid_b = np.zeros((D, Eb_b))
+                for s in range(D):
+                    n_s = int(pb["counts"][s])
+                    valid_b[s, :n_s] = 1.0
+                    if n_s > 0:
+                        conn_mv_b[s, :, n_s:] = conn_mv_b[s, :, :1]
                 tabs.append({
                     "conn": jax.device_put(pb["conn_local"],
                                            shard_last(P("d"))),
+                    "connm": jax.device_put(conn_mv_b,
+                                            shard_last(P("d"))),
+                    "valid": jax.device_put(valid_b, shard_last(P("d"))),
                     "JxW": jax.device_put(JxW_p, shard_last(P("d"))),
                     "dphi": jax.device_put(dphi_p, shard_last(P("d"))),
                     "ng": jax.device_put(pb["node_gather"],
@@ -554,7 +569,8 @@ class HaloShardedSystem(HaloExchangeMixin):
             self._step = jax.jit(shard_map(
                 self._step_shard_mixed, mesh=device_mesh,
                 in_specs=in_specs, out_specs=(P("d"), P(), P())))
-            self.moving_mesh = False
+            self.moving_mesh = moving_mesh
+            self._step_moving = None    # jitted on first use
             self._coords_cache = None
             return
         self.plan = plan = HaloPlan.build(mesh, D, constraints=constraints)
@@ -950,6 +966,44 @@ class HaloShardedSystem(HaloExchangeMixin):
                                   rev_gather, send_tabs, conn,
                                   ca=ca, hmask=hmask)
 
+    def _step_shard_moving_mixed(self, u_blk, coords_blk, efields, scalars,
+                                 params, tabs, rev_gather, mask,
+                                 *send_tabs):
+        """Mixed-element moving-mesh shard step: per-block geometry
+        factors are computed INSIDE the shard program from ghost-filled
+        current node positions (coupled RDC<->solid on a mixed mesh,
+        reference src/coupled_hcc.C:114).  A shard may hold ZERO elements
+        of some block — its pad connectivity is all node 0, geometry
+        there is degenerate (det J = 0), so JxW/dphi are nan_to_num'd
+        and masked by the block's `valid` columns; the restriction
+        tables never gather pad slots either way."""
+        u = u_blk["u"][0]
+        msk = mask[0]
+        xg = self._ghost_fill(coords_blk[0], send_tabs)   # (3, Nloc)
+        ug = self._ghost_fill(u, send_tabs)
+        eblocks = []
+        for bi, tab in enumerate(tabs):
+            conn = tab["connm"][0]     # (Kb, Eb_b) pad-cloned columns
+            valid = tab["valid"][0]    # (Eb_b,)
+            ng = tab["ng"][0]
+            phi, JxW, dphi = geometry_factors(
+                xg.T, conn.T, self._mixed_types[bi])
+            JxW = jnp.nan_to_num(JxW) * valid[None]
+            dphi = jnp.nan_to_num(dphi) * valid[None, None, None]
+            fields = {k: (v[bi][0] if isinstance(v, tuple) else v[0])
+                      for k, v in efields.items()}
+            fields.update(scalars)
+            u_qp, grad_qp = interpolate_at_qp(ug, conn, phi, dphi)
+            wf = self.physics(u_qp, grad_qp, fields, params)
+            Fe = element_vectors(wf, phi, JxW, dphi)
+            Ke, diag_e = element_matrices(
+                wf, phi, JxW, dphi,
+                grad_const=(self._mixed_types[bi] == "TET4"),
+                return_diag=True)
+            eblocks.append((Fe, Ke, diag_e, ng, conn))
+        return self._linear_stage_blocks(u_blk, tuple(eblocks), msk,
+                                         rev_gather, send_tabs)
+
     # ------------------------------------------------------------------
     def _step_shard_qp_fn(self, params: Dict):
         """Per-shard program with static params and the qp-apply matvec
@@ -1174,7 +1228,20 @@ class HaloShardedSystem(HaloExchangeMixin):
         ((N, 3) global or an already-distributed (D, 3, No_max) slab)."""
         params = params or {}
         if self._mixed is not None:
-            assert coords is None, "moving mesh unsupported on mixed meshes"
+            if coords is not None:
+                if self._step_moving is None:
+                    in_specs = (
+                        P("d"), P("d"), P("d"), P(), P(),
+                        P("d"),             # tabs pytree
+                        P("d"), P("d"),     # rev_gather, mask
+                    ) + tuple(P("d") for _ in self.plan.send_idx)
+                    self._step_moving = jax.jit(shard_map(
+                        self._step_shard_moving_mixed, mesh=self.dmesh,
+                        in_specs=in_specs, out_specs=(P("d"), P(), P())))
+                return self._step_moving(
+                    state, self.scatter_coords(coords), fields or {},
+                    scalars or {}, params, self._mixed,
+                    self.rev_gather_s, self.mask_s, *self.send_idx_s)
             return self._step(state, fields or {}, scalars or {}, params,
                               self._mixed, self.rev_gather_s, self.mask_s,
                               *self.send_idx_s)

@@ -246,6 +246,26 @@ def test_hcc_multichip(in_tmp):
     })
 
 
+def test_hcc_multichip_mixed_mesh(in_tmp):
+    """Coupled HCC on a mixed-element mesh with parallel/n_devices: the
+    per-step RDC transport runs through the mixed moving-mesh halo step
+    (_step_shard_moving_mixed, geometry from ghost-filled current coords
+    per block) and the solid half through the mixed halo Newton
+    (per-type blocks + per-arity face groups); artifacts match the
+    single-device run."""
+    from rdcfes_tpu.drivers import coupled_hcc
+
+    def prep():
+        cases.make_hcc_case(".", n=3, n_steps=2, n_loading=1, mixed=True)
+        return open("input.dat").read().replace("output_step = 1",
+                                                "output_step = 2")
+
+    _run_both(coupled_hcc, prep, {
+        "c": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "c"),
+        "u_z": lambda o: _vtu_field(os.path.join(o, "out-2.vtu"), "u_z"),
+    })
+
+
 def test_pihna_multichip_checkpoint_resume(in_tmp):
     """Checkpoints store the gathered global state, so a distributed run
     resumes correctly (scatter on load) and reproduces the uninterrupted
