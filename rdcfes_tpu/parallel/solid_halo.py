@@ -52,6 +52,54 @@ from ..solvers.newton import NewtonOptions, NewtonResult
 from .halo import HaloExchangeMixin, HaloPlan, _bicgstab_dist
 
 
+def _build_bc_group(D: int, Nloc: int, Kf: int, recs):
+    """Pack penalty-BC face records into per-shard device tables.
+
+    `recs` is a list of (shard, slots (Kf,), X0f_corners (Kf, 3),
+    mask (3,), disp (3,)) — one record per selected boundary face,
+    assigned to its parent element's shard.  Returns the bcconn/bcmask/
+    bcdisp/X0f/fmask tables plus the face restriction table `fgather`
+    (inverse of the (Kf, Fb) k-major corner slots, sentinel = Kf*Fb)."""
+    per_shard = [[] for _ in range(D)]
+    for rec in recs:
+        per_shard[rec[0]].append(rec)
+    Fb = max(max((len(p) for p in per_shard), default=1), 1)
+    bcconn = np.zeros((D, Kf, Fb), dtype=np.int32)
+    bcmask = np.zeros((D, 3, Fb))
+    bcdisp = np.zeros((D, 3, Fb))
+    X0f = np.zeros((D, Fb, Kf, 3))
+    fmask = np.zeros((D, Fb))
+    for s in range(D):
+        for p_i, (_, slots, xc, m, dv) in enumerate(per_shard[s]):
+            bcconn[s, :, p_i] = slots
+            bcmask[s, :, p_i] = m
+            bcdisp[s, :, p_i] = dv
+            X0f[s, p_i] = xc
+            fmask[s, p_i] = 1.0
+    fgather_l = []
+    Cf = 1
+    for s in range(D):
+        F_s = len(per_shard[s])
+        flat_targets = bcconn[s].reshape(-1)
+        f_ids = np.tile(np.arange(Fb), Kf)
+        valid = np.nonzero(f_ids < F_s)[0]
+        order = valid[np.argsort(flat_targets[valid], kind="stable")]
+        tgt = flat_targets[order]
+        counts = np.bincount(tgt, minlength=Nloc)
+        Cs = int(counts.max()) if len(tgt) else 1
+        Cf = max(Cf, Cs)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        tbl = np.full((Cs, Nloc), Kf * Fb, dtype=np.int32)
+        pos = np.arange(len(tgt)) - starts[tgt]
+        tbl[pos, tgt] = order
+        fgather_l.append(tbl)
+    fgather = np.full((D, Cf, Nloc), Kf * Fb, dtype=np.int32)
+    for s, tbl in enumerate(fgather_l):
+        fgather[s, : tbl.shape[0]] = tbl
+    return {"bcconn": bcconn, "bcmask": bcmask, "bcdisp": bcdisp,
+            "X0f": X0f, "fmask": fmask, "fgather": fgather}
+
+
 class HaloSolidSystem(HaloExchangeMixin):
     """Distributed quasi-static hyperelastic equilibrium (load stepping).
 
@@ -67,6 +115,13 @@ class HaloSolidSystem(HaloExchangeMixin):
         self.newton = newton
         self.penalty = float(penalty)
         self.dmesh = device_mesh
+        if getattr(mesh, "elem_type", None) == "MIXED":
+            # per-type element blocks + per-arity face groups over ONE
+            # exchange plan (the build_mixed_plan contract of the
+            # transient halo system, applied to the solid Newton)
+            self._init_mixed(mesh, young, poisson, fibre_k, rates,
+                             fibres, bcs, device_mesh)
+            return
         D = int(device_mesh.devices.size)
         self.plan = plan = HaloPlan.build(mesh, D)
         K = mesh.nodes_per_elem
@@ -128,7 +183,8 @@ class HaloSolidSystem(HaloExchangeMixin):
 
         # ---- penalty-BC faces, assigned to the parent element's shard ---
         faces_def = ELEMENT_FACES[mesh.elem_type]
-        sel_faces = []   # (shard, e_local, side, mask(3,), disp(3,))
+        Nloc = plan.No_max + plan.Gtot
+        recs = []   # (shard, slots, X0f corners, mask(3,), disp(3,))
         for bid, disp in bcs.items():
             d = np.asarray(disp, dtype=np.float64)
             m = (~np.isnan(d)).astype(np.float64)
@@ -138,52 +194,15 @@ class HaloSolidSystem(HaloExchangeMixin):
                 e = int(mesh.boundary_elem[fi])
                 s = int(part_orig[e])
                 e_local = int(pos_of_orig[e] - e_starts[s])
-                sel_faces.append((s, e_local, int(mesh.boundary_side[fi]),
-                                  m, dv))
-        per_shard = [[] for _ in range(D)]
-        for rec in sel_faces:
-            per_shard[rec[0]].append(rec)
-        Fb = max(max((len(p) for p in per_shard), default=1), 1)
-        bcconn = np.zeros((D, Kf, Fb), dtype=np.int32)
-        bcmask = np.zeros((D, 3, Fb))
-        bcdisp = np.zeros((D, 3, Fb))
-        X0f = np.zeros((D, Fb, Kf, 3))
-        fmask = np.zeros((D, Fb))
-        for s in range(D):
-            for p_i, (_, e_local, side, m, dv) in enumerate(per_shard[s]):
-                ks = list(faces_def[side])
+                ks = list(faces_def[int(mesh.boundary_side[fi])])
                 slots = plan.conn_local[s][ks, e_local]
-                bcconn[s, :, p_i] = slots
-                bcmask[s, :, p_i] = m
-                bcdisp[s, :, p_i] = dv
-                fmask[s, p_i] = 1.0
                 # undeformed face corner coords: via the parent element's
                 # renumbered connectivity (global ids -> original coords)
                 gids = conn_sorted[e_starts[s] + e_local][ks]
-                X0f[s, p_i] = coords_new[gids]
-
-        # face restriction: invert (Kf, Fb) k-major corner slots -> Nloc
-        Nloc = plan.No_max + plan.Gtot
-        fgather_l = []
-        Cf = 1
-        for s in range(D):
-            F_s = len(per_shard[s])
-            flat_targets = bcconn[s].reshape(-1)
-            f_ids = np.tile(np.arange(Fb), Kf)
-            valid = np.nonzero(f_ids < F_s)[0]
-            order = valid[np.argsort(flat_targets[valid], kind="stable")]
-            tgt = flat_targets[order]
-            counts = np.bincount(tgt, minlength=Nloc)
-            Cs = int(counts.max()) if len(tgt) else 1
-            Cf = max(Cf, Cs)
-            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-            tbl = np.full((Cs, Nloc), Kf * Fb, dtype=np.int32)
-            pos = np.arange(len(tgt)) - starts[tgt]
-            tbl[pos, tgt] = order
-            fgather_l.append(tbl)
-        fgather = np.full((D, Cf, Nloc), Kf * Fb, dtype=np.int32)
-        for s, tbl in enumerate(fgather_l):
-            fgather[s, : tbl.shape[0]] = tbl
+                recs.append((s, slots, coords_new[gids], m, dv))
+        bct = _build_bc_group(D, Nloc, Kf, recs)
+        bcconn, bcmask, bcdisp = bct["bcconn"], bct["bcmask"], bct["bcdisp"]
+        X0f, fmask, fgather = bct["X0f"], bct["fmask"], bct["fgather"]
 
         # ---- device tables (shard axis leading, sharded on "d") ---------
         sh = NamedSharding(device_mesh, P("d"))
@@ -214,6 +233,145 @@ class HaloSolidSystem(HaloExchangeMixin):
             out_specs=P()))
         self._solve = jax.jit(shard_map(
             self._solve_shard, mesh=device_mesh,
+            in_specs=(P("d"), P("d"), P("d"), P("d"), P(), P("d")),
+            out_specs=(P("d"), P(), P())))
+
+    # ------------------------------------------------------------------
+    def _init_mixed(self, mesh, young, poisson, fibre_k, rates, fibres,
+                    bcs, device_mesh):
+        """Mixed-element multi-chip solid: one HaloPlan over the padded
+        concatenation of all blocks (build_mixed_plan), per-type element
+        tables with owner-computes constitutive kernels summed into the
+        shared linear stage, penalty faces grouped by arity (TRI3/QUAD4)
+        on their parent element's shard — the distributed counterpart of
+        SolidSystem's per-type-block union-sparsity assembly (libMesh's
+        polymorphic element loop over an MPI-distributed matrix,
+        reference src/solid_system.C:146, :373-392)."""
+        from .halo import build_mixed_plan
+
+        D = int(device_mesh.devices.size)
+        plan, per_block = build_mixed_plan(mesh, D)
+        self.plan = plan
+        self.face_type = None
+        coords_new = mesh.coords[plan.node_order]
+        Nloc = plan.No_max + plan.Gtot
+        sh = NamedSharding(device_mesh, P("d"))
+        put = lambda a: jax.device_put(jnp.asarray(a), sh)
+
+        young = np.asarray(young)
+        poisson = np.asarray(poisson)
+        fibre_k = np.asarray(fibre_k)
+        rates = np.asarray(rates)
+        fibres = np.asarray(fibres)
+        block_starts = np.concatenate(
+            [[0], np.cumsum([b.n_elems for b in mesh.blocks])])
+        blocks_t = []
+        self._mixed_types = []
+        pos_lookup = []   # per block: element-within-block -> shard/col/pos
+        for bi, (pb, mb) in enumerate(zip(per_block, mesh.blocks)):
+            Kb, Eb_b = pb["K"], pb["Eb"]
+            counts = pb["counts"]
+            off = np.concatenate([[0], np.cumsum(counts)])
+            # shard-order ids of this block's elements in block-concat
+            # order -> index within the block
+            concat_ids = plan.elem_order[pb["sorted_concat_idx"]]
+            within = concat_ids - block_starts[bi]
+            j = np.arange(len(within))
+            shard_idx = np.searchsorted(off, j, side="right") - 1
+            shard_of = np.empty(mb.n_elems, np.int32)
+            col_of = np.empty(mb.n_elems, np.int32)
+            pos_of = np.empty(mb.n_elems, np.int64)
+            shard_of[within] = shard_idx
+            col_of[within] = j - off[shard_idx]
+            pos_of[within] = j
+            pos_lookup.append((shard_of, col_of, pos_of))
+
+            # pad columns clone the shard's first element of the block
+            # where one exists; shards holding ZERO elements of a block
+            # keep all-zero pads — their degenerate kernels are
+            # nan_to_num'd + emask-zeroed in the shard program
+            conn_b = pb["conn_local"].copy()
+            emask = np.zeros((D, Eb_b))
+            X0e_sorted = np.transpose(
+                coords_new[pb["conn_sorted"]], (1, 2, 0))  # (Kb, 3, nb)
+            X0e = np.zeros((D, Kb, 3, Eb_b))
+            ym = np.zeros((D, Eb_b))
+            po = np.zeros((D, Eb_b))
+            fk = np.zeros((D, Eb_b))
+            ra = np.zeros((D, Eb_b, 3))
+            fb_ = np.zeros((D, Eb_b, 3))
+            yms, pos_s = young[concat_ids], poisson[concat_ids]
+            fks, ras, fbs = (fibre_k[concat_ids], rates[concat_ids],
+                             fibres[concat_ids])
+            for s in range(D):
+                lo, hi = int(off[s]), int(off[s + 1])
+                n_s = hi - lo
+                emask[s, :n_s] = 1.0
+                X0e[s, ..., :n_s] = X0e_sorted[..., lo:hi]
+                ym[s, :n_s] = yms[lo:hi]
+                po[s, :n_s] = pos_s[lo:hi]
+                fk[s, :n_s] = fks[lo:hi]
+                ra[s, :n_s] = ras[lo:hi]
+                fb_[s, :n_s] = fbs[lo:hi]
+                if n_s:
+                    conn_b[s, :, n_s:] = conn_b[s, :, :1]
+                    X0e[s, ..., n_s:] = X0e_sorted[..., lo:lo + 1]
+                    ym[s, n_s:] = yms[lo]
+                    po[s, n_s:] = pos_s[lo]
+            blocks_t.append({
+                "conn": put(conn_b), "X0e": put(X0e), "emask": put(emask),
+                "young": put(ym), "poisson": put(po), "fibre_k": put(fk),
+                "rates": put(ra), "fibres": put(fb_),
+                "ng": put(pb["node_gather"]),
+            })
+            self._mixed_types.append(pb["elem_type"])
+
+        # penalty-BC faces grouped by arity, on the parent's shard
+        group_recs = {}
+        for bid, disp in bcs.items():
+            d = np.asarray(disp, dtype=np.float64)
+            m = (~np.isnan(d)).astype(np.float64)
+            dv = np.nan_to_num(d)
+            for fi in np.nonzero(np.asarray(mesh.boundary_id) == bid)[0]:
+                bi = int(mesh.boundary_block[fi])
+                e = int(mesh.boundary_elem[fi])
+                side = int(mesh.boundary_side[fi])
+                et = mesh.blocks[bi].elem_type
+                ks = list(ELEMENT_FACES[et][side])
+                ft = "TRI3" if len(ks) == 3 else "QUAD4"
+                shard_of, col_of, pos_of = pos_lookup[bi]
+                s = int(shard_of[e])
+                slots = per_block[bi]["conn_local"][s][ks, int(col_of[e])]
+                gids = per_block[bi]["conn_sorted"][int(pos_of[e])][ks]
+                group_recs.setdefault(ft, []).append(
+                    (s, slots, coords_new[gids], m, dv))
+        fgroups = []
+        self._fgroup_types = []
+        for ft in sorted(group_recs):
+            g = _build_bc_group(D, Nloc, 3 if ft == "TRI3" else 4,
+                                group_recs[ft])
+            fgroups.append({k: put(v) for k, v in g.items()})
+            self._fgroup_types.append(ft)
+
+        mask = np.zeros((D, plan.No_max))
+        for s in range(D):
+            mask[s, : plan.owned_counts[s]] = 1.0
+        self.tabs = {
+            "blocks": tuple(blocks_t), "fgroups": tuple(fgroups),
+            "rev_gather": put(plan.rev_gather), "mask": put(mask),
+            "send": tuple(put(t) for t in plan.send_idx),
+        }
+        self._state_sharding = sh
+
+        specs = (P("d"), P(), P("d"))
+        self._assemble = jax.jit(shard_map(
+            self._assemble_shard_mixed, mesh=device_mesh, in_specs=specs,
+            out_specs=(P("d"), P("d"), P("d"), P("d"), P())))
+        self._residual = jax.jit(shard_map(
+            self._residual_shard_mixed, mesh=device_mesh, in_specs=specs,
+            out_specs=P()))
+        self._solve = jax.jit(shard_map(
+            self._solve_shard_mixed, mesh=device_mesh,
             in_specs=(P("d"), P("d"), P("d"), P("d"), P(), P("d")),
             out_specs=(P("d"), P(), P())))
 
@@ -249,7 +407,7 @@ class HaloSolidSystem(HaloExchangeMixin):
             acc = acc + f[..., ng[c]]
         return acc
 
-    def _face_terms(self, xg, pt, t):
+    def _face_terms(self, xg, pt, t, face_type=None):
         """Per-shard penalty-BC residual Rf (3, Kf, Fb) and Jacobian
         pen (Kf, Kf, Fb) at current ghost-filled positions
         (src/solid_system.C:273-371 semantics; the Jacobian keeps only the
@@ -258,7 +416,8 @@ class HaloSolidSystem(HaloExchangeMixin):
         ratio = pt * 1.000001
         bcconn = t["bcconn"]                      # (Kf, Fb)
         psi, JxWf, xyz, _ = face_geometry_factors(
-            xg.T, bcconn.T, self.face_type)       # JxWf (Fb, Q), xyz (Fb,Q,3)
+            xg.T, bcconn.T, face_type or self.face_type)
+        # JxWf (Fb, Q), xyz (Fb, Q, 3)
         psi = jnp.asarray(psi)
         orig = jnp.einsum("qk,fkd->fqd", psi, t["X0f"])
         target = ratio * t["bcdisp"].T            # (Fb, 3)
@@ -351,6 +510,134 @@ class HaloSolidSystem(HaloExchangeMixin):
             xf = xg[:, bcconn]                               # (3, Kf, Fb)
             yf = jnp.einsum("ijf,vjf->vif", pen, xf) * bcmask[:, None, :]
             yloc = yloc + self._restrict(yf.reshape(3, -1), t["fgather"])
+            return self._reverse_add(yloc, tabs["rev_gather"])
+
+        def precond(r):
+            return jnp.sum(Dinv * r[None], axis=1)
+
+        def pdot(a, bb):
+            return lax.psum(jnp.vdot(a, bb), "d")
+
+        pre_matvec = lambda p: precond(matvec(p))
+        pre_b = precond(b) * msk
+        x0 = jnp.zeros_like(b)
+        x, iters, res = _bicgstab_dist(
+            pre_matvec, pre_b, x0, msk, pdot, rtol,
+            self.newton.max_linear_iterations)
+        return (x * msk)[None], iters, res
+
+    # ------------------------------------------------------------------
+    # mixed-element shard programs: per-block kernels / per-arity face
+    # groups summed into the same linear stage as the single-type path
+    def _unwrap_mixed(self, tabs):
+        return {
+            "send": tabs["send"],
+            "mask": tabs["mask"][0],
+            "blocks": tuple({k: v[0] for k, v in tb.items()}
+                            for tb in tabs["blocks"]),
+            "fgroups": tuple({k: v[0] for k, v in tf.items()}
+                             for tf in tabs["fgroups"]),
+        }
+
+    def _element_terms_mixed(self, xg, pt, t, want_tangent=True):
+        """Per-block (Fe, Ke) at current ghost-filled positions.  Shards
+        holding zero elements of a block evaluate on all-node-0 pad
+        connectivity — degenerate geometry — so kernels are nan_to_num'd
+        BEFORE the emask zeroing (NaN * 0 is NaN)."""
+        from ..systems.solid import element_kernels_cf
+
+        outs = []
+        for bi, tb in enumerate(t["blocks"]):
+            Fe, Ke = element_kernels_cf(
+                self._mixed_types[bi], xg.T, tb["conn"].T, tb["X0e"],
+                tb["young"], tb["poisson"], tb["fibre_k"], tb["rates"],
+                tb["fibres"], pt, want_tangent=want_tangent)
+            em = tb["emask"]
+            Fe = jnp.nan_to_num(Fe) * em
+            if want_tangent:
+                Ke = jnp.nan_to_num(Ke) * em
+            outs.append((Fe, Ke, tb))
+        return outs
+
+    def _assemble_shard_mixed(self, x_blk, pt, tabs):
+        t = self._unwrap_mixed(tabs)
+        x = x_blk[0]
+        xg = self._ghost_fill(x, t["send"])
+        Rloc = None
+        dloc = None
+        Kes = []
+        for Fe, Ke, tb in self._element_terms_mixed(xg, pt, t):
+            Kes.append(Ke)
+            r = self._restrict(Fe.reshape(3, -1), tb["ng"])
+            Rloc = r if Rloc is None else Rloc + r
+            K = Ke.shape[2]
+            diag_e = jnp.stack([Ke[:, :, i, i, :] for i in range(K)],
+                               axis=2)
+            d = self._restrict(diag_e.reshape(9, -1), tb["ng"])
+            dloc = d if dloc is None else dloc + d
+        pens = []
+        for gi, tf in enumerate(t["fgroups"]):
+            Rf, pen = self._face_terms(xg, pt, tf,
+                                       face_type=self._fgroup_types[gi])
+            pens.append(pen)
+            Rloc = Rloc + self._restrict(Rf.reshape(3, -1), tf["fgather"])
+            pen_d = jnp.stack([pen[i, i, :] for i in range(pen.shape[0])])
+            dface = (jnp.eye(3)[:, :, None, None]
+                     * tf["bcmask"][:, None, None, :]
+                     * pen_d[None, None, :, :])
+            dloc = dloc + self._restrict(dface.reshape(9, -1),
+                                         tf["fgather"])
+        R = self._reverse_add(Rloc, tabs["rev_gather"])
+        diag = self._reverse_add(dloc, tabs["rev_gather"]).reshape(3, 3, -1)
+        empty = jnp.abs(diag).sum(axis=(0, 1)) == 0.0
+        diag = jnp.where(
+            empty[None, None, :],
+            jnp.broadcast_to(jnp.eye(3)[:, :, None], diag.shape), diag)
+        Dinv = small_block_inverse(diag, pivot=False)
+        msk = t["mask"]
+        rnorm = jnp.sqrt(lax.psum(jnp.sum((R * msk) ** 2), "d"))
+        return (R[None], tuple(Ke[None] for Ke in Kes),
+                tuple(p[None] for p in pens), Dinv[None], rnorm)
+
+    def _residual_shard_mixed(self, x_blk, pt, tabs):
+        t = self._unwrap_mixed(tabs)
+        x = x_blk[0]
+        xg = self._ghost_fill(x, t["send"])
+        Rloc = None
+        for Fe, _, tb in self._element_terms_mixed(xg, pt, t,
+                                                   want_tangent=False):
+            r = self._restrict(Fe.reshape(3, -1), tb["ng"])
+            Rloc = r if Rloc is None else Rloc + r
+        for gi, tf in enumerate(t["fgroups"]):
+            Rf, _pen = self._face_terms(xg, pt, tf,
+                                        face_type=self._fgroup_types[gi])
+            Rloc = Rloc + self._restrict(Rf.reshape(3, -1), tf["fgather"])
+        R = self._reverse_add(Rloc, tabs["rev_gather"])
+        return jnp.sqrt(lax.psum(jnp.sum((R * t["mask"]) ** 2), "d"))
+
+    def _solve_shard_mixed(self, Ke_blks, pen_blks, Dinv_blk, R_blk, rtol,
+                           tabs):
+        t = self._unwrap_mixed(tabs)
+        Kes = [Ke[0] for Ke in Ke_blks]
+        pens = [p[0] for p in pen_blks]
+        Dinv = Dinv_blk[0]
+        b = -R_blk[0]
+        msk = t["mask"]
+
+        def matvec(p):
+            xg = self._ghost_fill(p, t["send"])
+            yloc = None
+            for Ke, tb in zip(Kes, t["blocks"]):
+                ue = xg[:, tb["conn"]]                      # (3, Kb, Eb)
+                ye = jnp.sum(Ke * ue[None, :, None, :, :], axis=(1, 3))
+                y = self._restrict(ye.reshape(3, -1), tb["ng"])
+                yloc = y if yloc is None else yloc + y
+            for pen, tf in zip(pens, t["fgroups"]):
+                xf = xg[:, tf["bcconn"]]                    # (3, Kf, Fb)
+                yf = (jnp.einsum("ijf,vjf->vif", pen, xf)
+                      * tf["bcmask"][:, None, :])
+                yloc = yloc + self._restrict(yf.reshape(3, -1),
+                                             tf["fgather"])
             return self._reverse_add(yloc, tabs["rev_gather"])
 
         def precond(r):

@@ -160,10 +160,6 @@ class SolidSystem:
                 f"solid mechanics supports first-order element types "
                 f"(TET4/HEX8/MIXED), got {mesh.elem_type}")
         if mixed:
-            if device_mesh is not None:
-                raise ValueError(
-                    "multi-chip solid is single-element-type; mixed "
-                    "meshes run single-chip")
             from ..fem.assembly import build_sparsity_mixed
 
             conns = [(b.elem_type, np.asarray(b.connectivity))

@@ -445,8 +445,8 @@ def test_adpm_driver_mixed_mesh(in_tmp):
 
 
 def test_mixed_multichip_unsupported_features_rejected():
-    """Constraints / moving mesh stay single-type on the halo system and
-    are rejected with actionable errors on mixed meshes."""
+    """Hanging-node constraints stay single-type on the halo system and
+    are rejected with an actionable error on mixed meshes."""
     import jax
     from jax.sharding import Mesh as DeviceMesh
 
@@ -458,8 +458,47 @@ def test_mixed_multichip_unsupported_features_rejected():
     with pytest.raises(ValueError, match="constraints"):
         HaloShardedSystem(m, 5, pihna_physics, dmesh,
                           constraints=np.zeros((1, 3), dtype=np.int64))
-    with pytest.raises(ValueError, match="moving_mesh"):
-        HaloShardedSystem(m, 5, pihna_physics, dmesh, moving_mesh=True)
+
+
+def test_mixed_moving_mesh_multichip_matches_single_chip():
+    """Moving-mesh mixed halo step (per-block geometry from ghost-filled
+    current coords inside the shard program, _step_shard_moving_mixed)
+    matches MixedTransientRDCSystem's moving path — the coupled-HCC
+    deformed-configuration transport solve, distributed, on a mixed
+    mesh (reference src/coupled_hcc.C:114)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh as DeviceMesh
+
+    from rdcfes_tpu.models.hcc import default_params, hcc_physics
+    from rdcfes_tpu.parallel.halo import HaloShardedSystem
+    from rdcfes_tpu.systems import MixedTransientRDCSystem
+
+    mesh = box_mixed_mesh(6, 4, 4)
+    N = mesh.n_nodes
+    u0 = np.zeros((N, 3))
+    r2 = ((mesh.coords - 0.5) ** 2).sum(axis=1)
+    u0[:, 0] = 1.0
+    u0[:, 1] = 0.3 * np.exp(-r2 / 0.05)
+    u0[:, 2] = 0.1 * np.exp(-r2 / 0.08)
+    params = default_params()
+    params.update({"dt": 0.05, "diffuse_c": 1e-3, "produce_c": 0.2,
+                   "cells_max_capacity": 1.0})
+    coords = mesh.coords + 0.03 * np.sin(mesh.coords * 3.0)
+
+    ref = MixedTransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True,
+                                  precision="mixed")
+    dmesh = DeviceMesh(np.array(jax.devices()), ("d",))
+    halo = HaloShardedSystem(mesh, 3, hcc_physics, dmesh, moving_mesh=True)
+    sr, sh = ref.initial_state(u0), halo.initial_state(u0)
+    cj = jnp.asarray(coords)
+    for _ in range(3):
+        sr, _, _ = ref.step(sr, params=params, coords=cj)
+        sh, _, res = halo.step(sh, params=params, coords=coords)
+        ur, uh = np.asarray(sr["u"]), halo.gather(sh["u"])
+        rel = np.linalg.norm(ur - uh) / np.linalg.norm(ur)
+        assert rel < 1e-8, f"mixed moving halo divergence {rel:.3e}"
+        assert float(res) < 1e-8
 
 
 def test_prism_block_assembles():
@@ -571,17 +610,34 @@ def test_solid_mixed_transition_elements():
     assert (m.with_coords(x).element_volumes() > 0).all()
 
 
-def test_solid_mixed_multichip_rejected():
+def test_solid_mixed_multichip_matches_single_chip():
+    """Mixed-element multi-chip solid (per-type element blocks +
+    per-arity penalty face groups over one halo plan,
+    parallel/solid_halo._init_mixed): the 8-device node-partitioned
+    Newton matches the single-chip union-sparsity solve."""
     import jax
     from jax.sharding import Mesh as DeviceMesh
 
     from rdcfes_tpu.systems.solid import SolidSystem
 
-    m = box_mixed_mesh(4, 2, 2)
+    m = box_mixed_mesh(5, 3, 3)
+    mats = {0: {"young": 1.0e3, "poisson": 0.3}}
+    bcs = {0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.3)}
+    ref = SolidSystem(m, materials=mats, bcs=bcs, penalty=1.0e8,
+                      newton=_newton_opts())
+    r1 = ref.run_solver(ref.initial_positions(), 0.5)
+    assert bool(r1.converged)
     dmesh = DeviceMesh(np.array(jax.devices()), ("d",))
-    with pytest.raises(ValueError, match="single-element-type"):
-        SolidSystem(m, materials={}, bcs={0: (0.0, 0.0, 0.0)},
-                    device_mesh=dmesh)
+    sys8 = SolidSystem(m, materials=mats, bcs=bcs, penalty=1.0e8,
+                       newton=_newton_opts(), device_mesh=dmesh)
+    # both face arities active, node-partitioned O(N/D + boundary) slabs
+    assert set(sys8._halo._fgroup_types) == {"QUAD4", "TRI3"}
+    assert sys8._halo.plan.No_max < m.n_nodes // 2
+    r8 = sys8.run_solver(sys8.initial_positions(), 0.5)
+    assert bool(r8.converged)
+    a, b = np.asarray(r1.x), np.asarray(r8.x)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-6, f"mixed multichip solid divergence {rel:.3e}"
 
 
 def test_solid_driver_mixed_mesh(in_tmp):
