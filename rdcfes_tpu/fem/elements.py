@@ -79,6 +79,21 @@ def quadrature(elem_type: str) -> Tuple[np.ndarray, np.ndarray]:
         )
         wts = np.array([-27.0 / 96.0, 25.0 / 96.0, 25.0 / 96.0, 25.0 / 96.0])
         return pts, wts
+    if elem_type == "TRI6":
+        # Dunavant degree-5 7-point rule (all-positive weights): P2
+        # face integrands (psi_i psi_j, degree 4) integrate exactly —
+        # the face companion of the TET10 Keast rule (libMesh QGauss
+        # FIFTH on the dim-1 boundary of SECOND/LAGRANGE elements).
+        # Reference area 1/2, so the area-normalized weights halve.
+        a1, w1 = 0.4701420641051151, 0.1323941527885062
+        a2, w2 = 0.1012865073234563, 0.1259391805448271
+        pts = [[1.0 / 3.0, 1.0 / 3.0]]
+        wts = [0.225]
+        for a, w in ((a1, w1), (a2, w2)):
+            c = 1.0 - 2.0 * a
+            pts += [[a, a], [c, a], [a, c]]
+            wts += [w] * 3
+        return np.asarray(pts), 0.5 * np.asarray(wts)
     if elem_type == "QUAD4":
         g = [-_SQ3, _SQ3]
         pts = np.array([[x, y] for y in g for x in g])
@@ -158,6 +173,15 @@ def shape_functions(elem_type: str, pts: np.ndarray) -> np.ndarray:
     if elem_type == "TRI3":
         x, y = pts[:, 0], pts[:, 1]
         return np.stack([1.0 - x - y, x, y], axis=1)
+    if elem_type == "TRI6":
+        # quadratic Lagrange triangle, gmsh node order: vertices 0..2,
+        # then mid-edge nodes (0,1),(1,2),(2,0) — the TET10 face
+        x, y = pts[:, 0], pts[:, 1]
+        L0, L1, L2 = 1.0 - x - y, x, y
+        return np.stack([
+            L0 * (2 * L0 - 1), L1 * (2 * L1 - 1), L2 * (2 * L2 - 1),
+            4 * L0 * L1, 4 * L1 * L2, 4 * L2 * L0,
+        ], axis=1)
     if elem_type == "QUAD4":
         x, y = pts[:, 0], pts[:, 1]
         sx = np.array([-1, 1, 1, -1])
@@ -222,6 +246,14 @@ def shape_gradients(elem_type: str, pts: np.ndarray) -> np.ndarray:
     if elem_type == "TRI3":
         dN = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
         return np.broadcast_to(dN, (Q, 3, 2)).copy()
+    if elem_type == "TRI6":
+        x, y = pts[:, 0], pts[:, 1]
+        L = [1.0 - x - y, x, y]
+        dL = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+        cols = [(4 * L[i] - 1)[:, None] * dL[i] for i in range(3)]
+        for (i, j) in ((0, 1), (1, 2), (2, 0)):
+            cols.append(4 * (L[i][:, None] * dL[j] + L[j][:, None] * dL[i]))
+        return np.stack(cols, axis=1)                     # (Q, 6, 2)
     if elem_type == "QUAD4":
         x, y = pts[:, 0], pts[:, 1]
         sx = np.array([-1, 1, 1, -1])

@@ -67,7 +67,7 @@ ELEMENT_FACES: Dict[str, Tuple[Tuple[int, ...], ...]] = {
 
 NODES_PER_ELEM = {"TET4": 4, "HEX8": 8, "PRISM6": 6, "PYRAMID5": 5,
                   "TET10": 10}
-FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4"}
+FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4", "TET10": "TRI6"}
 # volume element types allowed inside a single-type Mesh (the shipped-deck
 # surface); PRISM6/PYRAMID5 participate through MixedMesh blocks.  TET10
 # is the second-order capability upgrade (every reference deck is

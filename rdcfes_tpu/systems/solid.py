@@ -155,10 +155,10 @@ class SolidSystem:
         # (libMesh's polymorphic element loop, src/solid_system.C:146,
         # as fixed-shape batches — same design as systems/mixed.py)
         mixed = getattr(mesh, "elem_type", None) == "MIXED"
-        if mesh.elem_type not in ("TET4", "HEX8", "MIXED"):
+        if mesh.elem_type not in ("TET4", "HEX8", "TET10", "MIXED"):
             raise ValueError(
-                f"solid mechanics supports first-order element types "
-                f"(TET4/HEX8/MIXED), got {mesh.elem_type}")
+                f"solid mechanics supports TET4/HEX8/TET10/MIXED "
+                f"element types, got {mesh.elem_type}")
         if mixed:
             from ..fem.assembly import build_sparsity_mixed
 

@@ -3,8 +3,9 @@
 Every reference deck is FIRST/LAGRANGE (pihna.C:30-34); TET10 is the
 capability upgrade covering libMesh's second-order surface
 (src/paraview.h:210-234 maps TET10 as VTK type 24).  Scope: transient
-RDC single- and multi-chip, Gmsh/VTU IO, generators.  Solid mechanics
-and AMR stay first-order with clear errors.
+RDC single- and multi-chip, solid mechanics (TRI6 penalty faces,
+single- and multi-chip), Gmsh/VTU IO, generators.  AMR stays
+first-order with a clear error.
 """
 
 import collections
@@ -246,18 +247,97 @@ def test_tet10_driver_end_to_end(in_tmp):
 
 
 def test_tet10_out_of_scope_guards():
-    """Solid mechanics and MixedMesh blocks reject TET10 with actionable
-    errors (second order is an RDC-path capability)."""
+    """MixedMesh blocks reject TET10 with an actionable error (second
+    order is a single-type capability)."""
     from rdcfes_tpu.mesh import MeshBlock, MixedMesh
-    from rdcfes_tpu.systems.solid import SolidSystem
 
     m = tet4_to_tet10(box_tet_mesh(2, 2, 2))
-    with pytest.raises(ValueError, match="first-order"):
-        SolidSystem(m, materials={}, bcs={0: (0.0, 0.0, 0.0)})
     with pytest.raises(ValueError, match="single-type"):
         MixedMesh(coords=m.coords, blocks=[
             MeshBlock("TET10", m.connectivity,
                       np.zeros(m.n_elems, np.int32))])
+
+
+def test_tri6_reference_tables():
+    """TRI6 face tables (the TET10 boundary): Kronecker at nodes,
+    partition of unity, and degree-5 Dunavant exactness (the P2 penalty
+    mass matrix psi_i psi_j is degree 4)."""
+    pts, wts = el.quadrature("TRI6")
+    assert np.isclose(wts.sum(), 0.5)
+    assert (wts > 0).all()
+
+    def exact(a, b):
+        return factorial(a) * factorial(b) / factorial(a + b + 2)
+
+    for a in range(6):
+        for b in range(6 - a):
+            got = np.sum(wts * pts[:, 0]**a * pts[:, 1]**b)
+            assert abs(got - exact(a, b)) < 1e-15, (a, b)
+    nodes = np.array([[0, 0], [1, 0], [0, 1],
+                      [.5, 0], [.5, .5], [0, .5]], float)
+    assert np.allclose(el.shape_functions("TRI6", nodes), np.eye(6),
+                       atol=1e-14)
+    assert np.allclose(el.shape_functions("TRI6", pts).sum(axis=1), 1.0)
+    assert np.allclose(el.shape_gradients("TRI6", pts).sum(axis=1), 0.0)
+
+
+def _solid_newton_opts():
+    from rdcfes_tpu.solvers.newton import NewtonOptions
+
+    return NewtonOptions(
+        max_nonlinear_iterations=12, relative_step_tolerance=1e-10,
+        relative_residual_tolerance=1e-10,
+        absolute_residual_tolerance=1e-10,
+        max_linear_iterations=50000, initial_linear_tolerance=1e-3)
+
+
+def test_tet10_solid_uniaxial():
+    """Second-order solid mechanics: TET10 uniaxial compression (the
+    hyperelastic constitutive path is order-agnostic, penalty BCs ride
+    TRI6 faces).  Newton converges and the compressed face lands on the
+    prescribed plane; post-processing stays finite."""
+    import jax.numpy as jnp
+
+    from rdcfes_tpu.systems.solid import SolidSystem
+
+    m10 = tet4_to_tet10(box_tet_mesh(3, 3, 3))
+    sys_ = SolidSystem(
+        m10, materials={0: {"young": 1.0e3, "poisson": 0.3}},
+        bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.3)},
+        penalty=1.0e8, newton=_solid_newton_opts())
+    res = sys_.run_solver(sys_.initial_positions(), 0.5)
+    assert bool(res.converged)
+    x = np.asarray(res.x)
+    top = np.unique(m10.boundary_faces[m10.boundary_id == 5])
+    np.testing.assert_allclose(x[top, 2], 1.0 - 0.5 * 0.3, atol=1e-3)
+    p, vm, _ = sys_.post_process(jnp.asarray(x), 0.5)
+    assert np.isfinite(np.asarray(p)).all()
+    assert np.isfinite(np.asarray(vm)).all()
+
+
+def test_tet10_solid_multichip_matches_single_chip():
+    """TET10 on the node-partitioned halo Newton (arity-generic element
+    and TRI6 face tables) matches the single-chip solve."""
+    import jax
+    from jax.sharding import Mesh as DeviceMesh
+
+    from rdcfes_tpu.systems.solid import SolidSystem
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    m10 = tet4_to_tet10(box_tet_mesh(3, 3, 3))
+    kw = dict(materials={0: {"young": 1.0e3, "poisson": 0.3}},
+              bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.3)},
+              penalty=1.0e8, newton=_solid_newton_opts())
+    ref = SolidSystem(m10, **kw)
+    r1 = ref.run_solver(ref.initial_positions(), 0.5)
+    dmesh = DeviceMesh(np.array(jax.devices()), ("d",))
+    s8 = SolidSystem(m10, device_mesh=dmesh, **kw)
+    r8 = s8.run_solver(s8.initial_positions(), 0.5)
+    assert bool(r1.converged) and bool(r8.converged)
+    a, b = np.asarray(r1.x), np.asarray(r8.x)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-8, f"TET10 multichip solid divergence {rel:.3e}"
 
 
 def test_tet10_adpm_driver_and_exodus(in_tmp, tmp_path):
