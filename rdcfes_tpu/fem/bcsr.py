@@ -55,3 +55,29 @@ def ell_matvec(values_ell: jnp.ndarray, ell_cols: jnp.ndarray,
     values_ell (V, W, L, N); ell_cols (L, N); x (W, N) -> y (V, N)."""
     xg = x[:, ell_cols]  # (W, L, N)
     return jnp.sum(values_ell * xg[None], axis=(1, 2))
+
+
+def ell_matvec_fast(dfwd, fp, values_ell: jnp.ndarray, x: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """ELL matvec with the x-gather routed through the Beneš permutation
+    kernels (fem/pallas_perm): the ELL column table IS a FEM
+    'connectivity' of L corner slots per node-row, so
+    xg[w, l, n] = x[w, cols[l, n]] is the forward corner gather of the
+    plan built from `ell_cols.T` (fem/fastpath.build_fast_plans, with
+    pad slots remapped to the row's own node so every node's incidence
+    count is exactly L).  The block product / reduction stays in XLA —
+    the values stream from HBM either way; only the gather was the
+    measured bottleneck (~0.2 G indices/s in XLA, scripts/
+    microbench_inloop.py).  f64 rides as hi/lo f32 planes.
+
+    dfwd: DevicePlan of the forward plan; fp: FastGatherPlans meta;
+    values_ell (V, W, L, N); x (W, N) -> y (V, N)."""
+    from .pallas_perm import gather_corners, gather_corners_f64
+
+    W = x.shape[0]
+    gc = gather_corners_f64 if x.dtype == jnp.float64 else gather_corners
+    xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
+    xg = gc(dfwd, xp.reshape(W, fp.NR, 128), fp.C_x, interpret=interpret,
+            channels=2 * W)
+    xg = xg.reshape(W, fp.K, fp.E_pad)[:, :, :fp.E]  # (W, L, N)
+    return jnp.sum(values_ell * xg[None], axis=(1, 2))

@@ -63,6 +63,8 @@ class NewtonSolver:
     """Reusable Newton driver: jits the linear stage once per sparsity."""
 
     def __init__(self, sp: NodePairSparsity, opts: NewtonOptions = NewtonOptions()):
+        import os
+
         self.sp = sp
         self.opts = opts
         ell_cols, ell_slot = ell_structure(sp)
@@ -71,9 +73,43 @@ class NewtonSolver:
         self._diag_slots = jnp.asarray(sp.diag_slots)
         lin = {"bicgstab": bicgstab, "gmres": gmres}[opts.linear_method]
 
-        def linear_solve(values, rhs, rtol):
+        # opt-in Beneš-kernel x-gather for the inner SpMV
+        # (RDCFES_SOLID_FAST = 1 on hardware, "interpret" for CI): pad
+        # slots remapped to the row's own node make every node's
+        # incidence count exactly L, and the pad products are zero
+        # blocks either way.  Stage tables ride the jit boundary as
+        # ARGUMENTS (closure constants at this size 413 the remote
+        # compile, PERF.md section 5).
+        mode = os.environ.get("RDCFES_SOLID_FAST", "0")
+        self._fast = None
+        self._fast_args = ()
+        if mode != "0":
+            from ..fem.fastpath import build_fast_plans
+            from ..fem.pallas_perm import device_plan
+
+            cols_fast = np.asarray(ell_cols).copy()
+            pad = np.asarray(ell_slot) == sp.nnz
+            cols_fast[pad] = np.broadcast_to(
+                np.arange(sp.n_nodes), cols_fast.shape)[pad]
+            plans = build_fast_plans(cols_fast.T, sp.n_nodes)
+            dfwd = device_plan(plans.fwd)
+            self._fast = {"plans": plans, "fwd": dfwd,
+                          "interpret": mode == "interpret"}
+            self._fast_args = tuple(dfwd[4:])
+
+        def linear_solve(values, rhs, rtol, *fa):
             values_ell = to_ell(values, self._ell_slot)
-            matvec = partial(ell_matvec, values_ell, self._ell_cols)
+            if self._fast is not None:
+                from ..fem.bcsr import ell_matvec_fast
+
+                dfwd_ = self._fast["fwd"]._replace(**dict(zip(
+                    ("iL1", "iB1t", "jA1", "rA", "jA2", "iB2t", "iL2"),
+                    fa)))
+                matvec = partial(ell_matvec_fast, dfwd_,
+                                 self._fast["plans"], values_ell,
+                                 interpret=self._fast["interpret"])
+            else:
+                matvec = partial(ell_matvec, values_ell, self._ell_cols)
             Dinv = block_jacobi_inverse(values, self._diag_slots)
             M = partial(apply_block_jacobi, Dinv)
             # LEFT preconditioning with the preconditioned residual as the
@@ -118,7 +154,8 @@ class NewtonSolver:
             # libMesh NewtonSolver adapts the inner linear tolerance to the
             # current nonlinear residual reduction
             lin_rtol = max(min(opts.initial_linear_tolerance, rnorm / r0), 1e-14)
-            dx, lin_iters, lin_res = self._linear_solve(values, -R, lin_rtol)
+            dx, lin_iters, lin_res = self._linear_solve(
+                values, -R, lin_rtol, *self._fast_args)
 
             lam = 1.0
             if not bool(jnp.isfinite(dx).all()):

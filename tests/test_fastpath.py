@@ -127,3 +127,35 @@ def test_system_parity_fast_vs_reference():
         rel = np.linalg.norm(ua - ub) / np.linalg.norm(ua)
         assert rel < 1e-10, rel
         assert float(rb) < 1e-10
+
+
+def test_solid_ell_matvec_fast_interpret(monkeypatch):
+    """The opt-in Beneš x-gather of the solid inner SpMV
+    (RDCFES_SOLID_FAST, solvers/newton.py): a full Newton solve with
+    the interpreter-mode kernels matches the default ELL path.  ELL pad
+    slots are remapped to the row's own node, so every node's incidence
+    count is exactly L and the pad products hit the appended zero
+    block."""
+    from rdcfes_tpu.mesh import box_hex_mesh
+    from rdcfes_tpu.solvers.newton import NewtonOptions
+    from rdcfes_tpu.systems.solid import SolidSystem
+
+    opts = NewtonOptions(
+        max_nonlinear_iterations=12, relative_step_tolerance=1e-10,
+        relative_residual_tolerance=1e-10,
+        absolute_residual_tolerance=1e-10,
+        max_linear_iterations=50000, initial_linear_tolerance=1e-3)
+    kw = dict(materials={0: {"young": 1.0e3, "poisson": 0.3}},
+              bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.3)},
+              penalty=1.0e8, newton=opts)
+    m = box_hex_mesh(4, 4, 4)
+    monkeypatch.setenv("RDCFES_SOLID_FAST", "interpret")
+    fast = SolidSystem(m, **kw)
+    r_fast = fast.run_solver(fast.initial_positions(), 0.5)
+    monkeypatch.setenv("RDCFES_SOLID_FAST", "0")
+    ref = SolidSystem(m, **kw)
+    r_ref = ref.run_solver(ref.initial_positions(), 0.5)
+    assert bool(r_ref.converged) and bool(r_fast.converged)
+    a, b = np.asarray(r_ref.x), np.asarray(r_fast.x)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-10, f"solid fast-gather divergence {rel:.3e}"
