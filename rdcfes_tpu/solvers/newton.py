@@ -43,6 +43,12 @@ class NewtonOptions(NamedTuple):
     max_linear_iterations: int = 50000
     initial_linear_tolerance: float = 1e-3
     linear_method: str = "bicgstab"
+    # "mixed": f32 inner BiCGStab sweeps + f64 outer residual carry
+    # (the transient production design, refine_mixed) — halves the
+    # values stream of every SpMV; "f64": plain double Krylov.  The
+    # f64 stall rescue rides along except on the Pallas fast path
+    # (extra kernel call sites break the compile-helper budget).
+    linear_precision: str = "mixed"
     # bisect the step at most this many times when residual reduction is
     # required (libMesh NewtonSolver line-search role)
     max_line_search_steps: int = 8
@@ -119,7 +125,34 @@ class NewtonSolver:
             # fine meshes — observed as BiCGStab hitting max_linear_iterations
             # and returning a diverged step on a 16^3 hex cube
             pre_matvec = lambda y: M(matvec(y))
-            res = lin(pre_matvec, M(rhs), rtol=rtol,
+            pre_b = M(rhs)
+            if opts.linear_precision == "mixed" and opts.linear_method == "bicgstab":
+                # f32 inner sweeps + f64 outer residual carry (the
+                # transient path's refine_mixed); solid operators are
+                # elasticity-like (no advection), so f32 stalls are
+                # rare, but the f64 fallback still covers them off the
+                # fast path
+                from ..systems.transient import refine_mixed
+
+                f32 = jnp.float32
+                if self._fast is not None:
+                    from ..fem.bcsr import ell_matvec_fast
+
+                    mv32_raw = partial(ell_matvec_fast, dfwd_,
+                                       self._fast["plans"],
+                                       values_ell.astype(f32),
+                                       interpret=self._fast["interpret"])
+                else:
+                    mv32_raw = partial(ell_matvec, values_ell.astype(f32),
+                                       self._ell_cols)
+                M32 = partial(apply_block_jacobi, Dinv.astype(f32))
+                mv32 = lambda y: M32(mv32_raw(y))
+                x, iters, resid = refine_mixed(
+                    mv32, pre_matvec, pre_b, jnp.zeros_like(pre_b),
+                    rtol, opts.max_linear_iterations,
+                    f64_fallback=self._fast is None)
+                return x, iters, resid
+            res = lin(pre_matvec, pre_b, rtol=rtol,
                       maxiter=opts.max_linear_iterations)
             return res.x, res.iters, res.residual
 
