@@ -41,6 +41,10 @@ def load_newton_options(deck: Deck) -> NewtonOptions:
         require_residual_reduction=deck("solver/nonlinear/require_reduction", False),
         max_linear_iterations=deck("solver/linear/max_linear_iterations", 50000),
         initial_linear_tolerance=deck("solver/linear/initial_linear_tolerance", 1e-3),
+        # capability upgrade: "mixed" = f32 inner sweeps + f64 residual
+        # carry (solvers/newton.py); default matches the reference's
+        # f64 PETSc KSP
+        linear_precision=deck("solver/linear/precision", "f64"),
     )
 
 

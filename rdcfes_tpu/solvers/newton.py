@@ -45,10 +45,15 @@ class NewtonOptions(NamedTuple):
     linear_method: str = "bicgstab"
     # "mixed": f32 inner BiCGStab sweeps + f64 outer residual carry
     # (the transient production design, refine_mixed) — halves the
-    # values stream of every SpMV; "f64": plain double Krylov.  The
-    # f64 stall rescue rides along except on the Pallas fast path
-    # (extra kernel call sites break the compile-helper budget).
-    linear_precision: str = "mixed"
+    # values stream of every SpMV; "f64" (default): plain double
+    # Krylov, matching the reference's PETSc KSP.  f64 stays the
+    # default because the loose default Newton tolerances (rel step
+    # 1e-3) stop at a path-dependent iterate — under "mixed" the
+    # single-chip and (f64) halo solves then differ beyond the 1e-8
+    # artifact-equality bar.  Deck key solver/linear/precision opts a
+    # case in; the f64 stall rescue rides along except on the Pallas
+    # fast path (extra kernel call sites break the compile budget).
+    linear_precision: str = "f64"
     # bisect the step at most this many times when residual reduction is
     # required (libMesh NewtonSolver line-search role)
     max_line_search_steps: int = 8

@@ -202,3 +202,30 @@ def test_hydrogel_tension_deck():
     np.testing.assert_allclose(
         u[sel, 0].mean(), -0.001 * 0.1 * 1.000001, rtol=1e-2
     )
+
+
+def test_mixed_precision_linear_solve_matches_f64():
+    """solver/linear/precision = mixed (f32 inner sweeps + f64 residual
+    carry, solvers/newton.py) reproduces the f64 Krylov solution at
+    tight Newton tolerances.  The DEFAULT stays f64: with the loose
+    default tolerances (rel step 1e-3) Newton stops at a
+    path-dependent iterate and the single-chip-vs-halo driver
+    artifact-equality bar (1e-8) breaks."""
+    opts = NewtonOptions(
+        max_nonlinear_iterations=12, relative_step_tolerance=1e-10,
+        relative_residual_tolerance=1e-10,
+        absolute_residual_tolerance=1e-10,
+        max_linear_iterations=50000, initial_linear_tolerance=1e-3)
+    assert opts.linear_precision == "f64"  # the faithful default
+    kw = dict(materials={0: {"young": 1.0e3, "poisson": 0.3}},
+              bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.3)},
+              penalty=1.0e8)
+    m = box_hex_mesh(5, 5, 5)
+    a = SolidSystem(m, newton=opts._replace(linear_precision="mixed"), **kw)
+    ra = a.run_solver(a.initial_positions(), 0.5)
+    b = SolidSystem(m, newton=opts, **kw)
+    rb = b.run_solver(b.initial_positions(), 0.5)
+    assert bool(ra.converged) and bool(rb.converged)
+    xa, xb = np.asarray(ra.x), np.asarray(rb.x)
+    rel = np.linalg.norm(xa - xb) / np.linalg.norm(xb)
+    assert rel < 1e-8, f"mixed-precision divergence {rel:.3e}"
