@@ -285,3 +285,25 @@ def test_pihna_multichip_checkpoint_resume(in_tmp):
     out2 = pihna.run("input.dat")
     resumed_csv = open(os.path.join(out2, "output.csv")).read()
     assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
+
+
+def test_pihna_multichip_mixed_checkpoint_resume(in_tmp):
+    """Checkpoint/resume through the MIXED halo system: the gathered
+    global state round-trips the per-block padded slabs (gather on
+    save, scatter_state on load) and the resumed distributed run
+    reproduces the uninterrupted one's final CSV row."""
+    from rdcfes_tpu.drivers import pihna
+
+    cases.make_pihna_case(".", n=4, n_steps=4, mixed=True)
+    deck = open("input.dat").read().replace("output_step = 10",
+                                            "output_step = 1")
+    deck += "parallel/n_devices = 8\ncheckpoint/step = 3\n"
+    open("input.dat", "w").write(deck)
+    out1 = pihna.run("input.dat")
+    full_csv = open(os.path.join(out1, "output.csv")).read()
+    shutil.copy(os.path.join(out1, "checkpoint.npz"), "ck.npz")
+    shutil.move(out1, out1 + "_full")
+    open("input.dat", "w").write(deck + "checkpoint/resume = ck.npz\n")
+    out2 = pihna.run("input.dat")
+    resumed_csv = open(os.path.join(out2, "output.csv")).read()
+    assert full_csv.splitlines()[-1] == resumed_csv.splitlines()[-1]
