@@ -1126,17 +1126,20 @@ class HaloShardedSystem(HaloExchangeMixin):
         vanishes."""
         _, step_shard, in_specs = self._qp_parts(params)
 
-        def multi_shard(u_blk, efields, scalars, *tables):
-            def body(carry, _):
-                new_blk, it, res = step_shard(carry, efields, scalars,
-                                              *tables)
+        def multi_shard(u_blk, efields, scalars, traj, *tables):
+            def body(carry, x):
+                _i, tr = x
+                new_blk, it, res = step_shard(carry, efields,
+                                              {**scalars, **tr}, *tables)
                 return new_blk, (it, res)
 
-            final, (its, ress) = lax.scan(body, u_blk, None, length=n)
+            final, (its, ress) = lax.scan(body, u_blk,
+                                          (jnp.arange(n), traj))
             return final, its, ress
 
         fn = shard_map(multi_shard, mesh=self.dmesh,
-                       in_specs=in_specs, out_specs=(P("d"), P(), P()))
+                       in_specs=in_specs[:3] + (P(),) + in_specs[3:],
+                       out_specs=(P("d"), P(), P()))
         return jax.jit(fn)
 
     def _qp_parts(self, params: Dict):
@@ -1150,21 +1153,31 @@ class HaloShardedSystem(HaloExchangeMixin):
     def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
                   params: Optional[Dict] = None,
                   scalars: Optional[Dict] = None,
-                  segment: Optional[int] = None):
+                  segment: Optional[int] = None,
+                  scalar_traj: Optional[Dict] = None):
         """Advance n steps through compiled scans over the sharded step
         (static scalar params + block physics required).  Returns
         (state, iters_per_step, residual_per_step).
 
         Chained in device programs of at most `segment` steps (default 50,
         env RDCFES_SCAN_SEGMENT) to stay under the TPU watchdog — same
-        policy as TransientRDCSystem.run_steps."""
+        policy as TransientRDCSystem.run_steps.  `scalar_traj` maps a
+        scalar-field name to (n,) per-step values (replicated across
+        devices, scanned inside the shard program) — see
+        TransientRDCSystem.run_steps."""
+        traj = {k: jnp.asarray(v, state["u"].dtype)
+                for k, v in (scalar_traj or {}).items()}
+        for k, v in traj.items():
+            assert v.shape == (int(n),), (
+                f"scalar_traj[{k!r}] must have shape ({int(n)},), got {v.shape}")
         if self._mixed is not None:
             # mixed meshes: per-step dispatch through the cached dense
             # program (the scan fast path is a single-type optimization)
             its, ress = [], []
-            for _ in range(int(n)):
+            for j in range(int(n)):
+                sc = {**(scalars or {}), **{k: v[j] for k, v in traj.items()}}
                 state, it, res = self.step(state, fields=fields,
-                                           params=params, scalars=scalars)
+                                           params=params, scalars=sc)
                 its.append(it)
                 ress.append(res)
             return state, jnp.stack(its), jnp.stack(ress)
@@ -1179,13 +1192,15 @@ class HaloShardedSystem(HaloExchangeMixin):
             segment = int(_os.environ.get("RDCFES_SCAN_SEGMENT", "50"))
         segment = max(1, int(segment))
 
-        def run_one(st, m):
-            key = ("__multi__", int(m)) + tuple(sorted(p.items()))
+        def run_one(st, m, lo):
+            key = (("__multi__", int(m)) + tuple(sorted(traj))
+                   + tuple(sorted(p.items())))
             fn = self._qp_cache.get(key)
             if fn is None:
                 fn = self._multi_shard_qp_fn(p, int(m))
                 self._qp_cache[key] = fn
-            return fn(st, fields or {}, scalars or {},
+            tr = {k: v[lo:lo + m] for k, v in traj.items()}
+            return fn(st, fields or {}, scalars or {}, tr,
                       self.conn_local_s, self.JxW_s, self.dphi_s,
                       self.node_gather_s, self.rev_gather_s, self.mask_s,
                       self.cons_all_s, self.hang_mask_s,
@@ -1193,15 +1208,16 @@ class HaloShardedSystem(HaloExchangeMixin):
 
         n = int(n)
         if n <= segment:
-            return run_one(state, n)
+            return run_one(state, n, 0)
         its_all, ress_all = [], []
-        remaining = n
+        remaining, lo = n, 0
         while remaining > 0:
             m = min(segment, remaining)
-            state, its, ress = run_one(state, m)
+            state, its, ress = run_one(state, m, lo)
             its_all.append(its)
             ress_all.append(ress)
             remaining -= m
+            lo += m
         return state, jnp.concatenate(its_all), jnp.concatenate(ress_all)
 
     # ------------------------------------------------------------------

@@ -789,35 +789,43 @@ class TransientRDCSystem:
         the whole segment runs as ONE device program, so per-step dispatch
         cost vanishes and XLA pipelines across steps.  The block-Jacobi
         inverse refreshes every `precond_refresh` steps via lax.cond inside
-        the scan (iteration 0 always refreshes, so no seed is needed)."""
+        the scan (iteration 0 always refreshes, so no seed is needed).
+
+        `traj` (dict of (n,)-arrays, may be empty) carries per-step scalar
+        values — e.g. ADPM's advancing `time` — scanned over alongside the
+        step counter so time-gated physics (pulses/trapezoids/sigmoids)
+        stay exact inside the segment."""
         body_fn = self._qp_raw_body(params)
         refresh = max(1, self.precond_refresh)
         V, N = self.n_vars, self.mesh.n_nodes
 
-        def multi(state, fields, fast_args, geom):
+        def multi(state, fields, traj, fast_args, geom):
             Dinv0 = jnp.zeros((V, V, N), self.dtype)
 
-            def body(carry, i):
+            def body(carry, x):
+                i, tr = x
                 st, Dv = carry
+                f = {**fields, **tr}
                 new_state, it, res, Dv2 = jax.lax.cond(
                     i % refresh == 0,
-                    lambda st, Dv: body_fn(st, fields, None, fast_args,
+                    lambda st, Dv: body_fn(st, f, None, fast_args,
                                            geom),
-                    lambda st, Dv: body_fn(st, fields, Dv, fast_args,
+                    lambda st, Dv: body_fn(st, f, Dv, fast_args,
                                            geom),
                     st, Dv,
                 )
                 return (new_state, Dv2), (it, res)
 
             (state, _), (its, ress) = jax.lax.scan(
-                body, (state, Dinv0), jnp.arange(n))
+                body, (state, Dinv0), (jnp.arange(n), traj))
             return state, its, ress
 
         return jax.jit(multi)
 
     def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
                   params: Optional[Dict] = None,
-                  scalars: Optional[Dict] = None, segment: Optional[int] = None):
+                  scalars: Optional[Dict] = None, segment: Optional[int] = None,
+                  scalar_traj: Optional[Dict] = None):
         """Advance n steps through compiled scans (static scalar params
         required).  Returns (state, iters_per_step, residual_per_step).
 
@@ -827,13 +835,24 @@ class TransientRDCSystem:
         UNAVAILABLE kernel faults on 400-step ADPM scans — PERF.md
         section 4), so segmentation is built into the production path
         rather than left to callers.  Identical math: segments chain the
-        carried state; equal-size segments reuse one compiled program."""
+        carried state; equal-size segments reuse one compiled program.
+
+        `scalar_traj` maps a scalar-field name to its per-step values,
+        shape (n,): step j of the segment sees value [j].  This is how a
+        per-step-varying scalar like ADPM's `time` (which gates pulses /
+        trapezoids, src/adpm.C:268-296) rides a scan without freezing —
+        `scalars` entries, by contrast, are constant over all n steps."""
         assert self.physics_blocks is not None, "run_steps needs physics_blocks"
         assert params and all(
             isinstance(v, (int, float)) for v in params.values()
         ), "run_steps needs plain-scalar params"
         if scalars:
             fields = {**(fields or {}), **scalars}
+        traj = {k: jnp.asarray(v, self.dtype)
+                for k, v in (scalar_traj or {}).items()}
+        for k, v in traj.items():
+            assert v.shape == (int(n),), (
+                f"scalar_traj[{k!r}] must have shape ({int(n)},), got {v.shape}")
         p = {k: float(v) for k, v in params.items()}
         fast = self._fast_tables()
         if (fast is not None and not fast["interpret"]
@@ -845,8 +864,9 @@ class TransientRDCSystem:
             # into the program (RDCFES_FAST_SCAN=1 opts into the scan
             # path until it is soak-tested on hardware)
             its_all, ress_all = [], []
-            for _ in range(int(n)):
-                state, it, res = self._step_qp(state, fields or {}, p)
+            for j in range(int(n)):
+                f = {**(fields or {}), **{k: v[j] for k, v in traj.items()}}
+                state, it, res = self._step_qp(state, f, p)
                 its_all.append(it)
                 ress_all.append(res)
             return (state, jnp.stack(its_all), jnp.stack(ress_all))
@@ -856,26 +876,29 @@ class TransientRDCSystem:
             segment = int(_os.environ.get("RDCFES_SCAN_SEGMENT", "50"))
         segment = max(1, int(segment))
 
-        def run_one(st, m):
-            key = ("__multi__", int(m)) + tuple(sorted(p.items()))
+        def run_one(st, m, lo):
+            key = (("__multi__", int(m)) + tuple(sorted(traj))
+                   + tuple(sorted(p.items())))
             fn = self._qp_step_cache.get(key)
             if fn is None:
                 fn = self._qp_multi_fn(p, int(m))
                 self._qp_step_cache[key] = fn
-            return fn(st, fields or {}, self._fast_args(),
+            tr = {k: v[lo:lo + m] for k, v in traj.items()}
+            return fn(st, fields or {}, tr, self._fast_args(),
                       self._geom_args())
 
         n = int(n)
         if n <= segment:
-            return run_one(state, n)
+            return run_one(state, n, 0)
         its_all, ress_all = [], []
-        remaining = n
+        remaining, lo = n, 0
         while remaining > 0:
             m = min(segment, remaining)
-            state, its, ress = run_one(state, m)
+            state, its, ress = run_one(state, m, lo)
             its_all.append(its)
             ress_all.append(ress)
             remaining -= m
+            lo += m
         return state, jnp.concatenate(its_all), jnp.concatenate(ress_all)
 
     def _step_qp(self, state, fields, params):

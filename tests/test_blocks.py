@@ -154,6 +154,41 @@ def test_run_steps_matches_per_step():
     assert np.isfinite(np.asarray(ress)).all()
 
 
+def test_run_steps_scalar_traj_matches_per_step():
+    """A per-step-varying scalar (ADPM's advancing `time`, which gates the
+    time^gamma PrP decay — src/adpm.C:268-296) rides the scan via
+    scalar_traj and equals per-step dispatch with the stepped value,
+    including across segment boundaries."""
+    from rdcfes_tpu.models.adpm import adpm_blocks, adpm_physics, default_params
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    mesh = box_tet_mesh(4, 4, 4)
+    p = default_params()
+    p.update(dt=0.05, decay_PrP=1e-2, decay_PrP_time_exponent=0.7,
+             diffuse_A_b=0.05, taxis1_A_b=0.5, decay_Tau=1.0)
+    p = {k: float(v) for k, v in p.items()}
+    rng = np.random.default_rng(11)
+    u0 = rng.uniform(0.0, 1.0, (mesh.n_nodes, 3))
+    tracts = jnp.asarray(rng.standard_normal((mesh.n_elems, 3)))
+    n, dt = 7, p["dt"]
+    times = dt * np.arange(1, n + 1)
+
+    a = TransientRDCSystem(mesh, 3, adpm_physics, physics_blocks=adpm_blocks,
+                           precond_refresh=3)
+    b = TransientRDCSystem(mesh, 3, adpm_physics, physics_blocks=adpm_blocks,
+                           precond_refresh=3)
+    sa, sb = a.initial_state(u0), b.initial_state(u0)
+    for j in range(n):
+        sa, _, _ = a.step(sa, fields={"tracts": tracts,
+                                      "time": float(times[j])}, params=p)
+    # segment=3 forces chaining (3+3+1) so the traj offset is exercised
+    sb, its, ress = b.run_steps(sb, n, fields={"tracts": tracts}, params=p,
+                                scalar_traj={"time": times}, segment=3)
+    ua, ub = np.asarray(sa["u"]), np.asarray(sb["u"])
+    assert np.linalg.norm(ua - ub) / np.linalg.norm(ua) < 1e-12
+    assert np.isfinite(np.asarray(ress)).all() and len(np.asarray(its)) == n
+
+
 @pytest.mark.parametrize("model", sorted(SETUPS))
 @pytest.mark.parametrize("zero_deck", [False, True])
 def test_affine_apply_matches_generic(model, zero_deck):

@@ -150,6 +150,41 @@ def test_halo_run_steps_matches_per_step(dmesh8):
     assert np.isfinite(np.asarray(ress)).all() and len(np.asarray(its)) == 5
 
 
+def test_halo_run_steps_scalar_traj(dmesh8):
+    """A per-step-varying scalar (ADPM's `time`) rides the multi-chip scan
+    via scalar_traj and equals per-step dispatch with stepped scalars,
+    across a segment boundary."""
+    from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,
+                                        default_params as adpm_defaults)
+
+    mesh = box_tet_mesh(5, 5, 5)
+    p = adpm_defaults()
+    p.update(dt=0.05, decay_PrP=1e-2, decay_PrP_time_exponent=0.7,
+             diffuse_A_b=0.05, taxis1_A_b=0.5, decay_Tau=1.0)
+    p = {k: float(v) for k, v in p.items()}
+    rng = np.random.default_rng(13)
+    u0 = rng.uniform(0.0, 1.0, (mesh.n_nodes, 3))
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    n, dt = 5, p["dt"]
+    times = dt * np.arange(1, n + 1)
+
+    a = HaloShardedSystem(mesh, 3, adpm_physics, dmesh8,
+                          physics_blocks=adpm_blocks)
+    b = HaloShardedSystem(mesh, 3, adpm_physics, dmesh8,
+                          physics_blocks=adpm_blocks)
+    fa = {"tracts": a.shard_elem_field(tracts, axis=0)}
+    fb = {"tracts": b.shard_elem_field(tracts, axis=0)}
+    sa, sb = a.initial_state(u0), b.initial_state(u0)
+    for j in range(n):
+        sa, _, _ = a.step(sa, fields=fa, params=p,
+                          scalars={"time": float(times[j])})
+    sb, its, ress = b.run_steps(sb, n, fields=fb, params=p,
+                                scalar_traj={"time": times}, segment=2)
+    ua, ub = a.gather(sa["u"]), b.gather(sb["u"])
+    assert np.linalg.norm(ua - ub) / np.linalg.norm(ua) < 1e-12
+    assert np.isfinite(np.asarray(ress)).all() and len(np.asarray(its)) == n
+
+
 def _constrained_pihna_case(n):
     """Selectively 1:8-refined PIHNA case with hanging nodes."""
     from rdcfes_tpu.mesh import ConstrainedMesh
