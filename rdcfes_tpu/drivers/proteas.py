@@ -168,11 +168,41 @@ def run(deck_path: str = "input.dat") -> str:
 
     _profile_cm = maybe_profile()
     _profile_cm.__enter__()
-    for t in range(start_step + 1, n_steps + 1):
-        time_value += dt
-        step_banner(t, n_steps, time_value)
-        with plog.scope("solve"):
-            state, iters, res = system.step(state, fields=fields, params=params)
+    # production stepping: scan-batched run_steps between event points
+    # (output / checkpoint) — PROTEAS's fields (RTD aux sampling) are
+    # static over the whole run, so segments are parameter-static like
+    # PIHNA's.
+    use_scan = (getattr(system, "physics_blocks", None) is not None
+                and hasattr(system, "run_steps"))
+
+    def next_event(t: int) -> int:
+        nxt = n_steps
+        if ckpt_step:
+            nxt = min(nxt, ((t // ckpt_step) + 1) * ckpt_step)
+        future = [s for s in otp if s > t]
+        if future:
+            nxt = min(nxt, min(future))
+        return nxt
+
+    t = start_step
+    while t < n_steps:
+        seg = next_event(t) - t
+        if use_scan and seg > 1:
+            with plog.scope("solve"):
+                state, _its, _res = system.run_steps(state, seg,
+                                                     fields=fields,
+                                                     params=params)
+            for j in range(seg):
+                time_value += dt
+                step_banner(t + 1 + j, n_steps, time_value)
+            t += seg
+        else:
+            t += 1
+            time_value += dt
+            step_banner(t, n_steps, time_value)
+            with plog.scope("solve"):
+                state, iters, res = system.step(state, fields=fields,
+                                                params=params)
         if ckpt_step and t % ckpt_step == 0:
             from ..utils import save_checkpoint
 
