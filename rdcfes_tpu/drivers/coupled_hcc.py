@@ -21,7 +21,7 @@ from ..io import dat, provenance
 from ..io.getpot import Deck
 from ..io.vtu import ParaviewWriter, elemental_to_nodal
 from ..mesh import gmsh
-from ..models.hcc import HCC_VARS, hcc_physics
+from ..models.hcc import HCC_VARS, hcc_blocks, hcc_physics
 from ..systems import SolidSystem
 from .common import (make_rdc_system, make_solid_device_mesh, PerfLog,
                      step_banner)
@@ -100,7 +100,8 @@ def run(deck_path: str = "input.dat") -> str:
         # (geometry from current coords inside the shard program) and the
         # solid through the node-partitioned halo Newton
         rds, get_u, put_state = make_rdc_system(
-            mesh, 3, hcc_physics, deck, moving_mesh=True)
+            mesh, 3, hcc_physics, deck, moving_mesh=True,
+            physics_blocks=hcc_blocks)
         solid = SolidSystem(
             mesh,
             materials=load_materials(deck),
@@ -170,7 +171,8 @@ def run(deck_path: str = "input.dat") -> str:
             amr_done = int(extra["amr_done"])
             fibres = extra["fibres"]
             rds, get_u, put_state = make_rdc_system(
-                mesh, 3, hcc_physics, deck, moving_mesh=True)
+                mesh, 3, hcc_physics, deck, moving_mesh=True,
+                physics_blocks=hcc_blocks)
             solid = SolidSystem(
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
@@ -189,15 +191,47 @@ def run(deck_path: str = "input.dat") -> str:
     else:
         save(0)
 
-    for t in range(start_step + 1, n_steps + 1):
-        time_value += dt
+    # production stepping: between event points (loading / remeshing /
+    # output / checkpoint) the coordinates are CONSTANT, so the RDC
+    # transport scans as one device program on the frozen deformed
+    # geometry (run_steps(coords=...) rebuilds the qp tables once per
+    # segment); events fall back to per-step dispatch.  The multi-chip
+    # halo system keeps its per-step moving-mesh shard program.
+    def next_event(tc: int) -> int:
+        nxt = n_steps
+        for ev in (ltp, otp, rtp):
+            future = [s for s in ev if s > tc]
+            if future:
+                nxt = min(nxt, min(future))
+        if ckpt_step:
+            nxt = min(nxt, ((tc // ckpt_step) + 1) * ckpt_step)
+        return nxt
+
+    t = start_step
+    while t < n_steps:
+        can_scan = (hasattr(rds, "_geom_from_coords")
+                    and getattr(rds, "physics_blocks", None) is not None
+                    and all(isinstance(v, (int, float))
+                            for v in params.values()))
+        seg = next_event(t) - t if can_scan else 1
+        if can_scan and seg > 1:
+            with plog.scope("rds solve"):
+                state, _its, _res = rds.run_steps(state, seg,
+                                                  params=params, coords=x)
+            for j in range(seg):
+                time_value += dt
+                step_banner(t + 1 + j, n_steps, time_value, label="time")
+            t += seg
+        else:
+            t += 1
+            time_value += dt
+            step_banner(t, n_steps, time_value, label="time")
+            # RDC transport on the current deformed geometry
+            with plog.scope("rds solve"):
+                state, iters, res = rds.step(state, params=params,
+                                             coords=x)
         if t in ltp:
             pseudo_time += loading_step
-        step_banner(t, n_steps, time_value, label="time")
-
-        # RDC transport on the current deformed geometry
-        with plog.scope("rds solve"):
-            state, iters, res = rds.step(state, params=params, coords=x)
 
         # solid equilibrium only at loading points
         if t in ltp:
@@ -259,7 +293,8 @@ def run(deck_path: str = "input.dat") -> str:
                     x_new = r.prolong(np.asarray(x))
                     gstate = rds.gather_state(state)
                     rds, get_u, put_state = make_rdc_system(
-                        mesh, 3, hcc_physics, deck, moving_mesh=True)
+                        mesh, 3, hcc_physics, deck, moving_mesh=True,
+                physics_blocks=hcc_blocks)
                     solid = SolidSystem(
                         mesh,
                         materials=load_materials(deck),

@@ -252,23 +252,123 @@ def run(deck_path: str = "input.dat") -> str:
 
     # the params dict carries resolved lambda_RT_r before the first step
     _ = params.pop("_fb_lambda_RT_r_unused", None)
+    step_params = {k: v for k, v in params.items()
+                   if not k.startswith("_")
+                   and k not in ("lambda_RT_r", "omicro_RT_r")}
+
+    # --- scan path: check_solution's per-step feedback, in-device -------
+    # The TD qp fields for step t derive from the carried solution
+    # ((u_{t-1} - raw_{t-2})/dt, src/ripf.C:675-775) and the RT schedule
+    # from time alone, so both ride run_steps' field_update hook instead
+    # of a per-step host gather-and-rebuild loop.  The RT-resolved rate
+    # scalars (int-truncated max-dose fallback, src/ripf.C:397-403)
+    # depend only on time and are precomputed as scalar trajectories.
+    use_scan = (not sharded and not _mixed
+                and getattr(system, "physics_blocks", None) is not None
+                and hasattr(system, "run_steps")
+                and all(isinstance(v, (int, float))
+                        for v in step_params.values()))
+    abort_t = None
+    if use_scan:
+        _conn_T, _phi_g, _JxW_g, _dphi_g = _geo[0]
+        _rt_b = jnp.asarray(rt[:, 0])
+        _rt_f = jnp.asarray(rt[:, 1])
+        _bf, _ff = float(broad_frac), float(focus_frac)
+        _dtf = float(dt)
+        # phi is a tiny (Q, K) table inspected host-side inside
+        # interpolate_at_qp — close it over the program (constant);
+        # the E-sized tables (conn_T, dphi) stay jit ARGUMENTS
+        _phi_host = np.asarray(_phi_g)
+
+        def rt_field_update(st, prev_raw2, tr, rt_b, rt_f, conn_T, dphi):
+            """In-scan rebuild of check_solution's qp fields: prev_raw2
+            carries the raw solution from TWO steps back (the value
+            check() had stored before the previous step)."""
+            td_d = (st["u"] - prev_raw2) / _dtf                 # (N, V)
+            rt_tot = rt_dose_schedule(rt_b, rt_f, tr["RT_time"], _bf, _ff)
+            stacked = jnp.stack([td_d[:, 1], td_d[:, 2], rt_tot], axis=0)
+            vals_qp, grads_qp = interpolate_at_qp(stacked, conn_T,
+                                                  _phi_host, dphi)
+            g = grads_qp[2]
+            norm = jnp.linalg.norm(g, axis=-2, keepdims=True)
+            f = {"cc_dtime": vals_qp[0], "fb_dtime": vals_qp[1],
+                 "RT": vals_qp[2],
+                 "RT_grad_unit": jnp.where(
+                     norm > 0.0, g / jnp.where(norm == 0, 1.0, norm),
+                     0.0)}
+            return f, st["u_raw"]
+
+        # host trajectories of the RT-resolved scalars over the run
+        times_all = dt * np.arange(n_steps + 1)
+        tot_all = np.asarray(rt_dose_schedule(
+            rt[None, :, 0], rt[None, :, 1],
+            jnp.asarray(times_all)[:, None], broad_frac, focus_frac))
+        rtmax_traj = tot_all.max(axis=1)
+        lam_traj = np.where(params["_fb_lambda_RT_r"],
+                            params["_fb_lambda_RT_r"],
+                            rtmax_traj.astype(np.int64).astype(np.float64))
+        omi_traj = np.where(params["_fb_omicro_RT_r"],
+                            params["_fb_omicro_RT_r"],
+                            rtmax_traj.astype(np.int64).astype(np.float64))
+        # the reference aborts at the check AFTER the step where the max
+        # total dose hits zero — bound segments there so artifacts match
+        abort_t = next((tt for tt in range(start_step + 1, n_steps + 1)
+                        if rtmax_traj[tt] <= 0.0), None)
+
+    def next_event(tc: int) -> int:
+        nxt = n_steps if abort_t is None else min(n_steps, abort_t)
+        if ckpt_step:
+            nxt = min(nxt, ((tc // ckpt_step) + 1) * ckpt_step)
+        future = [s for s in otp if s > tc]
+        if future:
+            nxt = min(nxt, min(future))
+        return nxt
+
     _profile_cm = maybe_profile()
     _profile_cm.__enter__()
-    for t in range(start_step + 1, n_steps + 1):
-        time_value += dt
-        step_banner(t, n_steps, time_value)
-        # the RT-schedule-resolved rates travel as per-step SCALARS so the
-        # deck params stay static (enables the qp matrix-free path)
-        step_params = {k: v for k, v in params.items()
-                       if not k.startswith("_")
-                       and k not in ("lambda_RT_r", "omicro_RT_r")}
-        step_scalars = {"lambda_RT_r": params["lambda_RT_r"],
-                        "omicro_RT_r": params["omicro_RT_r"]}
-        with plog.scope("solve"):
-            state, iters, res = system.step(state, fields=qp_fields(),
-                                            params=step_params,
-                                            scalars=step_scalars)
-        check(time_value)
+    t = start_step
+    while t < n_steps:
+        seg = next_event(t) - t if use_scan else 1
+        if use_scan and seg > 1:
+            # steps t+1..t+seg; step t+1+j sees values resolved at step t+j
+            idx = np.arange(t, t + seg)
+            straj = {"lambda_RT_r": lam_traj[idx],
+                     "omicro_RT_r": omi_traj[idx],
+                     "RT_time": dt * idx}
+            # raw_{t-1}, reconstructed from the td identity (exact)
+            aux0 = jnp.asarray(get_u(state) - dt * td)
+            with plog.scope("solve"):
+                state, _its, _res, aux = system.run_steps(
+                    state, seg, params=step_params, scalar_traj=straj,
+                    field_update=rt_field_update, field_aux=aux0,
+                    field_args=(_rt_b, _rt_f, _conn_T, _dphi_g))
+            for j in range(seg):
+                time_value += dt
+                step_banner(t + 1 + j, n_steps, time_value)
+            t += seg
+            # host bookkeeping at the segment boundary == check(t)
+            gst = system.gather_state(state)
+            td = (gst["u"] - np.asarray(aux)) / dt
+            prev_raw = gst["u_raw"]
+            rt_total = tot_all[t]
+            if rt_total.max() <= 0.0:
+                raise RuntimeError(
+                    "maximum total RT dose <= 0 (reference aborts here)")
+            params["lambda_RT_r"] = float(lam_traj[t])
+            params["omicro_RT_r"] = float(omi_traj[t])
+        else:
+            t += 1
+            time_value += dt
+            step_banner(t, n_steps, time_value)
+            # the RT-schedule-resolved rates travel as per-step SCALARS so
+            # the deck params stay static (enables the qp matrix-free path)
+            step_scalars = {"lambda_RT_r": params["lambda_RT_r"],
+                            "omicro_RT_r": params["omicro_RT_r"]}
+            with plog.scope("solve"):
+                state, iters, res = system.step(state, fields=qp_fields(),
+                                                params=step_params,
+                                                scalars=step_scalars)
+            check(time_value)
         if ckpt_step and t % ckpt_step == 0:
             from ..utils import save_checkpoint
 

@@ -43,8 +43,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..fem.weakform import WeakForm
-from .pihna import crowding_factor
+from ..fem.weakform import WeakForm, WeakFormBlocks
+from .pihna import _add, _bvec, _gate, _mul, _neg, crowding_factor
 
 HCC_VARS = ("l", "c", "n")
 
@@ -130,6 +130,86 @@ def hcc_physics(u_qp, grad_qp, fields, params):
         ]
     )
     return WeakForm(A=A, B=B, C=C, D=D, E=Em)
+
+
+def hcc_blocks(u_qp, grad_qp, fields, params):
+    """Block-sparse weak form (fem.weakform.WeakFormBlocks) for HCC —
+    identical formulas to hcc_physics above, INCLUDING the reference
+    anomalies (spurious phi*phi capacity terms in Ke[0][1]/Ke[0][2]/
+    Ke[1][0], the misplaced second Ke[1][1] accumulation —
+    src/coupled_hcc.C:566-637).  Blocks whose deck prefactors are plain
+    Python-float zeros drop from the compiled program; the unconditional
+    spurious `one` terms keep their blocks live regardless.
+
+    The inert mechano-taxis scaffold (GRAD_sigma, always the zero vector
+    in the reference, src/coupled_hcc.C:508) is structurally ABSENT
+    unless a "grad_sigma" field is supplied — zeros either way."""
+    p = params
+    dt2 = p["dt"] / 2.0
+    Lk = p["cells_min_capacity"]
+    Kk = p["cells_max_capacity"]
+    ek = p["cells_max_capacity_exponent"]
+    prod_l, prod_c = p["produce_l"], p["produce_c"]
+    nec_l, nec_c = p["necrosis_l"], p["necrosis_c"]
+
+    l, c, n = u_qp[0], u_qp[1], u_qp[2]
+    Gc = grad_qp[1]
+    Gsig = fields.get("grad_sigma", None)
+
+    tau, dtau = crowding_factor((l + c + n) / Kk, Kk, ek)
+    dif_c = _gate(p["diffuse_c"], c > Lk)
+    mech_c = _gate(p["mechano_c"], c > Lk)
+    one = jnp.ones_like(l)
+    bsig = (lambda coef: 0.0) if Gsig is None else \
+        (lambda coef: _bvec(coef, Gsig))
+
+    # ---------------- RHS (src/coupled_hcc.C:539-564) ---------------------
+    A = (
+        _add(l, _mul(dt2, _add(_mul(prod_l, tau, l),
+                               _neg(_mul(nec_l, l, n))))),
+        _add(c, _mul(dt2, _add(_mul(prod_c, tau, c),
+                               _neg(_mul(nec_c, c, n))))),
+        _add(n, _mul(dt2, _add(_mul(nec_l, l, n), _mul(nec_c, c, n)))),
+    )
+    B = (
+        0.0,
+        _mul(dt2, _add(_neg(_bvec(_mul(dif_c, tau), Gc)),
+                       _neg(bsig(_mul(mech_c, tau, c))))),
+        0.0,
+    )
+
+    # ---------------- Jacobian with anomalies (src/coupled_hcc.C:566-637) -
+    nd = lambda x: _neg(_mul(dt2, x))
+    C00 = _add(one, nd(_add(_mul(prod_l, tau), _mul(prod_l, dtau, l),
+                            _neg(_mul(nec_l, n)))))
+    C01 = _add(one, nd(_mul(prod_l, dtau, l)))          # spurious capacity
+    C02 = _add(one, nd(_add(_mul(prod_l, dtau, l),      # spurious capacity
+                            _neg(_mul(nec_l, l)))))
+    C10 = _add(one, nd(_mul(prod_c, dtau, c)))          # spurious capacity
+    # Ke[1][1] = intended block + the misplaced "[1][2]" accumulation
+    C11 = _add(one, nd(_add(_mul(prod_c, tau), _mul(prod_c, dtau, c),
+                            _neg(_mul(nec_c, n)))),
+               one, nd(_add(_mul(prod_c, dtau, c),
+                            _neg(_mul(nec_c, c)))))
+    C20 = nd(_mul(nec_l, n))
+    C21 = nd(_mul(nec_c, n))
+    C22 = _add(one, nd(_add(_mul(nec_l, l), _mul(nec_c, c))))
+
+    Dtau_c = _mul(dt2, _add(_bvec(_mul(dif_c, dtau), Gc),
+                            bsig(_mul(mech_c, dtau, c))))
+    D10 = Dtau_c
+    D11 = _add(_mul(dt2, _add(_bvec(_mul(dif_c, dtau), Gc),
+                              bsig(_mul(mech_c, dtau, c)),
+                              bsig(_mul(mech_c, tau)))),
+               Dtau_c)
+    E11 = _mul(dt2, dif_c, tau)
+
+    return WeakFormBlocks(
+        A=A, B=B,
+        C=((C00, C01, C02), (C10, C11, 0.0), (C20, C21, C22)),
+        D=((0.0, 0.0, 0.0), (D10, D11, 0.0), (0.0, 0.0, 0.0)),
+        E=((0.0, 0.0, 0.0), (0.0, E11, 0.0), (0.0, 0.0, 0.0)),
+    )
 
 
 def default_params():

@@ -784,7 +784,7 @@ class TransientRDCSystem:
         return refine_mixed(mv32, pre_matvec64, pre_b, x0, self.rtol,
                             self.maxiter, f64_fallback=f64_fallback)
 
-    def _qp_multi_fn(self, params: Dict, n: int):
+    def _qp_multi_fn(self, params: Dict, n: int, field_update=None):
         """Jitted n-step advance (lax.scan) for one static parameter set:
         the whole segment runs as ONE device program, so per-step dispatch
         cost vanishes and XLA pipelines across steps.  The block-Jacobi
@@ -799,13 +799,16 @@ class TransientRDCSystem:
         refresh = max(1, self.precond_refresh)
         V, N = self.n_vars, self.mesh.n_nodes
 
-        def multi(state, fields, traj, fast_args, geom):
+        def multi(state, fields, traj, aux, fargs, fast_args, geom):
             Dinv0 = jnp.zeros((V, V, N), self.dtype)
 
             def body(carry, x):
                 i, tr = x
-                st, Dv = carry
+                st, Dv, ax = carry
                 f = {**fields, **tr}
+                if field_update is not None:
+                    fu, ax = field_update(st, ax, tr, *fargs)
+                    f = {**f, **fu}
                 new_state, it, res, Dv2 = jax.lax.cond(
                     i % refresh == 0,
                     lambda st, Dv: body_fn(st, f, None, fast_args,
@@ -814,20 +817,23 @@ class TransientRDCSystem:
                                            geom),
                     st, Dv,
                 )
-                return (new_state, Dv2), (it, res)
+                return (new_state, Dv2, ax), (it, res)
 
-            (state, _), (its, ress) = jax.lax.scan(
-                body, (state, Dinv0), (jnp.arange(n), traj))
-            return state, its, ress
+            (state, _, aux), (its, ress) = jax.lax.scan(
+                body, (state, Dinv0, aux), (jnp.arange(n), traj))
+            return state, its, ress, aux
 
         return jax.jit(multi)
 
     def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
                   params: Optional[Dict] = None,
                   scalars: Optional[Dict] = None, segment: Optional[int] = None,
-                  scalar_traj: Optional[Dict] = None):
+                  scalar_traj: Optional[Dict] = None,
+                  field_update=None, field_aux=None, field_args=(),
+                  coords: Optional[jnp.ndarray] = None):
         """Advance n steps through compiled scans (static scalar params
-        required).  Returns (state, iters_per_step, residual_per_step).
+        required).  Returns (state, iters_per_step, residual_per_step),
+        plus the final field_update aux carry when `field_update` is given.
 
         The n steps are chained as device programs of at most `segment`
         steps each (default 50, env RDCFES_SCAN_SEGMENT): a single scan
@@ -841,11 +847,28 @@ class TransientRDCSystem:
         shape (n,): step j of the segment sees value [j].  This is how a
         per-step-varying scalar like ADPM's `time` (which gates pulses /
         trapezoids, src/adpm.C:268-296) rides a scan without freezing —
-        `scalars` entries, by contrast, are constant over all n steps."""
+        `scalars` entries, by contrast, are constant over all n steps.
+
+        `field_update(state, aux, tr, *field_args) -> (fields, new_aux)`
+        is a jittable per-step hook, traced into the scan body BEFORE the
+        step, for qp fields derived from the carried solution — RIPF's
+        TD fields are (u - prev_raw)/dt of the previous step
+        (src/ripf.C:675-775), so its per-step host gather-and-rebuild
+        loop collapses into the device program.  `field_args` ride as
+        jit arguments (never close big arrays into the program — the
+        axon tunnel rejects large serialized constants)."""
         assert self.physics_blocks is not None, "run_steps needs physics_blocks"
         assert params and all(
             isinstance(v, (int, float)) for v in params.values()
         ), "run_steps needs plain-scalar params"
+        if self.moving_mesh:
+            assert coords is not None, "moving_mesh system needs current coords"
+            geom = self._geom_from_coords(jnp.asarray(coords))
+            # the cached block-Jacobi inverse belongs to the previous
+            # geometry — never let a per-step fallback reuse it
+            self._dinv_cache = None
+        else:
+            geom = None
         if scalars:
             fields = {**(fields or {}), **scalars}
         traj = {k: jnp.asarray(v, self.dtype)
@@ -864,44 +887,81 @@ class TransientRDCSystem:
             # into the program (RDCFES_FAST_SCAN=1 opts into the scan
             # path until it is soak-tested on hardware)
             its_all, ress_all = [], []
+            aux = field_aux
             for j in range(int(n)):
-                f = {**(fields or {}), **{k: v[j] for k, v in traj.items()}}
-                state, it, res = self._step_qp(state, f, p)
+                tr_j = {k: v[j] for k, v in traj.items()}
+                f = {**(fields or {}), **tr_j}
+                if field_update is not None:
+                    fu, aux = field_update(state, aux, tr_j, *field_args)
+                    f = {**f, **fu}
+                state, it, res = self._step_qp(state, f, p, geom=geom)
                 its_all.append(it)
                 ress_all.append(res)
-            return (state, jnp.stack(its_all), jnp.stack(ress_all))
+            out = (state, jnp.stack(its_all), jnp.stack(ress_all))
+            return out + ((aux,) if field_update is not None else ())
         if segment is None:
             import os as _os
 
             segment = int(_os.environ.get("RDCFES_SCAN_SEGMENT", "50"))
         segment = max(1, int(segment))
+        aux = field_aux
 
         def run_one(st, m, lo):
-            key = (("__multi__", int(m)) + tuple(sorted(traj))
-                   + tuple(sorted(p.items())))
+            nonlocal aux
+            key = (("__multi__", int(m), id(field_update))
+                   + tuple(sorted(traj)) + tuple(sorted(p.items())))
             fn = self._qp_step_cache.get(key)
             if fn is None:
-                fn = self._qp_multi_fn(p, int(m))
+                fn = self._qp_multi_fn(p, int(m), field_update)
                 self._qp_step_cache[key] = fn
             tr = {k: v[lo:lo + m] for k, v in traj.items()}
-            return fn(st, fields or {}, tr, self._fast_args(),
-                      self._geom_args())
+            st, its, ress, aux = fn(st, fields or {}, tr,
+                                    aux if aux is not None else 0.0,
+                                    tuple(field_args), self._fast_args(),
+                                    geom if geom is not None
+                                    else self._geom_args())
+            return st, its, ress
 
         n = int(n)
         if n <= segment:
-            return run_one(state, n, 0)
-        its_all, ress_all = [], []
-        remaining, lo = n, 0
-        while remaining > 0:
-            m = min(segment, remaining)
-            state, its, ress = run_one(state, m, lo)
-            its_all.append(its)
-            ress_all.append(ress)
-            remaining -= m
-            lo += m
-        return state, jnp.concatenate(its_all), jnp.concatenate(ress_all)
+            out = run_one(state, n, 0)
+        else:
+            its_all, ress_all = [], []
+            remaining, lo = n, 0
+            while remaining > 0:
+                m = min(segment, remaining)
+                state, its, ress = run_one(state, m, lo)
+                its_all.append(its)
+                ress_all.append(ress)
+                remaining -= m
+                lo += m
+            out = (state, jnp.concatenate(its_all),
+                   jnp.concatenate(ress_all))
+        return out + ((aux,) if field_update is not None else ())
 
-    def _step_qp(self, state, fields, params):
+    def _geom_from_coords(self, coords):
+        """The _geom_args tables rebuilt from CURRENT node positions (the
+        moving-mesh scan path: within a segment of the coupled loop the
+        coordinates are constant — they only move at loading points, so
+        geometry is step-invariant per segment and builds ONCE, outside
+        the scan).  phi is coordinate-independent and reused."""
+        fn = getattr(self, "_moving_geom_fn", None)
+        if fn is None:
+            def build(cs):
+                _, JxW, dphi = geometry_factors(cs, self.conn,
+                                                self.mesh.elem_type)
+                JxW = JxW.astype(self.dtype)
+                dphi = dphi.astype(self.dtype)
+                return {"JxW": JxW, "dphi": dphi,
+                        "JxW32": JxW.astype(jnp.float32),
+                        "dphi32": dphi.astype(jnp.float32),
+                        "conn_T": self.conn_T,
+                        "node_gather": self.node_gather}
+
+            fn = self._moving_geom_fn = jax.jit(build)
+        return fn(coords)
+
+    def _step_qp(self, state, fields, params, geom=None):
         key = tuple(sorted((k, float(v)) for k, v in params.items()))
         fns = self._qp_step_cache.get(key)
         if fns is None:
@@ -909,7 +969,7 @@ class TransientRDCSystem:
             self._qp_step_cache[key] = fns
         fresh, reuse = fns
         fa = self._fast_args()
-        ga = self._geom_args()
+        ga = self._geom_args() if geom is None else geom
         if (self.precond_refresh > 1 and self._dinv_cache is not None
                 and self._steps_since_precond < self.precond_refresh):
             self._steps_since_precond += 1

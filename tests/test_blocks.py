@@ -76,7 +76,52 @@ def _proteas_setup(zero_deck):
     return mesh, p, u, proteas_blocks, 5, {"RTD": jnp.asarray(rtd)}
 
 
-SETUPS = {"pihna": _pihna_setup, "adpm": _adpm_setup, "proteas": _proteas_setup}
+def _hcc_setup(zero_deck):
+    from rdcfes_tpu.models.hcc import default_params, hcc_blocks
+
+    mesh = box_tet_mesh(3, 3, 3)
+    p = default_params()
+    p.update(dt=0.5, cells_min_capacity=1e-3, cells_max_capacity=1.0,
+             cells_max_capacity_exponent=2.0, produce_l=0.3, produce_c=0.5,
+             necrosis_l=0.05, necrosis_c=0.08)
+    rng = np.random.default_rng(4)
+    fields = {}
+    if not zero_deck:
+        p.update(diffuse_c=0.02, mechano_c=0.01)
+        fields["grad_sigma"] = jnp.asarray(
+            rng.standard_normal((5, 3, mesh.n_elems)))
+    u = rng.uniform(0.0, 0.5, (mesh.n_nodes, 3))
+    return mesh, p, u, hcc_blocks, 3, fields
+
+
+SETUPS = {"pihna": _pihna_setup, "adpm": _adpm_setup,
+          "proteas": _proteas_setup, "hcc": _hcc_setup}
+
+
+@pytest.mark.parametrize("zero_deck", [False, True])
+@pytest.mark.parametrize("with_gsig", [False, True])
+def test_hcc_blocks_match_dense_physics(zero_deck, with_gsig):
+    """hcc_blocks.to_dense() == hcc_physics exactly (same formulas, incl.
+    the coupled_hcc.C:566-637 anomaly blocks), with the mechano-taxis
+    scaffold both absent and supplied."""
+    from rdcfes_tpu.fem.geometry import geometry_factors
+    from rdcfes_tpu.models.hcc import hcc_blocks, hcc_physics
+
+    mesh, p, u, _, V, fields = _hcc_setup(zero_deck)
+    if not with_gsig:
+        fields.pop("grad_sigma", None)
+    conn_T = jnp.asarray(mesh.connectivity.T)
+    phi, JxW, dphi = geometry_factors(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.connectivity),
+        mesh.elem_type)
+    u_qp, g_qp = interpolate_at_qp(jnp.asarray(u.T), conn_T, phi, dphi)
+    p = {k: float(v) for k, v in p.items()}
+    dense = hcc_physics(u_qp, g_qp, fields, p)
+    blk = hcc_blocks(u_qp, g_qp, fields, p).to_dense()
+    for name in ("A", "B", "C", "D", "E"):
+        a, b = getattr(dense, name), getattr(blk, name)
+        assert np.allclose(np.asarray(a), np.asarray(b),
+                           rtol=1e-14, atol=1e-14), name
 
 
 @pytest.mark.parametrize("model", sorted(SETUPS))

@@ -168,6 +168,68 @@ fb/haptotaxis = 0.05
     assert all(len(line.split(",")) == 3 for line in csv)
 
 
+def test_ripf_scan_matches_per_step(in_tmp):
+    """The in-scan field_update path (TD fields + RT schedule rebuilt
+    inside the device program) equals the per-step host loop: same case
+    run with output every step (events force per-step segments) vs
+    output at the end only (one scanned segment).  dt crosses RT-day
+    boundaries and the int-truncated max-dose fallback is active
+    (src/ripf.C:397-403), so the per-step scalar trajectories are
+    exercised for real."""
+    from rdcfes_tpu.drivers import ripf as ripf_driver
+
+    mesh = box_tet_mesh(2, 2, 2)
+    rng = np.random.default_rng(5)
+    u0 = np.stack(
+        [
+            rng.uniform(-500, -100, mesh.n_nodes),
+            rng.uniform(0.1, 0.3, mesh.n_nodes),
+            rng.uniform(0.1, 0.3, mesh.n_nodes),
+        ],
+        axis=1,
+    )
+    rt = np.stack(
+        [np.full(mesh.n_nodes, 56.0), 16.0 + 2.0 * rng.random(mesh.n_nodes)],
+        axis=1,
+    )
+    deck = """
+directory = '{d}'
+input_GMSH = input.msh
+input_nodal = input.nodal
+input_nodal_RT = input.rt
+time_step_number = 6
+time_step = 0.5
+output_time_points = '{otp}'
+RT_dose/broad/fractions = 2
+RT_dose/focus/fractions = 2
+volume_fraction/stroma = 0.30
+volume_fraction/parenchyma = 0.20
+volume_fraction/exponent = 2.5
+volume_fraction/min_vacant = 1.e-5
+HU/phi/tolerance = 1.0e-3
+cc/delta = 0.0864
+cc/delta/RT/a = 0.3
+cc/delta/RT/b = 0.03
+fb/lambda = 0.01
+fb/omega = 0.1
+fb/diffusion = 1.0e-20
+fb/haptotaxis = 0.05
+fb/radiotaxis = 0.01
+"""
+    _write_case(in_tmp, mesh, deck.format(d="per_step", otp=" 1 2 3 4 5 6 "),
+                u0, rt, elem_name="input.rt")
+    out_a = ripf_driver.run("input.dat")
+    with open("input.dat", "w") as f:
+        f.write(deck.format(d="scan", otp=" 6 "))
+    out_b = ripf_driver.run("input.dat")
+    csv_a = open(os.path.join(out_a, "output.csv")).read().splitlines()
+    csv_b = open(os.path.join(out_b, "output.csv")).read().splitlines()
+    assert csv_a[-1] == csv_b[-1]  # identical formatted final metrics
+    va = open(os.path.join(out_a, "output4paraview-6.vtu")).read()
+    vb = open(os.path.join(out_b, "output4paraview-6.vtu")).read()
+    assert va == vb  # byte-identical final state incl. the TD fields
+
+
 def test_ripf_validation_error(in_tmp):
     from rdcfes_tpu.drivers.ripf import load_params
     from rdcfes_tpu.io.getpot import Deck
@@ -310,6 +372,75 @@ material/3000/Hyperelastic/VolumetricStretchRatio/rate_2 = 3.0e-1
     # growth must have moved the mesh: final positions differ from initial
     vtu = open(os.path.join(outdir, "out-4.vtu")).read()
     assert 'Name="c"' in vtu and 'Name="u_x"' in vtu
+
+
+def test_coupled_hcc_scan_matches_per_step(in_tmp):
+    """The moving-mesh scan path (RDC transport scanned on the frozen
+    deformed geometry between loading/output events) tracks the per-step
+    dense moving path: same case with output every step (forces per-step
+    segments) vs output at the end only (scanned segments)."""
+    import re
+
+    from rdcfes_tpu.drivers import coupled_hcc
+
+    mesh = box_hex_mesh(2, 2, 2)
+    mesh.subdomain_id[:] = 3000
+    u0 = np.stack(
+        [
+            np.full(mesh.n_nodes, 0.4),
+            0.2 * np.exp(-10 * ((mesh.coords - 0.5) ** 2).sum(axis=1)),
+            np.full(mesh.n_nodes, 0.01),
+        ],
+        axis=1,
+    )
+    deck = """
+directory = {d}
+input_GMSH = input.msh
+input_nodal = input.nodal
+output_PARAVIEW = out
+time_step = 0.01
+number_of_time_steps = 6
+number_of_loading_steps = 2
+output_step = {os}
+cells/min_capacity = 0.0
+cells/max_capacity = 1.0
+cells/max_capacity/exponent = 3
+produce/c = 0.5
+diffuse/c = 0.05
+necrosis/l = 0.1
+necrosis/c = 0.1
+BCs = ' 0 '
+BC/0/displacement/0 = +0.000
+BC/0/displacement/1 = +0.000
+BC/0/displacement/2 = +0.000
+BCs/displacement_penalty = 1.e+6
+materials = ' 3000 '
+material/3000/Hyperelastic/Young = 2.0e+3
+material/3000/Hyperelastic/Poisson = 0.4
+material/3000/Hyperelastic/VolumetricStretchRatio/rate_0 = 3.0e-1
+material/3000/Hyperelastic/VolumetricStretchRatio/rate_1 = 3.0e-1
+material/3000/Hyperelastic/VolumetricStretchRatio/rate_2 = 3.0e-1
+"""
+    _write_case(in_tmp, mesh, deck.format(d="per_step", os=1), u0)
+    out_a = coupled_hcc.run("input.dat")
+    with open("input.dat", "w") as f:
+        f.write(deck.format(d="scan", os=6))
+    out_b = coupled_hcc.run("input.dat")
+
+    def arrays(path):
+        txt = open(path).read()
+        return {m.group(1): np.fromstring(m.group(2), sep=" ")
+                for m in re.finditer(
+                    r'<DataArray[^>]*Name="([^"]+)"[^>]*>([\s\S]*?)'
+                    r"</DataArray>", txt)}
+
+    a = arrays(os.path.join(out_a, "out-6.vtu"))
+    b = arrays(os.path.join(out_b, "out-6.vtu"))
+    assert set(a) == set(b) and len(a) > 5
+    for k in a:
+        if a[k].size:
+            scale = np.abs(a[k]).max() + 1e-30
+            assert np.abs(a[k] - b[k]).max() < 1e-6 * scale, k
 
 
 def test_proteas_reference_aux_sampling(in_tmp):

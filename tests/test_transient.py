@@ -180,3 +180,40 @@ def test_precond_refresh_matches_every_step():
     assert float(res) < 1e-11
     np.testing.assert_allclose(np.asarray(st1["u"]), np.asarray(st8["u"]),
                                rtol=0, atol=1e-10)
+
+
+def test_moving_mesh_run_steps_matches_per_step():
+    """Moving-mesh scan path: with coordinates fixed within a segment (the
+    coupled-HCC invariant — they only move at loading points), run_steps
+    rebuilds the geometry tables ONCE and scans the qp-apply step; it must
+    match the per-step dense moving path (system.step(coords=...)) on a
+    genuinely deformed configuration."""
+    from rdcfes_tpu.models.hcc import default_params, hcc_blocks, hcc_physics
+
+    mesh = box_tet_mesh(4, 4, 4)
+    p = default_params()
+    p.update(dt=0.2, cells_min_capacity=1e-3, cells_max_capacity=1.0,
+             cells_max_capacity_exponent=2.0, produce_l=0.3, produce_c=0.5,
+             necrosis_l=0.05, necrosis_c=0.08, diffuse_c=0.02)
+    p = {k: float(v) for k, v in p.items()}
+    rng = np.random.default_rng(9)
+    u0 = rng.uniform(0.0, 0.4, (mesh.n_nodes, 3))
+    # deformed configuration: interior nodes jittered (boundary kept so
+    # elements stay valid), well away from mesh.coords
+    x = mesh.coords.copy()
+    interior = ~np.isin(np.arange(mesh.n_nodes),
+                        np.unique(mesh.boundary_faces))
+    x[interior] += 0.15 * rng.standard_normal(x[interior].shape) / 4
+    x = jnp.asarray(x)
+
+    a = TransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True,
+                           physics_blocks=hcc_blocks, precond_refresh=3)
+    b = TransientRDCSystem(mesh, 3, hcc_physics, moving_mesh=True,
+                           physics_blocks=hcc_blocks, precond_refresh=3)
+    sa, sb = a.initial_state(u0), b.initial_state(u0)
+    for _ in range(5):
+        sa, _, _ = a.step(sa, params=p, coords=x)
+    sb, its, ress = b.run_steps(sb, 5, params=p, coords=x, segment=2)
+    ua, ub = np.asarray(sa["u"]), np.asarray(sb["u"])
+    assert np.linalg.norm(ua - ub) / np.linalg.norm(ua) < 1e-8
+    assert np.isfinite(np.asarray(ress)).all() and len(np.asarray(its)) == 5
