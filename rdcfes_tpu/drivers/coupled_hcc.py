@@ -209,10 +209,12 @@ def run(deck_path: str = "input.dat") -> str:
 
     t = start_step
     while t < n_steps:
-        can_scan = (hasattr(rds, "_geom_from_coords")
-                    and getattr(rds, "physics_blocks", None) is not None
-                    and all(isinstance(v, (int, float))
-                            for v in params.values()))
+        can_scan = (all(isinstance(v, (int, float))
+                        for v in params.values())
+                    and ((hasattr(rds, "_geom_from_coords")
+                          and getattr(rds, "physics_blocks", None)
+                          is not None)               # single-chip qp scan
+                         or hasattr(rds, "_multi_shard_moving_fn")))
         seg = next_event(t) - t if can_scan else 1
         if can_scan and seg > 1:
             with plog.scope("rds solve"):

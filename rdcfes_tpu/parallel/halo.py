@@ -1150,11 +1150,64 @@ class HaloShardedSystem(HaloExchangeMixin):
             self._qp_cache[key] = parts
         return parts
 
+    def _multi_shard_moving_fn(self, n: int):
+        """n moving-mesh steps as ONE scan inside the shard program.  The
+        coordinates are an INVARIANT of the segment (the coupled loop only
+        moves them at loading points, reference src/coupled_hcc.C:114), so
+        the geometry factors build once from the ghost-filled positions
+        and the dense per-step kernels scan over them — the multi-chip
+        counterpart of TransientRDCSystem.run_steps(coords=...)."""
+        V = self.n_vars
+
+        def multi(u_blk, coords_blk, efields, scalars, traj, params,
+                  conn_mv, node_gather, rev_gather, mask, cons_all,
+                  hang_mask, *send_tabs):
+            ng = node_gather[0]
+            msk = mask[0]
+            ca = cons_all[0]
+            hmask = hang_mask[0]
+            conn = conn_mv[0]
+            xg = self._ghost_fill(coords_blk[0], send_tabs)   # (3, Nloc)
+            phi, JxW, dphi = geometry_factors(xg.T, conn.T,
+                                              self.mesh.elem_type)
+            base_fields = {k: v[0] for k, v in efields.items()}
+            base_fields.update(scalars)
+
+            def body(carry, x):
+                _i, tr = x
+                fields = {**base_fields, **tr}
+                u = carry["u"][0]
+                ug = self._ghost_fill(u, send_tabs)
+                u_qp, grad_qp = interpolate_at_qp(ug, conn, phi, dphi)
+                wf = self.physics(u_qp, grad_qp, fields, params)
+                Fe = element_vectors(wf, phi, JxW, dphi)
+                Ke, diag_e = element_matrices(
+                    wf, phi, JxW, dphi,
+                    grad_const=(self.mesh.elem_type == "TET4"),
+                    return_diag=True)
+                new_blk, it, res = self._linear_stage(
+                    carry, Fe, Ke, diag_e, ng, msk, rev_gather,
+                    send_tabs, conn, ca=ca, hmask=hmask)
+                return new_blk, (it, res)
+
+            final, (its, ress) = lax.scan(body, u_blk,
+                                          (jnp.arange(n), traj))
+            return final, its, ress
+
+        in_specs = (
+            P("d"), P("d"), P("d"), P(), P(), P(),
+            P("d"), P("d"), P("d"), P("d"), P("d"), P("d"),
+        ) + tuple(P("d") for _ in self.plan.send_idx)
+        fn = shard_map(multi, mesh=self.dmesh,
+                       in_specs=in_specs, out_specs=(P("d"), P(), P()))
+        return jax.jit(fn)
+
     def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
                   params: Optional[Dict] = None,
                   scalars: Optional[Dict] = None,
                   segment: Optional[int] = None,
-                  scalar_traj: Optional[Dict] = None):
+                  scalar_traj: Optional[Dict] = None,
+                  coords=None):
         """Advance n steps through compiled scans over the sharded step
         (static scalar params + block physics required).  Returns
         (state, iters_per_step, residual_per_step).
@@ -1164,12 +1217,62 @@ class HaloShardedSystem(HaloExchangeMixin):
         policy as TransientRDCSystem.run_steps.  `scalar_traj` maps a
         scalar-field name to (n,) per-step values (replicated across
         devices, scanned inside the shard program) — see
-        TransientRDCSystem.run_steps."""
+        TransientRDCSystem.run_steps.  `coords` (current node positions,
+        constant over the segment) routes through the moving-mesh scan:
+        geometry builds once per segment inside the shard program."""
         traj = {k: jnp.asarray(v, state["u"].dtype)
                 for k, v in (scalar_traj or {}).items()}
         for k, v in traj.items():
             assert v.shape == (int(n),), (
                 f"scalar_traj[{k!r}] must have shape ({int(n)},), got {v.shape}")
+        if coords is not None:
+            if self._mixed is not None:
+                # mixed moving meshes: per-step dispatch (per-block pad
+                # geometry handling keeps the step program simpler)
+                its, ress = [], []
+                for j in range(int(n)):
+                    sc = {**(scalars or {}),
+                          **{k: v[j] for k, v in traj.items()}}
+                    state, it, res = self.step(state, fields=fields,
+                                               params=params, scalars=sc,
+                                               coords=coords)
+                    its.append(it)
+                    ress.append(res)
+                return state, jnp.stack(its), jnp.stack(ress)
+            if segment is None:
+                import os as _os
+
+                segment = int(_os.environ.get("RDCFES_SCAN_SEGMENT", "50"))
+            segment = max(1, int(segment))
+            coords_blk = self.scatter_coords(coords)
+
+            def run_one_mv(st, m, lo):
+                key = ("__multi_mv__", int(m)) + tuple(sorted(traj))
+                fn = self._qp_cache.get(key)
+                if fn is None:
+                    fn = self._multi_shard_moving_fn(int(m))
+                    self._qp_cache[key] = fn
+                tr = {k: v[lo:lo + m] for k, v in traj.items()}
+                return fn(st, coords_blk, fields or {}, scalars or {}, tr,
+                          params or {}, self.conn_moving_s,
+                          self.node_gather_s, self.rev_gather_s,
+                          self.mask_s, self.cons_all_s, self.hang_mask_s,
+                          *self.send_idx_s)
+
+            n = int(n)
+            if n <= segment:
+                return run_one_mv(state, n, 0)
+            its_all, ress_all = [], []
+            remaining, lo = n, 0
+            while remaining > 0:
+                m = min(segment, remaining)
+                state, its, ress = run_one_mv(state, m, lo)
+                its_all.append(its)
+                ress_all.append(ress)
+                remaining -= m
+                lo += m
+            return (state, jnp.concatenate(its_all),
+                    jnp.concatenate(ress_all))
         if self._mixed is not None:
             # mixed meshes: per-step dispatch through the cached dense
             # program (the scan fast path is a single-type optimization)
