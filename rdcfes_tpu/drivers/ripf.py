@@ -263,7 +263,7 @@ def run(deck_path: str = "input.dat") -> str:
     # of a per-step host gather-and-rebuild loop.  The RT-resolved rate
     # scalars (int-truncated max-dose fallback, src/ripf.C:397-403)
     # depend only on time and are precomputed as scalar trajectories.
-    use_scan = (not sharded and not _mixed
+    use_scan = (not _mixed
                 and getattr(system, "physics_blocks", None) is not None
                 and hasattr(system, "run_steps")
                 and all(isinstance(v, (int, float))
@@ -280,23 +280,46 @@ def run(deck_path: str = "input.dat") -> str:
         # the E-sized tables (conn_T, dphi) stay jit ARGUMENTS
         _phi_host = np.asarray(_phi_g)
 
-        def rt_field_update(st, prev_raw2, tr, rt_b, rt_f, conn_T, dphi):
-            """In-scan rebuild of check_solution's qp fields: prev_raw2
-            carries the raw solution from TWO steps back (the value
-            check() had stored before the previous step)."""
-            td_d = (st["u"] - prev_raw2) / _dtf                 # (N, V)
-            rt_tot = rt_dose_schedule(rt_b, rt_f, tr["RT_time"], _bf, _ff)
-            stacked = jnp.stack([td_d[:, 1], td_d[:, 2], rt_tot], axis=0)
-            vals_qp, grads_qp = interpolate_at_qp(stacked, conn_T,
-                                                  _phi_host, dphi)
+        def _qp_pack(vals_qp, grads_qp):
             g = grads_qp[2]
             norm = jnp.linalg.norm(g, axis=-2, keepdims=True)
-            f = {"cc_dtime": vals_qp[0], "fb_dtime": vals_qp[1],
-                 "RT": vals_qp[2],
-                 "RT_grad_unit": jnp.where(
-                     norm > 0.0, g / jnp.where(norm == 0, 1.0, norm),
-                     0.0)}
-            return f, st["u_raw"]
+            return {"cc_dtime": vals_qp[0], "fb_dtime": vals_qp[1],
+                    "RT": vals_qp[2],
+                    "RT_grad_unit": jnp.where(
+                        norm > 0.0, g / jnp.where(norm == 0, 1.0, norm),
+                        0.0)}
+
+        if sharded:
+            # multi-chip hook: owned channel-first (1, V, No_max) slabs,
+            # ghost-filled once before shard-local qp sampling; the RT
+            # node doses travel as a distributed (D, 2, No_max) slab
+            _rt_slab = system.scatter_nodal(np.asarray(rt))
+
+            def rt_field_update(blk, prev_raw2, tr, gf, conn, dphi,
+                                rt_slab):
+                td_cc = (blk["u"][0, 1] - prev_raw2[0, 1]) / _dtf
+                td_fb = (blk["u"][0, 2] - prev_raw2[0, 2]) / _dtf
+                rt_tot = rt_dose_schedule(rt_slab[0, 0], rt_slab[0, 1],
+                                          tr["RT_time"], _bf, _ff)
+                sg = gf(jnp.stack([td_cc, td_fb, rt_tot], axis=0))
+                vals_qp, grads_qp = interpolate_at_qp(sg, conn,
+                                                      _phi_host, dphi)
+                return _qp_pack(vals_qp, grads_qp), blk["u_raw"]
+        else:
+            def rt_field_update(st, prev_raw2, tr, rt_b, rt_f, conn_T,
+                                dphi):
+                """In-scan rebuild of check_solution's qp fields:
+                prev_raw2 carries the raw solution from TWO steps back
+                (the value check() had stored before the previous
+                step)."""
+                td_d = (st["u"] - prev_raw2) / _dtf             # (N, V)
+                rt_tot = rt_dose_schedule(rt_b, rt_f, tr["RT_time"],
+                                          _bf, _ff)
+                stacked = jnp.stack([td_d[:, 1], td_d[:, 2], rt_tot],
+                                    axis=0)
+                vals_qp, grads_qp = interpolate_at_qp(stacked, conn_T,
+                                                      _phi_host, dphi)
+                return _qp_pack(vals_qp, grads_qp), st["u_raw"]
 
         # host trajectories of the RT-resolved scalars over the run
         times_all = dt * np.arange(n_steps + 1)
@@ -336,19 +359,26 @@ def run(deck_path: str = "input.dat") -> str:
                      "omicro_RT_r": omi_traj[idx],
                      "RT_time": dt * idx}
             # raw_{t-1}, reconstructed from the td identity (exact)
-            aux0 = jnp.asarray(get_u(state) - dt * td)
+            aux0 = get_u(state) - dt * td
+            if sharded:
+                aux0 = system.scatter_nodal(np.asarray(aux0))
+                fargs = (_rt_slab,)
+            else:
+                aux0 = jnp.asarray(aux0)
+                fargs = (_rt_b, _rt_f, _conn_T, _dphi_g)
             with plog.scope("solve"):
                 state, _its, _res, aux = system.run_steps(
                     state, seg, params=step_params, scalar_traj=straj,
                     field_update=rt_field_update, field_aux=aux0,
-                    field_args=(_rt_b, _rt_f, _conn_T, _dphi_g))
+                    field_args=fargs)
             for j in range(seg):
                 time_value += dt
                 step_banner(t + 1 + j, n_steps, time_value)
             t += seg
             # host bookkeeping at the segment boundary == check(t)
             gst = system.gather_state(state)
-            td = (gst["u"] - np.asarray(aux)) / dt
+            aux_np = system.gather(aux) if sharded else np.asarray(aux)
+            td = (gst["u"] - aux_np) / dt
             prev_raw = gst["u_raw"]
             rt_total = tot_all[t]
             if rt_total.max() <= 0.0:

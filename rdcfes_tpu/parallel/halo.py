@@ -1119,27 +1119,49 @@ class HaloShardedSystem(HaloExchangeMixin):
                        in_specs=in_specs, out_specs=(P("d"), P(), P()))
         return jax.jit(fn), step_shard, in_specs
 
-    def _multi_shard_qp_fn(self, params: Dict, n: int):
+    def _multi_shard_qp_fn(self, params: Dict, n: int, field_update=None):
         """n steps as ONE scan inside the shard program: the multi-chip
         counterpart of TransientRDCSystem.run_steps — collectives
         (ppermute/psum) run inside the scan body; per-step dispatch
-        vanishes."""
+        vanishes.
+
+        `field_update(u_blk, aux, tr, ghost_fill, conn, dphi, *fargs)
+        -> (shard-local qp fields dict, new_aux)` is the multi-chip form
+        of TransientRDCSystem's per-step field hook: it runs INSIDE the
+        shard program before each step (RIPF's TD/RT fields,
+        src/ripf.C:675-775).  `ghost_fill` extends an owned (V, No_max)
+        slab to (V, Nloc); conn/dphi are this shard's element tables;
+        fargs arrive as distributed slabs (leading shard axis intact)."""
         _, step_shard, in_specs = self._qp_parts(params)
 
-        def multi_shard(u_blk, efields, scalars, traj, *tables):
+        def multi_shard(u_blk, efields, scalars, traj, aux, fargs,
+                        *tables):
+            conn = tables[0][0]                  # (K, Eb)
+            dphi_ = tables[2][:, :, :, 0]        # (Q, K, 3, Eb)
+            send_tabs = tables[8:]
+            gf = lambda arr: self._ghost_fill(arr, send_tabs)
+
             def body(carry, x):
                 _i, tr = x
-                new_blk, it, res = step_shard(carry, efields,
+                blk, ax = carry
+                efl = efields
+                if field_update is not None:
+                    fu, ax = field_update(blk, ax, tr, gf, conn, dphi_,
+                                          *fargs)
+                    efl = {**efields,
+                           **{k: v[None] for k, v in fu.items()}}
+                new_blk, it, res = step_shard(blk, efl,
                                               {**scalars, **tr}, *tables)
-                return new_blk, (it, res)
+                return (new_blk, ax), (it, res)
 
-            final, (its, ress) = lax.scan(body, u_blk,
-                                          (jnp.arange(n), traj))
-            return final, its, ress
+            (final, aux), (its, ress) = lax.scan(
+                body, (u_blk, aux), (jnp.arange(n), traj))
+            return final, its, ress, aux
 
         fn = shard_map(multi_shard, mesh=self.dmesh,
-                       in_specs=in_specs[:3] + (P(),) + in_specs[3:],
-                       out_specs=(P("d"), P(), P()))
+                       in_specs=(in_specs[:3] + (P(), P("d"), P("d"))
+                                 + in_specs[3:]),
+                       out_specs=(P("d"), P(), P(), P("d")))
         return jax.jit(fn)
 
     def _qp_parts(self, params: Dict):
@@ -1207,7 +1229,8 @@ class HaloShardedSystem(HaloExchangeMixin):
                   scalars: Optional[Dict] = None,
                   segment: Optional[int] = None,
                   scalar_traj: Optional[Dict] = None,
-                  coords=None):
+                  coords=None,
+                  field_update=None, field_aux=None, field_args=()):
         """Advance n steps through compiled scans over the sharded step
         (static scalar params + block physics required).  Returns
         (state, iters_per_step, residual_per_step).
@@ -1225,6 +1248,9 @@ class HaloShardedSystem(HaloExchangeMixin):
         for k, v in traj.items():
             assert v.shape == (int(n),), (
                 f"scalar_traj[{k!r}] must have shape ({int(n)},), got {v.shape}")
+        if coords is not None or self._mixed is not None:
+            assert field_update is None, (
+                "field_update rides the fixed-mesh single-type scan only")
         if coords is not None:
             if self._mixed is not None:
                 # mixed moving meshes: per-step dispatch (per-block pad
@@ -1294,34 +1320,44 @@ class HaloShardedSystem(HaloExchangeMixin):
 
             segment = int(_os.environ.get("RDCFES_SCAN_SEGMENT", "50"))
         segment = max(1, int(segment))
+        aux = field_aux if field_aux is not None \
+            else jnp.zeros((self.plan.D, 1))
 
         def run_one(st, m, lo):
-            key = (("__multi__", int(m)) + tuple(sorted(traj))
-                   + tuple(sorted(p.items())))
+            nonlocal aux
+            key = (("__multi__", int(m), id(field_update))
+                   + tuple(sorted(traj)) + tuple(sorted(p.items())))
             fn = self._qp_cache.get(key)
             if fn is None:
-                fn = self._multi_shard_qp_fn(p, int(m))
+                fn = self._multi_shard_qp_fn(p, int(m), field_update)
                 self._qp_cache[key] = fn
             tr = {k: v[lo:lo + m] for k, v in traj.items()}
-            return fn(st, fields or {}, scalars or {}, tr,
-                      self.conn_local_s, self.JxW_s, self.dphi_s,
-                      self.node_gather_s, self.rev_gather_s, self.mask_s,
-                      self.cons_all_s, self.hang_mask_s,
-                      *self.send_idx_s)
+            st, its, ress, aux = fn(st, fields or {}, scalars or {}, tr,
+                                    aux, tuple(field_args),
+                                    self.conn_local_s, self.JxW_s,
+                                    self.dphi_s,
+                                    self.node_gather_s, self.rev_gather_s,
+                                    self.mask_s,
+                                    self.cons_all_s, self.hang_mask_s,
+                                    *self.send_idx_s)
+            return st, its, ress
 
         n = int(n)
         if n <= segment:
-            return run_one(state, n, 0)
-        its_all, ress_all = [], []
-        remaining, lo = n, 0
-        while remaining > 0:
-            m = min(segment, remaining)
-            state, its, ress = run_one(state, m, lo)
-            its_all.append(its)
-            ress_all.append(ress)
-            remaining -= m
-            lo += m
-        return state, jnp.concatenate(its_all), jnp.concatenate(ress_all)
+            out = run_one(state, n, 0)
+        else:
+            its_all, ress_all = [], []
+            remaining, lo = n, 0
+            while remaining > 0:
+                m = min(segment, remaining)
+                state, its, ress = run_one(state, m, lo)
+                its_all.append(its)
+                ress_all.append(ress)
+                remaining -= m
+                lo += m
+            out = (state, jnp.concatenate(its_all),
+                   jnp.concatenate(ress_all))
+        return out + ((aux,) if field_update is not None else ())
 
     # ------------------------------------------------------------------
     def scatter_coords(self, coords) -> jnp.ndarray:

@@ -143,6 +143,32 @@ def test_ripf_multichip(in_tmp):
     _run_both(ripf, prep, {"csv": _csv_rows})
 
 
+def test_ripf_multichip_scan_matches_per_step(in_tmp):
+    """The multi-chip in-scan field_update path (TD/RT qp fields rebuilt
+    from owned slabs + ghost fill inside the shard program,
+    parallel/halo.py _multi_shard_qp_fn) equals per-step dispatch with
+    host-rebuilt fields: same 8-device case with output every step
+    (events force seg=1, the per-step branch) vs output at the end only
+    (one scanned segment)."""
+    from rdcfes_tpu.drivers import ripf
+
+    cases.make_ripf_case(".", n=4, n_steps=3)
+    base = open("input.dat").read() + "\nparallel/n_devices = 8\n"
+    open("input.dat", "w").write(base.replace(
+        "output_time_points = ' 10 30 60 90 120 '",
+        "output_time_points = ' 1 2 3 '"))
+    out_a = ripf.run("input.dat")
+    shutil.move(out_a, out_a + "_per_step")
+    open("input.dat", "w").write(base.replace(
+        "output_time_points = ' 10 30 60 90 120 '",
+        "output_time_points = ' 3 '"))
+    out_b = ripf.run("input.dat")
+    a = np.asarray(_csv_rows(out_a + "_per_step"))[-1]
+    b = np.asarray(_csv_rows(out_b))[-1]
+    assert np.allclose(a, b, rtol=1e-10, atol=1e-12), (
+        f"scan vs per-step mismatch: {np.abs(a - b).max():.3e}")
+
+
 def test_proteas_multichip_mixed_mesh(in_tmp):
     """Mixed-element PROTEAS: per-block qp-sampled RTD aux rides the
     tuple form of shard_elem_field (element axis last, per-block Q)."""
