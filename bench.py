@@ -228,16 +228,34 @@ def main():
     budget = float(os.environ.get("RDCFES_BENCH_BUDGET", "1500"))
     metric = ("PIHNA brain-scale (24.4k nodes/131.7k TET4, 5 vars) "
               "time steps/sec")
-    try:
-        device = str(jax.devices()[0])
-    except Exception as e:
-        # the axon TPU can refuse claims for extended windows (observed
-        # 2026-08-18: >4 h of UNAVAILABLE); the JSON line must still land
-        # so the round artifact records WHY there is no fresh number
+    # the axon device claim is exclusive and keeps a short cooldown after
+    # the previous holder exits (measured 2026-08-19: a claim attempt
+    # launched right after another process released the chip fails with
+    # RuntimeError in under a minute) — retry with backoff before
+    # declaring the TPU unavailable
+    device = None
+    err = None
+    for attempt in range(5):
+        if attempt:
+            time.sleep(45)
+            try:
+                jax.clear_backends()
+            except Exception:
+                pass
+        try:
+            device = str(jax.devices()[0])
+            break
+        except Exception as e:
+            err = e
+    if device is None:
+        # the axon TPU can also refuse claims for extended windows
+        # (observed 2026-08-18: >4 h of UNAVAILABLE); the JSON line must
+        # still land so the round artifact records WHY there is no number
         print(json.dumps({
             "metric": metric, "unit": "steps/sec", "value": 0.0,
             "vs_baseline": 0.0,
-            "error": f"TPU unavailable: {type(e).__name__}",
+            "error": f"TPU unavailable: {type(err).__name__}: "
+                     f"{str(err)[:200]}",
             "note": ("device claim failed; BENCH_LOCAL_r03.json holds the "
                      "last hardware-measured run of this same bench"),
         }))
