@@ -238,10 +238,19 @@ def main():
     for attempt in range(5):
         if attempt:
             time.sleep(45)
+            # backend-init FAILURES are cached (xla_bridge._backend_errors)
+            # — without clearing, every retry re-raises the first error
             try:
-                jax.clear_backends()
+                import jax.extend
+
+                jax.extend.backend.clear_backends()
             except Exception:
-                pass
+                try:
+                    from jax._src import xla_bridge
+
+                    xla_bridge._clear_backends()
+                except Exception:
+                    pass
         try:
             device = str(jax.devices()[0])
             break
