@@ -84,8 +84,12 @@ def _run_perm(z, iL1, iB1t, jA1, rA, jA2, iB2t, iL2, A, B, L, AP):
     z = jnp.take_along_axis(z, i32(iB1t), axis=1)
     z = z.reshape(A, L, B).swapaxes(1, 2).reshape(A, B * L)
     # stage 3: A-axis on (AP, B*L): within-block, across-block, within
-    z = jnp.concatenate(
-        [z, jnp.zeros((AP - A, B * L), z.dtype)], axis=0)
+    if AP > A:
+        # Mosaic rejects zero-sized vector operands, so the pad must be
+        # skipped when A is already a multiple of 8 (AP == A) — hit by
+        # the solid ELL plan (A=216); the transient plans pad normally
+        z = jnp.concatenate(
+            [z, jnp.zeros((AP - A, B * L), z.dtype)], axis=0)
     zb = z.reshape(nb, 8, B * L)
     j1 = i32(jA1).reshape(nb, 8, B * L)
     z1 = jnp.concatenate(

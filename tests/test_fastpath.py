@@ -20,13 +20,28 @@ from rdcfes_tpu.mesh import box_tet_mesh
 
 
 def test_benes_routing_random_grids():
+    # (8, ...) and (16, ...) exercise AP == A (A already a multiple of
+    # 8): the kernel's A-stage pad is skipped — a zero-row pad is an
+    # illegal zero-sized vector in Mosaic (hit by the solid ELL plan,
+    # A=216, on hardware 2026-08-19; interpret/XLA masked it)
     rng = np.random.default_rng(0)
-    for (A, B, L) in [(3, 4, 4), (5, 8, 8), (11, 16, 16)]:
+    for (A, B, L) in [(3, 4, 4), (5, 8, 8), (11, 16, 16), (8, 8, 8),
+                      (16, 8, 8)]:
         T = A * B * L
         perm = rng.permutation(T)
         plan = build_grid_permutation(perm, A, B, L)
         x = rng.standard_normal(T).astype(np.float32)
         assert np.array_equal(apply_plan(plan, x), x[perm])
+        if A % 8 == 0:
+            # run the PALLAS kernel (interpret) through the no-pad
+            # branch of _run_perm as well
+            from rdcfes_tpu.fem.pallas_perm import device_plan, grid_permute
+
+            assert plan.AP == A
+            g = grid_permute(device_plan(plan),
+                             jnp.asarray(x.reshape(1, A * B, L)),
+                             interpret=True)
+            assert np.array_equal(np.asarray(g).ravel(), x[perm])
 
 
 def test_fastpath_plans_match_fem_gathers():
