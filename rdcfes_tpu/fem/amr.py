@@ -16,8 +16,10 @@ fires (SURVEY.md section 2.3), so this build provides:
     coarsen where eta < mean - coarsen_frac * std (libMesh semantics)
 
 The actual refine/coarsen topology change is a host-side remesh + re-shard
-and is deferred (documented deviation; the drivers warn when a deck would
-trigger it).
+implemented in `mesh/adapt.py` (bisection default, libMesh-faithful 1:8
+with hanging-node constraints in `mesh/constrain.py`); the drivers wire
+`kelly_error_indicator` + `flag_by_mean_stddev` into those and the
+transient systems carry solutions across via prolongation.
 """
 
 from __future__ import annotations

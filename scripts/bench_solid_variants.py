@@ -62,6 +62,7 @@ def main():
 
     print("device:", jax.devices()[0], flush=True)
     ref = None
+    ref_tag = None
     for tag, fast, precision in (
         ("a. default f64", False, "f64"),
         ("b. fast gather f64", True, "f64"),
@@ -70,12 +71,15 @@ def main():
     ):
         try:
             wall, x = one(tag, fast, precision)
+            # the comparison reference is the first variant that ran
+            # (normally the default); the label records which one it
+            # actually was so a failed default can't mislabel the drift
             if ref is None:
-                ref = x
+                ref, ref_tag = x, tag
             else:
                 # same Newton path to the same tolerances: variants must
                 # agree to solver accuracy (fast) or tolerance (mixed)
-                print(f"   max|x - x_default| = "
+                print(f"   max|x - x[{ref_tag}]| = "
                       f"{float(np.max(np.abs(x - ref))):.3e}", flush=True)
         except Exception as e:
             print(f"{tag:<28} FAILED: {type(e).__name__}: {e}", flush=True)

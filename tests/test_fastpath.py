@@ -35,8 +35,6 @@ def test_benes_routing_random_grids():
         if A % 8 == 0:
             # run the PALLAS kernel (interpret) through the no-pad
             # branch of _run_perm as well
-            from rdcfes_tpu.fem.pallas_perm import device_plan, grid_permute
-
             assert plan.AP == A
             g = grid_permute(device_plan(plan),
                              jnp.asarray(x.reshape(1, A * B, L)),
