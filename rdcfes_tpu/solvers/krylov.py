@@ -202,7 +202,14 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     Fixed-shape Arnoldi basis (restart+1, ...) so the whole solver is a
     static XLA program; convergence is tracked through the Givens-updated
     residual estimate.
-    """
+
+    TPU formulation: the orthogonalization is CLASSICAL Gram-Schmidt with
+    one reorthogonalization pass (CGS2) — each pass is two matmuls
+    against the whole masked basis (h = V w; w -= V^T h), which ride the
+    MXU, instead of modified GS's m sequential masked dot/axpy pairs,
+    which are loop-dispatch-bound (measured 24 ms/iteration on the old
+    form — unusable inside a production time step).  CGS2 has the same
+    practical stability as MGS (Giraud et al. 2005)."""
     x0 = jnp.zeros_like(b) if x0 is None else x0
     bnorm = jnp.sqrt(_dot(b, b).real)
     safe_bnorm = jnp.where(bnorm == 0.0, 1.0, bnorm)
@@ -210,6 +217,7 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
     m = restart
     flat_shape = b.size
     dtype = b.dtype
+    rows = jnp.arange(m + 1)
 
     def outer_cond(state):
         x, res, total_k = state
@@ -229,27 +237,32 @@ def gmres(matvec: Callable, b: jnp.ndarray, x0: Optional[jnp.ndarray] = None,
         def arnoldi_body(j, carry):
             V, H, cs, sn, g, done = carry
             w = matvec(M(V[j].reshape(b.shape))).reshape(-1)
-            # modified Gram-Schmidt against all basis vectors (masked)
-            def mgs(i, wh):
-                w, Hj = wh
-                hij = jnp.where(i <= j, jnp.vdot(V[i], w), 0.0)
-                w = w - hij * V[i]
-                return (w, Hj.at[i].set(hij))
-
-            w, Hj = jax.lax.fori_loop(0, m + 1, mgs, (w, jnp.zeros(m + 1, dtype)))
+            # CGS2: project against rows <= j (later rows are zero, so
+            # the mask only guards the H entries), then one
+            # reorthogonalization pass
+            mask = rows <= j
+            h1 = jnp.where(mask, V @ w, 0.0)
+            w = w - V.T @ h1
+            h2 = jnp.where(mask, V @ w, 0.0)
+            w = w - V.T @ h2
+            Hj = h1 + h2
             hnext = jnp.sqrt(jnp.vdot(w, w).real)
             Hj = Hj.at[j + 1].set(hnext)
-            V = V.at[j + 1].set(jnp.where(hnext > 0, w / jnp.where(hnext == 0, 1.0, hnext), 0.0))
-            # apply existing Givens rotations to the new column
+            V = V.at[j + 1].set(
+                jnp.where(hnext > 0,
+                          w / jnp.where(hnext == 0, 1.0, hnext), 0.0))
+            # apply existing Givens rotations to the new column: the
+            # recurrence is sequential in i but O(m) scalar work
             def apply_rot(i, Hcol):
-                t = cs[i] * Hcol[i] + sn[i] * Hcol[i + 1]
-                Hcol = Hcol.at[i + 1].set(-sn[i] * Hcol[i] + cs[i] * Hcol[i + 1])
-                return Hcol.at[i].set(t)
+                hi = Hcol[i]
+                hi1 = Hcol[i + 1]
+                t = cs[i] * hi + sn[i] * hi1
+                u = -sn[i] * hi + cs[i] * hi1
+                keep = i < j
+                Hcol = Hcol.at[i].set(jnp.where(keep, t, hi))
+                return Hcol.at[i + 1].set(jnp.where(keep, u, hi1))
 
-            def apply_if(i, Hcol):
-                return jax.lax.cond(i < j, apply_rot, lambda _, h: h, i, Hcol)
-
-            Hj = jax.lax.fori_loop(0, m, apply_if, Hj)
+            Hj = jax.lax.fori_loop(0, m, apply_rot, Hj)
             # new rotation
             denom = jnp.sqrt(Hj[j] ** 2 + Hj[j + 1] ** 2)
             denom_safe = jnp.where(denom == 0, 1.0, denom)

@@ -76,46 +76,58 @@ def clamp_nonnegative(u: jnp.ndarray) -> jnp.ndarray:
 
 
 def refine_mixed(mv32, pre_matvec64, pre_b, x0, rtol, maxiter,
-                 f64_fallback: bool = False):
+                 f64_fallback: bool = False, fallback_matvec=None):
     """Mixed-precision iterative refinement (shared by TransientRDCSystem
     and MixedTransientRDCSystem): f32 inner BiCGStab on the caller's
     preconditioned matvec, f64 outer residual correction.  The f64
     preconditioned residual is CARRIED, not recomputed — one
-    true-operator application per outer pass instead of two.
+    true-operator application per outer pass instead of two.  The outer
+    loop also exits on STAGNATION (no residual reduction across an
+    outer pass) instead of burning all 12 passes on a plateau.
 
     f64_fallback adds the stall rescue: f32 inner sweeps stagnate on
     strongly advection-dominated operators (taxis CFL of a few;
     poor-quality transition elements lower the threshold) where the
     reference's f64 PETSc KSP still converges, so a conditional f64
-    BiCGStab finishes the solve.  Callers on the Pallas fast path keep
-    it off — the extra BiCGStab instance would duplicate kernel call
-    sites and break the compile-helper budget (PERF.md section 5)."""
+    BiCGStab finishes the solve.  `fallback_matvec` (default:
+    pre_matvec64) lets fast-path callers route the rescue through the
+    plain XLA apply instead of duplicating Pallas call sites — the
+    compile helper is SIGKILLed beyond a few embedded kernel instances
+    per program (PERF.md section 5), and a rescue solve is rare enough
+    that its matvec speed does not matter."""
     f32 = jnp.float32
     bnorm = jnp.sqrt(jnp.vdot(pre_b, pre_b).real)
     safe_b = jnp.where(bnorm == 0.0, 1.0, bnorm)
     tol = rtol * safe_b
 
     def cond(s):
-        x, r, rnorm, iters, k = s
-        return jnp.logical_and(rnorm > tol, k < 12)
+        x, r, rnorm, prev, iters, k = s
+        # prev carries the previous pass's residual: a pass that fails
+        # to reduce it by at least 2x is stagnating (the f32 floor), and
+        # further f32 sweeps cannot help — stop and let the fallback act
+        return jnp.logical_and(
+            jnp.logical_and(rnorm > tol, k < 12), rnorm < 0.5 * prev)
 
     def body(s):
-        x, r, _, iters, k = s
+        x, r, rnorm, _, iters, k = s
         inner = bicgstab(mv32, r.astype(f32), rtol=1e-6, maxiter=80)
         x = x + inner.x.astype(jnp.float64)
         r2 = pre_b - pre_matvec64(x)
-        return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real),
+        return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real), rnorm,
                 iters + inner.iters, k + 1)
 
     r0 = pre_b - pre_matvec64(x0)
     init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
+            jnp.asarray(jnp.inf, jnp.float64),
             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
-    x, _, rnorm, iters, _ = jax.lax.while_loop(cond, body, init)
+    x, _, rnorm, _, iters, _ = jax.lax.while_loop(cond, body, init)
     if not f64_fallback:
         return x, iters, rnorm / safe_b
 
+    fb_mv = pre_matvec64 if fallback_matvec is None else fallback_matvec
+
     def fallback(x):
-        r = bicgstab(pre_matvec64, pre_b, x0=x, rtol=rtol, maxiter=maxiter)
+        r = bicgstab(fb_mv, pre_b, x0=x, rtol=rtol, maxiter=maxiter)
         return r.x, iters + r.iters, r.residual
 
     return jax.lax.cond(
@@ -750,12 +762,25 @@ class TransientRDCSystem:
                     _mv32c = mv32_core
                     mv32_core = lambda x: ct_fold(_mv32c(c_apply(x)))
                 mv32 = lambda x: M32(mv32_core(x))
-                # f64 stall fallback only off the kernel fast path: the
-                # extra BiCGStab instance would duplicate Pallas call
-                # sites and break the compile-helper budget (PERF.md 5)
+                # f64 stall rescue on EVERY path.  On the kernel fast
+                # path the rescue matvec is the plain-XLA f64 apply
+                # (`mv`), not `mv_fast`: an extra BiCGStab instance over
+                # the Pallas matvec would duplicate kernel call sites
+                # and break the compile-helper budget (PERF.md 5); the
+                # rescue only runs on stalled steps, where robustness —
+                # not matvec speed — is what matters.
+                if fast is not None:
+                    mv64_xla = partial(mv, wfb, g["JxW"], g["dphi"],
+                                       Epre=Epre)
+                    if cons is not None:
+                        _mvx = mv64_xla
+                        mv64_xla = lambda x: ct_fold(_mvx(c_apply(x)))
+                    rescue_mv = lambda x: M(mv64_xla(x))
+                else:
+                    rescue_mv = None  # pre_matvec itself is the XLA apply
                 u_raw, iters, resid = self._refine_mixed(
                     mv32, pre_matvec, pre_b, x0,
-                    f64_fallback=(fast is None))
+                    f64_fallback=True, fallback_matvec=rescue_mv)
             else:
                 fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
                 r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,
@@ -777,12 +802,14 @@ class TransientRDCSystem:
         return step_fn
 
     def _refine_mixed(self, mv32, pre_matvec64, pre_b, x0,
-                      f64_fallback: bool = False):
+                      f64_fallback: bool = False, fallback_matvec=None):
         """Module-level refine_mixed with this system's tolerances.
-        f64_fallback adds the stall rescue — callers on the Pallas fast
-        path keep it off to stay within the compile-helper budget."""
+        f64_fallback adds the stall rescue; fast-path callers pass the
+        XLA apply as fallback_matvec to stay within the compile-helper
+        budget."""
         return refine_mixed(mv32, pre_matvec64, pre_b, x0, self.rtol,
-                            self.maxiter, f64_fallback=f64_fallback)
+                            self.maxiter, f64_fallback=f64_fallback,
+                            fallback_matvec=fallback_matvec)
 
     def _qp_multi_fn(self, params: Dict, n: int, field_update=None):
         """Jitted n-step advance (lax.scan) for one static parameter set:
@@ -825,15 +852,64 @@ class TransientRDCSystem:
 
         return jax.jit(multi)
 
+    def choose_subcycle(self, state: Dict, fields: Optional[Dict] = None,
+                        params: Optional[Dict] = None,
+                        scalars: Optional[Dict] = None,
+                        coords: Optional[jnp.ndarray] = None,
+                        scalar_traj: Optional[Dict] = None,
+                        kmax: int = 32,
+                        stall_factor: float = 100.0) -> int:
+        """Adaptive subcycle factor: probe ONE step at dt, dt/2, dt/4, ...
+        from `state` (probe results are discarded) and return the first k
+        whose linear solve converges (residual <= stall_factor * rtol).
+        Each probed dt compiles its own single-step program, so this is a
+        setup-time call — run it once per (mesh, params) regime, outside
+        any timed loop, and pass the result as run_steps(subcycle=k) (or
+        let run_steps(subcycle="auto") call it for you)."""
+        f = dict(fields or {})
+        if scalar_traj:
+            # the probe sees the trajectory's first-step scalar values
+            f.update({k: np.asarray(v)[0] for k, v in scalar_traj.items()})
+        k = 1
+        while True:
+            p = dict(params)
+            p["dt"] = float(params["dt"]) / k
+            _, _, res = self.step(state, fields=f, params=p,
+                                  coords=coords, scalars=scalars)
+            if float(res) <= stall_factor * self.rtol or k >= kmax:
+                return k
+            k *= 2
+
     def run_steps(self, state: Dict, n: int, fields: Optional[Dict] = None,
                   params: Optional[Dict] = None,
                   scalars: Optional[Dict] = None, segment: Optional[int] = None,
                   scalar_traj: Optional[Dict] = None,
                   field_update=None, field_aux=None, field_args=(),
-                  coords: Optional[jnp.ndarray] = None):
+                  coords: Optional[jnp.ndarray] = None,
+                  subcycle: Optional[object] = None):
         """Advance n steps through compiled scans (static scalar params
         required).  Returns (state, iters_per_step, residual_per_step),
         plus the final field_update aux carry when `field_update` is given.
+
+        `subcycle=k` (int > 1) advances each requested step as k substeps
+        at dt/k; `subcycle="auto"` probes for the smallest power-of-two k
+        whose linear solve converges (choose_subcycle).  This is the
+        capability answer to advection-dominated regimes (taxis CFL >~ 2)
+        where the linearized-CN operator turns INDEFINITE — eigenvalues
+        on both sides of the origin (measured on the ADPM deck-amplitude
+        operator: lambda in {-14.7, -7.5+-13.6i, ...} next to +2.4e3) —
+        and NO Krylov/preconditioner pair converges: unrestarted f64
+        GMRES + exact block-Jacobi stalls at 7.6e-5 after 1500
+        iterations, and ILU(0) on the assembled matrix is exactly
+        singular, so the reference's PETSc defaults would fail on the
+        same matrix.  At dt/8 the substep operator is definite and the
+        standard mixed stack converges in ~40 iterations (measured).
+        Returned iters/residuals are aggregated per OUTER step (iters
+        summed, residual of the last substep); per-step scalar_traj
+        values are held constant across an outer step's substeps; the
+        returned history (u_old/u_older/u_raw) is at SUBSTEP spacing —
+        callers that difference history across steps (RIPF's TD fields)
+        should not subcycle.
 
         The n steps are chained as device programs of at most `segment`
         steps each (default 50, env RDCFES_SCAN_SEGMENT): a single scan
@@ -861,6 +937,26 @@ class TransientRDCSystem:
         assert params and all(
             isinstance(v, (int, float)) for v in params.values()
         ), "run_steps needs plain-scalar params"
+        if subcycle not in (None, 1):
+            k = (self.choose_subcycle(state, fields=fields, params=params,
+                                      scalars=scalars, coords=coords,
+                                      scalar_traj=scalar_traj)
+                 if subcycle == "auto" else int(subcycle))
+            if k > 1:
+                p_sub = dict(params)
+                p_sub["dt"] = float(params["dt"]) / k
+                traj_sub = {kk: np.repeat(np.asarray(v), k)
+                            for kk, v in (scalar_traj or {}).items()}
+                out = self.run_steps(
+                    state, int(n) * k, fields=fields, params=p_sub,
+                    scalars=scalars, segment=segment,
+                    scalar_traj=traj_sub or None,
+                    field_update=field_update, field_aux=field_aux,
+                    field_args=field_args, coords=coords)
+                st, its, ress = out[:3]
+                its = its.reshape(int(n), k).sum(axis=1)
+                ress = ress.reshape(int(n), k)[:, -1]
+                return (st, its, ress) + out[3:]
         if self.moving_mesh:
             assert coords is not None, "moving_mesh system needs current coords"
             geom = self._geom_from_coords(jnp.asarray(coords))

@@ -217,3 +217,89 @@ def test_moving_mesh_run_steps_matches_per_step():
     ua, ub = np.asarray(sa["u"]), np.asarray(sb["u"])
     assert np.linalg.norm(ua - ub) / np.linalg.norm(ua) < 1e-8
     assert np.isfinite(np.asarray(ress)).all() and len(np.asarray(its)) == 5
+
+
+def _adpm_advection_case(n=5, amp=3000.0, dt=0.01):
+    """ADPM configuration in the advection-dominated band: taxis
+    amplitude `amp` at mesh spacing 150/(n-1) puts the linearized-CN
+    operator (src/adpm.C:324-652 analogue) between "f32 inner sweeps
+    stagnate" (amp ~3e3) and "the operator itself is indefinite and no
+    Krylov stack converges" (amp >~ 1e4)."""
+    from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,
+                                        default_params)
+
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 150.0), (0, 150.0), (0, 150.0)))
+    p = default_params()
+    p.update(dt=dt,
+             taxis1_A_b=amp, taxis1_A_b_pulse0=-1.0, taxis1_A_b_pulse1=0.01,
+             taxis1_Tau=amp, taxis1_Tau_pulse0=-1.0, taxis1_Tau_pulse1=0.01,
+             diffuse_A_b=2e-4, diffuse_A_b_pulse0=-1.0,
+             diffuse_A_b_pulse1=1e20)
+    p = {k: float(v) for k, v in p.items()}
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0 = np.zeros((N, 3))
+    u0[:, 0] = 1.0
+    u0[:, 1] = 1e-3 * np.exp(-r2 / (2 * 21.0**2))
+    u0[:, 2] = 1e-4 * np.exp(-r2 / (2 * 15.0**2))
+    rng = np.random.default_rng(0)
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    tracts /= np.linalg.norm(tracts, axis=1, keepdims=True)
+    fields = {"tracts": jnp.asarray(tracts), "time": 1.0}
+    return mesh, p, u0, fields, adpm_physics, adpm_blocks
+
+
+def test_fast_path_f64_stall_rescue(monkeypatch):
+    """The kernel fast path detects f32 stagnation in-step and recovers
+    through the XLA-matvec f64 rescue (VERDICT r3 item 4): at taxis
+    amplitude 3e3 the f32 inner sweeps diverge (residual ~7e2) while the
+    f64 operator converges, so the rescue is what makes the step land at
+    the solver tolerance."""
+    mesh, p, u0, fields, phys, blocks = _adpm_advection_case()
+    sysm = TransientRDCSystem(mesh, 3, phys, physics_blocks=blocks,
+                              precision="mixed", fast_gather="interpret")
+    st = sysm.initial_state(u0)
+    st1, _, res = sysm.step(st, fields=fields, params=p)
+    assert float(res) < 1e-8
+    assert np.isfinite(np.asarray(st1["u"])).all()
+
+    # hardness guard: the same step WITHOUT the rescue stalls.  The step
+    # program looks refine_mixed up as a module global at trace time, so
+    # patching it and building a fresh system traces the no-rescue form.
+    import rdcfes_tpu.systems.transient as T
+
+    orig = T.refine_mixed
+
+    def no_rescue(mv32, mv64, b, x0, rtol, maxiter, **kw):
+        return orig(mv32, mv64, b, x0, rtol, maxiter)
+
+    monkeypatch.setattr(T, "refine_mixed", no_rescue)
+    sys2 = TransientRDCSystem(mesh, 3, phys, physics_blocks=blocks,
+                              precision="mixed", fast_gather="interpret")
+    _, _, res0 = sys2.step(st, fields=fields, params=p)
+    assert float(res0) > 1e-8
+
+
+def test_subcycle_converges_where_operator_indefinite():
+    """run_steps(subcycle=k): at taxis amplitude 1e4 the CN operator has
+    eigenvalues on both sides of the origin and the full-dt solve fails
+    outright (measured residual >1); 8 substeps at dt/8 keep each
+    substep operator definite and the standard mixed stack converges to
+    machine precision.  Aggregation contract: one iters/residual entry
+    per OUTER step."""
+    mesh, p, u0, fields, phys, blocks = _adpm_advection_case(amp=1e4)
+    sysm = TransientRDCSystem(mesh, 3, phys, physics_blocks=blocks,
+                              precision="mixed")
+    st = sysm.initial_state(u0)
+    _, _, res1 = sysm.step(st, fields=fields, params=p)
+    assert float(res1) > 1e-8  # guards that the regime is genuinely hard
+    st2, its, ress = sysm.run_steps(st, 2, fields=fields, params=p,
+                                    subcycle=8)
+    assert np.asarray(ress).shape == (2,)
+    assert (np.asarray(ress) <= 1e-8).all()
+    assert np.asarray(its).shape == (2,)
+    u = np.asarray(st2["u"])
+    assert np.isfinite(u).all() and (u >= 0).all()
+    # the adaptive chooser lands on a k that converges (>1 here)
+    k = sysm.choose_subcycle(st, fields=fields, params=p)
+    assert k > 1
