@@ -6,15 +6,21 @@ brain-scale mesh standing in for the LFS-stripped patient mesh.  The full
 120-step case runs through `run_steps` (the production scan-batched
 qp-apply path, systems/transient.py) in mixed precision.
 
-`vs_baseline` compares against a MEASURED baseline: 0.64 steps/s for the
+`vs_baseline` compares against a MEASURED baseline: 18.87 steps/s for the
 8-rank MPI CPU reference, derived as the measured single-core wall-clock
-of the independent scipy oracle on this exact workload (0.0802 steps/s,
-oracle/measure_baseline.py) times ideal 8-rank MPI scaling — see PARITY.md
-section 4 and BASELINE_MEASURED.json for the derivation and its caveats.
+of the COMPILED C++ baseline on this exact workload (2.36 steps/s,
+oracle/native_baseline.cpp + measure_native_baseline.py — same
+linearized-CN step, block-CSR assembly + Jacobi-scaled BiCGStab,
+parity-checked against the scipy oracle to machine eps) times ideal
+8-rank MPI scaling.  This supersedes the round-3 scipy-oracle-derived
+0.64 steps/s: the stricter of the two measured candidates is published
+(VERDICT r3 item 2).  See BASELINE_MEASURED.json for both derivations.
 
 Secondary metrics in the same JSON line:
 - ADPM at run/HCP102513 scale and parameters (400 steps, dt=0.05,
   taxis-active) — a Krylov-bound regime, with iteration counts.
+- ADPM at the deck's NOMINAL taxis amplitude 1e3 (indefinite-operator
+  regime) through adaptive dt subcycling — capability evidence.
 - One solid load step at production scale (~110k HEX8) through the
   channel-first Newton path.
 
@@ -114,11 +120,18 @@ def adpm_bench():
     """Solver-heavy regime: run/HCP102513 scale, dt and response params,
     taxis ACTIVE (the shipped deck's `taxis/A_b` never reaches the solver
     due to the documented taxis_1 key quirk — the reference's effective
-    run is taxis-off).  Amplitude 50 instead of the deck's nominal 1e3:
-    at 1e3 the advection CFL is ~10 and the block-Jacobi/BiCGStab stack
-    does not converge (measured); 50 converges at ~24 inner iterations
-    per step — 4x the PIHNA bench — so this measures a genuinely
-    Krylov-bound regime."""
+    run is taxis-off).  Amplitude 50 here because this leg's measured
+    oracle BASELINE (0.1565 steps/s single-core) was taken in that
+    regime: it converges at ~24 inner iterations per step — 4x the PIHNA
+    bench — so this measures a genuinely Krylov-bound regime against a
+    like-for-like baseline.  The deck's nominal 1e3 is benched
+    separately (adpm_deck_regime_bench): at CFL ~10 the linearized-CN
+    operator is INDEFINITE — eigenvalues on both sides of the origin;
+    measured: unrestarted f64 GMRES + exact block-Jacobi stalls at
+    7.6e-5 after 1500 iters and ILU(0) is exactly singular, so the
+    reference's PETSc defaults would fail on the same matrix — and the
+    framework handles it by adaptive dt subcycling
+    (TransientRDCSystem.run_steps(subcycle=...))."""
     import jax
     import jax.numpy as jnp
 
@@ -184,6 +197,76 @@ def adpm_bench():
         "adpm_steps_per_sec": round(400 / wall, 3),
         "adpm_inner_iters_total": total_iters,
         "adpm_linear_residual": float(np.asarray(ress)[-1]),
+    }
+
+
+def adpm_deck_regime_bench():
+    """ADPM at the shipped deck's NOMINAL taxis amplitude 1e3 (the value
+    run/HCP102513/input.dat carries, which the reference never actually
+    solved — the taxis_1 key quirk silently dropped it).  At bench-mesh
+    spacing this is advection CFL ~10: the linearized-CN operator is
+    indefinite and no Krylov/preconditioner pair converges on the full
+    dt (see adpm_bench docstring for the measurements).  The framework's
+    answer is adaptive dt subcycling: 16 substeps at dt/16 keep each
+    substep operator definite (choose_subcycle selects 16 at this scale
+    — measured; hardcoded here to spare the probe ladder's k=1..8
+    stall-path device compiles inside the bench budget).  CAPABILITY
+    metric: converged residual at the deck regime; throughput is
+    reported per OUTER step over a 10-step window."""
+    import jax
+    import jax.numpy as jnp
+
+    from rdcfes_tpu.mesh import box_tet_mesh
+    from rdcfes_tpu.models.adpm import (adpm_blocks, adpm_physics,
+                                        default_params)
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    os.environ.pop("RDCFES_FAST_SCAN", None)
+    n = 28
+    mesh = box_tet_mesh(n, n, n, bounds=((0, 150.0), (0, 180.0), (0, 150.0)))
+    p = default_params()
+    p.update(
+        dt=0.05,
+        decay_PrP=1.0e-4, decay_PrP_pulse0=0.01, decay_PrP_pulse1=10.0,
+        taxis1_A_b=1e3, taxis1_A_b_pulse0=-1.0, taxis1_A_b_pulse1=0.01,
+        taxis1_Tau=1e3, taxis1_Tau_pulse0=-1.0, taxis1_Tau_pulse1=0.01,
+        decay_Tau=1.0e1, decay_Tau_pulse0=0.0005, decay_Tau_pulse1=1.0e20,
+        diffuse_A_b=2e-4, diffuse_A_b_pulse0=-1.0, diffuse_A_b_pulse1=1e20,
+    )
+    p = {k: float(v) for k, v in p.items()}
+    rng = np.random.default_rng(0)
+    N = mesh.n_nodes
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0 = np.zeros((N, 3))
+    u0[:, 0] = 1.0
+    u0[:, 1] = 1e-3 * np.exp(-r2 / (2 * 20.0**2))
+    u0[:, 2] = 1e-4 * np.exp(-r2 / (2 * 15.0**2))
+    tracts = rng.standard_normal((mesh.n_elems, 3))
+    tracts /= np.linalg.norm(tracts, axis=1, keepdims=True)
+
+    system = TransientRDCSystem(mesh, 3, adpm_physics,
+                                physics_blocks=adpm_blocks,
+                                precision="mixed", precond_refresh=10)
+    fields = {"tracts": jnp.asarray(tracts), "time": 1.0}
+    sub = 16
+    # warmup (compile the dt/16 substep program)
+    state, _, _ = system.run_steps(system.initial_state(u0), 1,
+                                   fields=fields, params=p, subcycle=sub)
+    np.asarray(state["u"])  # real sync over the axon tunnel
+    state = system.initial_state(u0)
+    t0 = time.perf_counter()
+    state, its, ress = system.run_steps(state, 10, fields=fields,
+                                        params=p, subcycle=sub)
+    u = np.asarray(state["u"])
+    wall = time.perf_counter() - t0
+    assert np.isfinite(u).all()
+    ress = np.asarray(ress)
+    return {
+        "adpm_deck_regime_steps_per_sec": round(10 / wall, 4),
+        "adpm_deck_regime_subcycle": sub,
+        "adpm_deck_regime_inner_iters": int(np.asarray(its).sum()),
+        "adpm_deck_regime_max_residual": float(ress.max()),
+        "adpm_deck_regime_converged": bool((ress <= 1e-8).all()),
     }
 
 
@@ -327,9 +410,11 @@ def main():
             traceback.print_exc()
         return
     out.update(pihna)
-    # measured single-core oracle x 8 ideal MPI ranks (PARITY.md section 4,
-    # BASELINE_MEASURED.json) for all three workloads
-    baseline_steps_per_sec = 0.64
+    # measured single-core COMPILED C++ baseline (2.36 steps/s, best of
+    # 3 quiet-machine runs, oracle/native_baseline.cpp) x 8 ideal MPI
+    # ranks — the stricter of the two measured candidates
+    # (BASELINE_MEASURED.json)
+    baseline_steps_per_sec = 18.87
     out["vs_baseline"] = round(pihna["value"] / baseline_steps_per_sec, 2)
     # land the primary (north-star) number IMMEDIATELY: the secondary
     # benches below can overrun the harness timeout (round 3 did, and the
@@ -340,7 +425,7 @@ def main():
     # solid before ADPM so all three benches land in the JSON even when the
     # time budget truncates the run (round-2 verdict: the solid number was
     # squeezed out)
-    for fn in (solid_bench, adpm_bench):
+    for fn in (solid_bench, adpm_bench, adpm_deck_regime_bench):
         if time.perf_counter() - t_start > budget:
             # remote-tunnel compiles are slow; guarantee the JSON line
             # lands even under a tight harness timeout

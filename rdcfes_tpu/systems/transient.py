@@ -858,19 +858,24 @@ class TransientRDCSystem:
                         coords: Optional[jnp.ndarray] = None,
                         scalar_traj: Optional[Dict] = None,
                         kmax: int = 32,
-                        stall_factor: float = 100.0) -> int:
-        """Adaptive subcycle factor: probe ONE step at dt, dt/2, dt/4, ...
+                        stall_factor: float = 100.0,
+                        k0: int = 1) -> int:
+        """Adaptive subcycle factor: probe ONE step at dt/k0, dt/2k0, ...
         from `state` (probe results are discarded) and return the first k
         whose linear solve converges (residual <= stall_factor * rtol).
         Each probed dt compiles its own single-step program, so this is a
         setup-time call — run it once per (mesh, params) regime, outside
         any timed loop, and pass the result as run_steps(subcycle=k) (or
-        let run_steps(subcycle="auto") call it for you)."""
+        let run_steps(subcycle="auto") call it for you).  `k0` starts the
+        probe ladder above 1 when lower k are already known to fail —
+        on the per-step dispatch path the successful probe's compiled
+        program is exactly the one the subcycled run reuses, so a correct
+        k0 makes the probe's compile cost zero."""
         f = dict(fields or {})
         if scalar_traj:
             # the probe sees the trajectory's first-step scalar values
             f.update({k: np.asarray(v)[0] for k, v in scalar_traj.items()})
-        k = 1
+        k = max(1, int(k0))
         while True:
             p = dict(params)
             p["dt"] = float(params["dt"]) / k
