@@ -67,7 +67,9 @@ class PerfLog:
             self.totals[label] += dt
             self.counts[label] += 1
 
-    def report(self, out=sys.stdout) -> None:
+    def report(self, out=None) -> None:
+        if out is None:
+            out = sys.stdout  # call-time stream, not import-time
         total = sum(self.totals.values())
         print(f"\n Performance log: {self.name}", file=out)
         print(f" {'phase':<28}{'calls':>8}{'total s':>12}{'avg ms':>12}", file=out)
@@ -97,9 +99,9 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
         # (libMesh assembles them through one polymorphic loop; here each
         # type is its own static-shape batch — systems/mixed.py
         # single-chip, parallel/halo.py multi-chip)
-        if kwargs.get("constraints") is not None:
-            raise ValueError(
-                "constraints are not supported on mixed-element meshes")
+        if (kwargs.get("constraints") is not None and n_dev > 1):
+            raise ValueError("constraints on mixed-element meshes are "
+                             "single-chip (AMR reshards by rebuilding)")
         if n_dev <= 1:
             from ..systems import MixedTransientRDCSystem
 
@@ -108,6 +110,8 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
                 kw["clamp"] = clamp
             if kwargs.get("moving_mesh"):
                 kw["moving_mesh"] = True
+            if kwargs.get("constraints") is not None:
+                kw["constraints"] = kwargs["constraints"]
             system = MixedTransientRDCSystem(mesh, n_vars, physics,
                                              precision="mixed", **kw)
             return (system, (lambda st: np.asarray(st["u"])),

@@ -130,7 +130,23 @@ def run(deck_path: str = "input.dat") -> str:
         state = put_state(u0)
 
     def _amr_state(m):
-        """(bisection forest, constrained-1:8 mesh) — one is live."""
+        """(bisection-like forest, constrained-1:8-like mesh) — one is
+        live.  TET4 offers both strategies; TET10 refines through its
+        corner skeleton (bisection; quadratic hanging constraints are
+        out of scope, so a 1to8 deck request falls back with a notice);
+        MIXED refines its TET4 block with constrained 1:8 against the
+        frozen transition blocks (mesh/adapt_ext.py)."""
+        if m.elem_type == "TET10":
+            from ..mesh.adapt_ext import Tet10Adaptive
+
+            if amr_strategy == "1to8":
+                print("AMR: TET10 meshes refine by skeleton bisection; "
+                      "ignoring mesh/AMR/strategy = 1to8")
+            return Tet10Adaptive.from_mesh(m), None
+        if m.elem_type == "MIXED":
+            from ..mesh.adapt_ext import MixedConstrained
+
+            return None, MixedConstrained.from_mesh(m)
         if m.elem_type != "TET4":
             return None, None
         if amr_strategy == "1to8":
@@ -195,7 +211,9 @@ def run(deck_path: str = "input.dat") -> str:
             # cannot coarsen); the 1to8 constraint set IS restored
             amesh, cmesh = _amr_state(mesh)
             if cmesh is not None and "constraints" in sys_kw:
-                cmesh.hanging = {
+                # MixedConstrained keeps its TET4 ConstrainedMesh inside
+                target = getattr(cmesh, "cmesh", cmesh)
+                target.hanging = {
                     (int(a), int(b)): int(h)
                     for h, a, b in sys_kw["constraints"]}
             paraview.mesh = mesh
@@ -245,12 +263,6 @@ def run(deck_path: str = "input.dat") -> str:
             with plog.scope("solve"):
                 state, iters, res = system.step(state, params=params)
         if (refinement_step > 0 and t % refinement_step == 0
-                and amr_done < amr_max_steps
-                and mesh.elem_type in ("MIXED", "TET10")):
-            amr_done += 1
-            print(f"AMR step {t}: {mesh.elem_type} meshes do not refine; "
-                  "mesh unchanged")
-        elif (refinement_step > 0 and t % refinement_step == 0
                 and amr_done < amr_max_steps):
             amr_done += 1
             with plog.scope("amr"):
@@ -258,10 +270,17 @@ def run(deck_path: str = "input.dat") -> str:
 
                 from ..fem.amr import flag_by_mean_stddev, kelly_error_indicator
                 from ..mesh import refine_flagged
+                from ..mesh.adapt_ext import Tet10Adaptive, kelly_mixed
 
-                eta = kelly_error_indicator(
-                    mesh, jnp.asarray(get_u(state)), list(range(5))
-                )
+                if mesh.elem_type == "MIXED":
+                    # Kelly on the refinable TET4 block (transition
+                    # blocks are frozen, mesh/adapt_ext.py)
+                    eta = kelly_mixed(mesh, jnp.asarray(get_u(state)),
+                                      list(range(5)))
+                else:
+                    eta = kelly_error_indicator(
+                        mesh, jnp.asarray(get_u(state)), list(range(5))
+                    )
                 flags, coarsen = flag_by_mean_stddev(
                     np.asarray(eta), amr_refine_frac, amr_coarsen_frac
                 )
@@ -270,28 +289,41 @@ def run(deck_path: str = "input.dat") -> str:
                     # libMesh-faithful strategy: coarsen collapsible
                     # sibling groups, then selective 1:8 with hanging-node
                     # constraints (refine_and_coarsen_elements order,
-                    # reference src/pihna.C:833-837)
+                    # reference src/pihna.C:833-837).  On MIXED meshes
+                    # cmesh is a MixedConstrained — same call, the TET4
+                    # block refines against the frozen transition blocks
                     r = cmesh.refine_and_coarsen(flags, coarsen,
                                                  max_level=amr_max_level)
                 elif amesh is not None:
                     # selective bisection refine + sibling coarsen honoring
                     # mesh/AMR/max_level (reference refine_and_coarsen_elements,
-                    # src/pihna.C:833-837)
-                    r = adapt_flagged(amesh, flags, coarsen,
-                                      max_level=amr_max_level)
+                    # src/pihna.C:833-837); Tet10Adaptive carries its own
+                    # skeleton forest + quadratic transfer
+                    if isinstance(amesh, Tet10Adaptive):
+                        r = amesh.refine_and_coarsen(
+                            flags, coarsen, max_level=amr_max_level)
+                    else:
+                        r = adapt_flagged(amesh, flags, coarsen,
+                                          max_level=amr_max_level)
                 else:
                     r = refine_flagged(mesh, flags)
                 if r is None:
                     print(f"AMR step {t}: nothing flagged, mesh unchanged")
                 else:
                     if cmesh is not None:
-                        cmesh = r.constrained
-                        mesh = cmesh.mesh
+                        if hasattr(r, "constrained"):   # TET4 1:8
+                            cmesh = r.constrained
+                            mesh = cmesh.mesh
+                            cons = cmesh.constraints
+                        else:                            # MIXED
+                            cmesh = r.adaptive
+                            mesh = r.mesh
+                            cons = r.constraints
                         structure = r.transfer_elemental(structure)
-                        if len(cmesh.constraints):
-                            sys_kw["constraints"] = cmesh.constraints
+                        if len(cons):
+                            sys_kw["constraints"] = cons
                         print(f"AMR step {t}: adapted to {mesh.n_elems} "
-                              f"elements ({len(cmesh.constraints)} "
+                              f"elements ({len(cons)} "
                               f"hanging nodes)")
                     else:
                         mesh = r.mesh

@@ -227,8 +227,12 @@ def run(deck_path: str = "input.dat") -> str:
             )
         if (l in rtp and amr_done < amr_max_steps
                 and mesh.elem_type == "MIXED"):
-            print(f"remeshing step {l}: mixed-element meshes do not "
-                  "refine; continuing on the fixed mesh", file=sys.stderr)
+            # documented deviation: hanging-node constraints inside the
+            # solid NEWTON path are not wired (the RDC path has them,
+            # systems/mixed.py), so mixed solid meshes stay fixed
+            print(f"remeshing step {l}: mixed-element solid meshes do "
+                  "not refine (constrained Newton not wired); "
+                  "continuing on the fixed mesh", file=sys.stderr)
         elif l in rtp and amr_done < amr_max_steps:
             # adaptive remeshing (src/solid.C:330-369): Kelly on the
             # pressure + Von Mises fields, mean-stddev flagging, conforming
@@ -256,6 +260,19 @@ def run(deck_path: str = "input.dat") -> str:
                         amesh = AdaptiveMesh(mesh)
                     r = adapt_flagged(amesh, flags, coarsen,
                                       max_level=amr_max_level)
+                    if r is not None:
+                        amesh = r.adaptive
+                elif mesh.elem_type == "TET10":
+                    # skeleton bisection + exact quadratic transfer
+                    # (mesh/adapt_ext.py) — conforming, so the Newton
+                    # path needs no constraint handling
+                    from ..mesh.adapt_ext import Tet10Adaptive
+
+                    if amesh is None or getattr(amesh, "mesh",
+                                                None) is not mesh:
+                        amesh = Tet10Adaptive.from_mesh(mesh)
+                    r = amesh.refine_and_coarsen(
+                        flags, coarsen, max_level=amr_max_level)
                     if r is not None:
                         amesh = r.adaptive
                 else:

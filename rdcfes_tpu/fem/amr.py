@@ -90,8 +90,13 @@ def _face_center_gradients(mesh: Mesh, u: np.ndarray) -> np.ndarray:
         sy = np.array([-1, -1, 1, 1, -1, -1, 1, 1])
         sz = np.array([-1, -1, -1, -1, 1, 1, 1, 1])
         ref = np.stack([sx, sy, sz], axis=1).astype(float)  # (8, 3)
-    else:  # TET4 reference vertices
+    else:  # TET4 / TET10 reference vertices (+ gmsh-order edge mids)
         ref = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+        if mesh.elem_type == "TET10":
+            edges = [(0, 1), (1, 2), (0, 2), (0, 3), (2, 3), (1, 3)]
+            ref = np.concatenate(
+                [ref, 0.5 * (ref[[a for a, _ in edges]]
+                             + ref[[b for _, b in edges]])], axis=0)
     pts = np.array([ref[list(f)].mean(axis=0) for f in faces_def])  # (S, 3)
     dN = shape_gradients(mesh.elem_type, pts)  # (S, K, 3)
     X = mesh.coords[mesh.connectivity]  # (E, K, 3)

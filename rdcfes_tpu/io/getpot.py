@@ -112,7 +112,13 @@ class Deck:
     def unused_keys(self) -> Sequence[str]:
         return sorted(k for k in self._values if k not in self._accessed)
 
-    def warn_unused(self, out: TextIO = sys.stderr) -> Sequence[str]:
+    def warn_unused(self, out: Optional[TextIO] = None) -> Sequence[str]:
+        if out is None:
+            # resolve at CALL time: a def-time `= sys.stderr` default
+            # captures whatever stream was installed at import (pytest's
+            # capture object, a redirected pipe) and writes to it after
+            # it is closed
+            out = sys.stderr
         unused = self.unused_keys()
         if unused:
             print(

@@ -52,11 +52,17 @@ class ConstrainedAdaptResult(NamedTuple):
 
 
 class ConstrainedRACResult(NamedTuple):
-    """refine_and_coarsen: composed nodal + elemental transfers."""
+    """refine_and_coarsen: composed nodal + elemental transfers.
+
+    kept_nodes: when the pass coarsened, (N_kept,) old node id per new
+    node (refinement appends nodes AFTER these, ids stable); None when
+    no renumbering happened.  The MIXED wrapper uses it to remap frozen
+    blocks' connectivity."""
 
     constrained: "ConstrainedMesh"
     prolong: Callable[[np.ndarray], np.ndarray]          # nodal old->new
     transfer_elemental: Callable[[np.ndarray], np.ndarray]
+    kept_nodes: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -89,6 +95,14 @@ class ConstrainedMesh:
     groups: Dict[int, _Group] = field(default_factory=dict)
     elem_group: Optional[np.ndarray] = None  # (E,) sibling group, -1 root
     elem_level: Optional[np.ndarray] = None  # (E,) refinement level
+    # MIXED-mesh support (mesh/adapt_ext.py): edges owned by element
+    # blocks OUTSIDE this TET4 mesh (transition blocks that never
+    # refine).  A mid-edge node on a frozen edge hangs PERMANENTLY, and
+    # a flagged element whose level-one closure would need a frozen
+    # owner to split is vetoed instead of forcing the split.
+    frozen_edges: Optional[frozenset] = None
+    # node ids referenced by outside blocks; coarsening never drops them
+    pinned_nodes: Optional[np.ndarray] = None
 
     def __post_init__(self):
         E = self.mesh.n_elems
@@ -137,6 +151,19 @@ class ConstrainedMesh:
                 hs = np.unique(conn[S][flagged_corners])
                 for h in hs:
                     a, b = h2edge[int(h)]
+                    if (self.frozen_edges is not None
+                            and (int(a), int(b)) in self.frozen_edges):
+                        # the constraint's coarse owner is a FROZEN block
+                        # that can never split: refining an element that
+                        # holds h would chain constraints (a new mid on a
+                        # child edge ending at h would hang against a
+                        # hanging master) — veto the flagged holders
+                        holders = np.nonzero(S & np.any(conn == h,
+                                                        axis=1))[0]
+                        if holders.size:
+                            S[holders] = False
+                            grew = True
+                        continue
                     owners = np.nonzero(
                         np.any(conn == a, axis=1) & np.any(conn == b, axis=1)
                         & ~S)[0]
@@ -145,6 +172,8 @@ class ConstrainedMesh:
                         grew = True
                 if not grew:
                     break
+        if not S.any():
+            return None
 
         F = np.nonzero(S)[0]
         U = np.nonzero(~S)[0]
@@ -247,6 +276,9 @@ class ConstrainedMesh:
         unsplit_edges = {
             tuple(e) for e in np.sort(
                 conn[U][:, _TET_EDGES].reshape(-1, 2), axis=1)}
+        if self.frozen_edges is not None:
+            # edges owned by frozen outside blocks never stop hanging
+            unsplit_edges |= self.frozen_edges
         new_hanging: Dict[Tuple[int, int], int] = {}
         carried = dict(self.hanging)
         for i, (a, b) in enumerate(map(tuple, uniq)):
@@ -292,7 +324,9 @@ class ConstrainedMesh:
 
         return ConstrainedAdaptResult(
             ConstrainedMesh(new_mesh, new_hanging, new_groups,
-                            elem_group_new, elem_level_new),
+                            elem_group_new, elem_level_new,
+                            frozen_edges=self.frozen_edges,
+                            pinned_nodes=self.pinned_nodes),
             prolong, elem_map)
 
     # ------------------------------------------------------------------
@@ -331,6 +365,8 @@ class ConstrainedMesh:
             edge_set = {
                 tuple(e) for e in np.sort(
                     conn_act[:, _TET_EDGES].reshape(-1, 2), axis=1)}
+            if self.frozen_edges is not None:
+                edge_set |= self.frozen_edges
 
             # candidate hanging set + the group(s) whose collapse each
             # entry depends on (for targeted vetoes)
@@ -398,8 +434,13 @@ class ConstrainedMesh:
             np.asarray([self.groups[g].parent_level for g in C_list],
                        dtype=np.int64)])
 
-        # orphaned mid nodes drop out; renumber the survivors
+        # orphaned mid nodes drop out; renumber the survivors (nodes
+        # referenced by frozen outside blocks are pinned — the MIXED
+        # wrapper remaps those blocks' connectivity through `kept`)
         kept = np.unique(conn_new)
+        if self.pinned_nodes is not None:
+            kept = np.union1d(kept, np.asarray(self.pinned_nodes,
+                                               dtype=kept.dtype))
         old2new = np.full(mesh.n_nodes, -1, dtype=np.int64)
         old2new[kept] = np.arange(len(kept))
         conn_new = old2new[conn_new]
@@ -463,8 +504,18 @@ class ConstrainedMesh:
                 [out_sur, np.stack(rows)], axis=0
             ).astype(vals.dtype) if rows else out_sur
 
+        frozen_new = None
+        if self.frozen_edges is not None:
+            frozen_new = frozenset(
+                (int(old2new[a]), int(old2new[b]))
+                for a, b in self.frozen_edges)
+        pinned_new = None
+        if self.pinned_nodes is not None:
+            pinned_new = old2new[np.asarray(self.pinned_nodes)]
         return (ConstrainedMesh(new_mesh, hang_new, groups_new,
-                                eg_new, lvl_new),
+                                eg_new, lvl_new,
+                                frozen_edges=frozen_new,
+                                pinned_nodes=pinned_new),
                 kept, transfer_elemental)
 
     # ------------------------------------------------------------------
@@ -512,4 +563,5 @@ class ConstrainedMesh:
             return vals
 
         final = rres.constrained if rres is not None else cm
-        return ConstrainedRACResult(final, prolong, transfer_elemental)
+        return ConstrainedRACResult(final, prolong, transfer_elemental,
+                                    kept_nodes=kept)

@@ -8,11 +8,10 @@ tables), after which device systems are simply reconstructed on the new mesh —
 the TPU analogue of libMesh's re-partition + reinit.
 
 Scope: *uniform* refinement (every element split 1:8).  Selective
-refine-and-coarsen with hanging-node constraints is deferred; every shipped
-reference deck effectively disables AMR (run/PIHNA/input.dat
-`refinement_step = 10000` > n_steps, `mesh/AMR/max_steps = 1`), so the
-Kelly indicator + flagging (fem/amr.py) and uniform refinement cover the
-exercised surface.  `refine_flagged` documents the conforming fallback.
+refinement lives elsewhere: conforming bisection in mesh/adapt.py,
+libMesh-faithful 1:8 with hanging-node constraints in mesh/constrain.py,
+and the TET10 / MIXED extensions in mesh/adapt_ext.py; this module keeps
+the uniform path plus the shared low-level helpers they reuse.
 
 TET4 split: 4 corner tets + 4 octahedron tets, cutting the octahedron along
 its shortest diagonal (the standard quality-preserving choice, same rule

@@ -73,6 +73,7 @@ class MixedTransientRDCSystem:
         precond_refresh: int = 1,
         physics_blocks: Optional[Callable] = None,  # accepted, unused
         moving_mesh: bool = False,
+        constraints=None,
     ):
         self.mesh = mesh
         self.n_vars = n_vars
@@ -119,6 +120,17 @@ class MixedTransientRDCSystem:
         # geometry factors are rebuilt per block from the coords passed
         # to step() — same contract as TransientRDCSystem(moving_mesh=)
         self.moving_mesh = moving_mesh
+        # hanging-node constraints (H, 3) rows [h, a, b]: u_h=(u_a+u_b)/2
+        # — produced by mesh/adapt_ext.MixedConstrained when the TET4
+        # block of a mixed mesh refines against frozen transition blocks.
+        # Solved as C^T A C matrix-free, same algebra as
+        # TransientRDCSystem(constraints=).
+        if constraints is not None and len(constraints):
+            c = np.asarray(constraints, dtype=np.int32)
+            self._cons = (jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1]),
+                          jnp.asarray(c[:, 2]))
+        else:
+            self._cons = None
         self._step = jax.jit(self._step_impl)
         self._step_reuse = jax.jit(self._step_reuse_impl)
         self._step_moving = jax.jit(self._step_moving_impl)
@@ -193,6 +205,19 @@ class MixedTransientRDCSystem:
             y = yb if y is None else y + yb
         return y
 
+    # constraint algebra (hanging nodes): iterate in the reduced space,
+    # apply the constrained operator C^T A C matrix-free
+    def _c_apply(self, x):
+        hh, aa, bb = self._cons
+        return x.at[:, hh].set(0.5 * (x[:, aa] + x[:, bb]))
+
+    def _ct_fold(self, y):
+        hh, aa, bb = self._cons
+        half = 0.5 * y[:, hh]
+        y = y.at[:, aa].add(half)
+        y = y.at[:, bb].add(half)
+        return y.at[:, hh].set(0.0)
+
     def _assemble_all(self, u_T, fields, params, geoms=None):
         V = self.n_vars
         Fes, Kes, b, diag = [], [], None, None
@@ -206,20 +231,46 @@ class MixedTransientRDCSystem:
                 blk, diag_e.reshape(V * V, -1)).reshape(V, V, -1)
             b = bb if b is None else b + bb
             diag = db if diag is None else diag + db
+        if self._cons is not None:
+            b = self._ct_fold(b)
+            # fold the hanging diagonal's 1/4-weight contribution onto
+            # the endpoints and pin hanging blocks to identity so the
+            # Krylov iterates stay zero there (same construction as
+            # TransientRDCSystem's qp step)
+            diag = diag.reshape(V, V, -1)
+            hh, aa, bb_ = self._cons
+            quarter = 0.25 * diag[:, :, hh]
+            diag = diag.at[:, :, aa].add(quarter)
+            diag = diag.at[:, :, bb_].add(quarter)
+            eye = jnp.broadcast_to(
+                jnp.eye(V, dtype=diag.dtype)[:, :, None],
+                (V, V, hh.shape[0]))
+            diag = diag.at[:, :, hh].set(eye)
         return Kes, b, diag
 
     # ------------------------------------------------------------------
     def _solve_clamped(self, state, Kes, b, Dinv):
         M = partial(apply_block_jacobi, Dinv)
-        matvec = partial(self._matvec, Kes)
+        if self._cons is None:
+            matvec = partial(self._matvec, Kes)
+        else:
+            matvec = lambda x: self._ct_fold(
+                self._matvec(Kes, self._c_apply(x)))
         pre_matvec = lambda x: M(matvec(x))
         pre_b = M(b)
         x0 = 2.0 * state["u"].T - state["u_old"].T
+        if self._cons is not None:
+            x0 = x0.at[:, self._cons[0]].set(0.0)
         if self.precision == "mixed" and self.dtype == jnp.float64:
             f32 = jnp.float32
             Kes32 = [K.astype(f32) for K in Kes]
             M32 = partial(apply_block_jacobi, Dinv.astype(f32))
-            mv32 = lambda x: M32(self._matvec(Kes32, x))
+            if self._cons is None:
+                mv32c = partial(self._matvec, Kes32)
+            else:
+                mv32c = lambda x: self._ct_fold(
+                    self._matvec(Kes32, self._c_apply(x)))
+            mv32 = lambda x: M32(mv32c(x))
             u_raw, iters, resid = refine_mixed(
                 mv32, pre_matvec, pre_b, x0, self.rtol, self.maxiter,
                 f64_fallback=True)
@@ -228,7 +279,13 @@ class MixedTransientRDCSystem:
             r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,
                    maxiter=self.maxiter)
             u_raw, iters, resid = r.x, r.iters, r.residual
+        if self._cons is not None:
+            # hanging dofs are DERIVED: distribute the solved masters,
+            # clamp, then re-derive so u_h = (u_a + u_b)/2 holds exactly
+            u_raw = self._c_apply(u_raw)
         u_new = self.clamp(u_raw)
+        if self._cons is not None:
+            u_new = self._c_apply(u_new)
         new_state = {"u": u_new.T, "u_old": state["u"],
                      "u_older": state["u_old"], "u_raw": u_raw.T}
         return new_state, iters, resid

