@@ -99,6 +99,13 @@ def quadrature(elem_type: str) -> Tuple[np.ndarray, np.ndarray]:
         pts = np.array([[x, y] for y in g for x in g])
         wts = np.ones(4)
         return pts, wts
+    if elem_type == "EDGE2":
+        # 2-point Gauss on [-1, 1]: the boundary rule of 2D volume
+        # meshes (libMesh Edge2; reference surface src/paraview.h:210-234
+        # maps the full type table, the shipped 3D decks never reach it)
+        pts = np.array([[-_SQ3], [_SQ3]])
+        wts = np.ones(2)
+        return pts, wts
     if elem_type == "PRISM6":
         # triangle degree-3 rule x 2-point Gauss on z in [-1, 1]
         tpts, twts = quadrature("TRI3")
@@ -187,6 +194,9 @@ def shape_functions(elem_type: str, pts: np.ndarray) -> np.ndarray:
         sx = np.array([-1, 1, 1, -1])
         sy = np.array([-1, -1, 1, 1])
         return (1 + x[:, None] * sx) * (1 + y[:, None] * sy) / 4.0
+    if elem_type == "EDGE2":
+        x = pts[:, 0]
+        return np.stack([(1.0 - x) / 2.0, (1.0 + x) / 2.0], axis=1)
     if elem_type == "PRISM6":
         x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
         L = np.stack([1.0 - x - y, x, y], axis=1)  # (Q, 3)
@@ -261,6 +271,9 @@ def shape_gradients(elem_type: str, pts: np.ndarray) -> np.ndarray:
         gx = sx * (1 + y[:, None] * sy) / 4.0
         gy = (1 + x[:, None] * sx) * sy / 4.0
         return np.stack([gx, gy], axis=2)
+    if elem_type == "EDGE2":
+        dN = np.array([[-0.5], [0.5]])
+        return np.broadcast_to(dN, (Q, 2, 1)).copy()
     if elem_type == "PRISM6":
         x, y, z = pts[:, 0], pts[:, 1], pts[:, 2]
         L = np.stack([1.0 - x - y, x, y], axis=1)       # (Q, 3)

@@ -89,6 +89,14 @@ def geometry_factors(
     phi = phi_np
     w = jnp.asarray(w_np)
 
+    if dN_np.shape[-1] == 2:
+        # 2D volume elements (TRI3/QUAD4): the in-plane 2x2 Jacobian with
+        # physical gradients embedded as 3-vectors whose z-component is
+        # zero — every downstream kernel (weak forms, qp-apply, fast
+        # path) keeps its 3D static shapes and the z-terms fold away as
+        # multiplications by a constant zero
+        return _geometry_factors_2d(coords, connectivity, phi_np, dN_np, w)
+
     conn_T = connectivity.T  # (K, E)
     X = coords.T[:, conn_T]  # (3, K, E)
     Q, K = phi_np.shape
@@ -130,6 +138,58 @@ def geometry_factors(
     return phi, JxW, dphi
 
 
+def _geometry_factors_2d(coords, connectivity, phi_np, dN_np, w):
+    """2D companion of geometry_factors (same unrolled elementwise style).
+
+    coords may be (N, 2) or (N, 3) with a constant z (ignored); returns
+    phi (Q, K), JxW (Q, E), dphi (Q, K, 3, E) with dphi[..., 2, :] == 0.
+    """
+    conn_T = connectivity.T                     # (K, E)
+    X = coords.T[:2][:, conn_T]                 # (2, K, E)
+    Q, K = phi_np.shape
+    J_rows = []
+    for q in range(Q):
+        rows = []
+        for r in range(2):
+            acc = None
+            for k in range(K):
+                c = float(dN_np[q, k, r])
+                if c == 0.0:
+                    continue
+                term = c * X[:, k, :]           # (2, E)
+                acc = term if acc is None else acc + term
+            rows.append(acc if acc is not None
+                        else jnp.zeros_like(X[:, 0, :]))
+        J_rows.append(jnp.stack(rows, axis=1))  # (2, r, E)
+    J = jnp.stack(J_rows, axis=0)               # (Q, 2, 2, E): [q, d, r, e]
+    a = J[:, 0, 0]; b = J[:, 0, 1]
+    c_ = J[:, 1, 0]; d = J[:, 1, 1]
+    det = a * d - b * c_
+    r_ = 1.0 / det
+    # Jinv[q, r, d, e] rows
+    Jinv = jnp.stack([jnp.stack([d * r_, -b * r_], axis=-2),
+                      jnp.stack([-c_ * r_, a * r_], axis=-2)], axis=-3)
+    JxW = det * w[:, None]
+    zero = jnp.zeros_like(det[0])  # (E,)
+    dphi_q = []
+    for q in range(Q):
+        ks = []
+        for k in range(K):
+            acc = None
+            for r in range(2):
+                cc = float(dN_np[q, k, r])
+                if cc == 0.0:
+                    continue
+                term = cc * Jinv[q, r]          # (2, E)
+                acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros_like(Jinv[q, 0])
+            ks.append(jnp.concatenate([acc, zero[None]], axis=0))  # (3, E)
+        dphi_q.append(jnp.stack(ks, axis=0))    # (K, 3, E)
+    dphi = jnp.stack(dphi_q, axis=0)            # (Q, K, 3, E)
+    return phi_np, JxW, dphi
+
+
 def face_geometry_factors(
     coords: jnp.ndarray, faces: jnp.ndarray, face_type: str
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -145,6 +205,23 @@ def face_geometry_factors(
     psi = jnp.asarray(psi_np)
     dN = jnp.asarray(dN_np)  # (Q, Kf, 2)
     w = jnp.asarray(w_np)
+
+    if face_type == "EDGE2":
+        # boundary edges of a 2D volume mesh: tangent from the 1D map,
+        # outward normal = the in-plane right rotation of the tangent
+        # (edges come from ELEMENT_FACES in CCW element order, so the
+        # boundary is traversed CCW and "right of travel" points out)
+        X2 = coords[faces][..., :2]                      # (F, Kf, 2)
+        T = jnp.einsum("fkd,qkr->fqdr", X2, dN)[..., 0]  # (F, Q, 2)
+        length_J = jnp.linalg.norm(T, axis=-1)
+        t_hat = T / length_J[..., None]
+        n2 = jnp.stack([t_hat[..., 1], -t_hat[..., 0]], axis=-1)
+        pad = jnp.zeros_like(length_J)[..., None]
+        normals = jnp.concatenate([n2, pad], axis=-1)    # (F, Q, 3)
+        JxW = length_J * w[None, :]
+        xyz2 = jnp.einsum("qk,fkd->fqd", psi, X2)
+        xyz = jnp.concatenate([xyz2, pad], axis=-1)
+        return psi, JxW, xyz, normals
 
     X = coords[faces]  # (F, Kf, 3)
     T = jnp.einsum("fkd,qkr->fqdr", X, dN)  # (F, Q, 3, 2) tangents

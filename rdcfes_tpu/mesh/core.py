@@ -63,16 +63,24 @@ ELEMENT_FACES: Dict[str, Tuple[Tuple[int, ...], ...]] = {
         (1, 2, 3, 5, 8, 9),
         (2, 0, 3, 6, 7, 8),
     ),
+    # 2D volume elements (CCW vertex order): "faces" are boundary edges,
+    # listed in the CCW traversal direction so the outward normal is the
+    # right rotation of the edge tangent (fem.geometry EDGE2 branch)
+    "TRI3": ((0, 1), (1, 2), (2, 0)),
+    "QUAD4": ((0, 1), (1, 2), (2, 3), (3, 0)),
 }
 
 NODES_PER_ELEM = {"TET4": 4, "HEX8": 8, "PRISM6": 6, "PYRAMID5": 5,
-                  "TET10": 10}
-FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4", "TET10": "TRI6"}
+                  "TET10": 10, "TRI3": 3, "QUAD4": 4, "EDGE2": 2}
+FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4", "TET10": "TRI6",
+             "TRI3": "EDGE2", "QUAD4": "EDGE2"}
 # volume element types allowed inside a single-type Mesh (the shipped-deck
 # surface); PRISM6/PYRAMID5 participate through MixedMesh blocks.  TET10
 # is the second-order capability upgrade (every reference deck is
 # FIRST/LAGRANGE, pihna.C:30-34): supported on the RDC path, single-type.
-_SINGLE_TYPES = ("TET4", "HEX8", "TET10")
+# TRI3/QUAD4 as volume types are the 2D slice of libMesh's element table
+# (reference surface src/paraview.h:210-234; every shipped deck is 3D).
+_SINGLE_TYPES = ("TET4", "HEX8", "TET10", "TRI3", "QUAD4")
 
 
 @dataclasses.dataclass
@@ -134,7 +142,7 @@ class Mesh:
 
     @property
     def dim(self) -> int:
-        return 3
+        return 2 if self.elem_type in ("TRI3", "QUAD4") else 3
 
     def with_coords(self, coords: np.ndarray) -> "Mesh":
         return dataclasses.replace(self, coords=np.asarray(coords, dtype=np.float64))
@@ -152,11 +160,13 @@ class Mesh:
             v1 = X[:, 2] - X[:, 0]
             v2 = X[:, 3] - X[:, 0]
             return np.einsum("ei,ei->e", np.cross(v0, v1), v2) / 6.0
-        # HEX8 / TET10 via the quadrature used everywhere else
+        # HEX8 / TET10 / 2D types via the quadrature used everywhere else
         from ..fem import elements as _el
 
         qp, qw = _el.quadrature(self.elem_type)
-        dN = _el.shape_gradients(self.elem_type, qp)  # (Q, K, 3)
+        dN = _el.shape_gradients(self.elem_type, qp)  # (Q, K, d)
+        if self.dim == 2:
+            X = X[..., :2]  # areas from the in-plane 2x2 Jacobian
         J = np.einsum("ekd,qkr->eqdr", X, dN)
         detJ = np.linalg.det(J)
         return np.einsum("eq,q->e", detJ, qw)

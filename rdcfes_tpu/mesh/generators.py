@@ -196,6 +196,70 @@ def box_mixed_mesh(nx: int, ny: int, nz: int,
     return mesh
 
 
+def _grid2d(nx: int, ny: int, bounds):
+    (x0, x1), (y0, y1) = bounds
+    xs = np.linspace(x0, x1, nx + 1)
+    ys = np.linspace(y0, y1, ny + 1)
+    Y, X = np.meshgrid(ys, xs, indexing="ij")
+    coords = np.stack([X.ravel(), Y.ravel(), np.zeros(X.size)], axis=1)
+
+    def nid(i, j):
+        return j * (nx + 1) + i
+
+    return coords, nid
+
+
+def box_quad_mesh(nx: int, ny: int,
+                  bounds=((0.0, 1.0), (0.0, 1.0))) -> Mesh:
+    """Structured QUAD4 rectangle mesh (2D volume elements, z = 0),
+    boundary-edge ids following the cube-face convention's in-plane
+    subset (ymin 1, xmax 2, ymax 3, xmin 4)."""
+    coords, nid = _grid2d(nx, ny, bounds)
+    conn = [[nid(i, j), nid(i + 1, j), nid(i + 1, j + 1), nid(i, j + 1)]
+            for j in range(ny) for i in range(nx)]
+    mesh = Mesh(
+        coords=coords,
+        connectivity=np.asarray(conn, dtype=np.int32),
+        elem_type="QUAD4",
+        subdomain_id=np.zeros(len(conn), dtype=np.int32),
+    )
+    _assign_rect_boundary_ids(mesh, bounds)
+    return mesh
+
+
+def box_tri_mesh(nx: int, ny: int,
+                 bounds=((0.0, 1.0), (0.0, 1.0))) -> Mesh:
+    """Structured TRI3 rectangle mesh: each quad cell split along the
+    (i, j) -> (i+1, j+1) diagonal into two CCW triangles."""
+    coords, nid = _grid2d(nx, ny, bounds)
+    conn = []
+    for j in range(ny):
+        for i in range(nx):
+            v00, v10 = nid(i, j), nid(i + 1, j)
+            v11, v01 = nid(i + 1, j + 1), nid(i, j + 1)
+            conn.append([v00, v10, v11])
+            conn.append([v00, v11, v01])
+    mesh = Mesh(
+        coords=coords,
+        connectivity=np.asarray(conn, dtype=np.int32),
+        elem_type="TRI3",
+        subdomain_id=np.zeros(len(conn), dtype=np.int32),
+    )
+    _assign_rect_boundary_ids(mesh, bounds)
+    return mesh
+
+
+def _assign_rect_boundary_ids(mesh: Mesh, bounds) -> None:
+    (x0, x1), (y0, y1) = bounds
+    tol = 1e-10 * max(x1 - x0, y1 - y0, 1.0)
+    fc = mesh.coords[mesh.boundary_faces].mean(axis=1)  # edge midpoints
+    bid = mesh.boundary_id
+    bid[np.abs(fc[:, 1] - y0) < tol] = _FACE_IDS["ymin"]
+    bid[np.abs(fc[:, 0] - x1) < tol] = _FACE_IDS["xmax"]
+    bid[np.abs(fc[:, 1] - y1) < tol] = _FACE_IDS["ymax"]
+    bid[np.abs(fc[:, 0] - x0) < tol] = _FACE_IDS["xmin"]
+
+
 def tet4_to_tet10(mesh: Mesh) -> Mesh:
     """Second-order upgrade of a TET4 mesh: one new node per unique edge
     (gmsh TET10 node order: vertices, then mid-edge nodes (0,1),(1,2),

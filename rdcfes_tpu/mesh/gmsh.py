@@ -26,6 +26,7 @@ from .core import ELEMENT_FACES, MeshBlock, Mesh, MixedMesh
 # Gmsh element type codes (the subset the reference handles,
 # src/process_mesh.C:52-72, plus the first-order mixed-mesh transition
 # types libMesh reads — reference surface src/paraview.h:210-234)
+_GMSH_EDGE2 = 1
 _GMSH_TRI3 = 2
 _GMSH_QUAD4 = 3
 _GMSH_TET4 = 4
@@ -40,6 +41,10 @@ _VOLUME_TYPES = {_GMSH_TET4: ("TET4", 4), _GMSH_HEX8: ("HEX8", 8),
                  _GMSH_PYRAMID5: ("PYRAMID5", 5),
                  _GMSH_TET10: ("TET10", 10)}
 _GMSH_CODE = {name: code for code, (name, _) in _VOLUME_TYPES.items()}
+# 2D meshes: TRI3/QUAD4 are the volume elements, EDGE2 the boundary
+# (classified after parsing — a file with any 3D volume element keeps
+# TRI3/QUAD4 as boundary surfaces)
+_GMSH_CODE.update({"TRI3": _GMSH_TRI3, "QUAD4": _GMSH_QUAD4})
 _SURFACE_TYPES = {_GMSH_TRI3: ("TRI3", 3), _GMSH_QUAD4: ("QUAD4", 4),
                   _GMSH_TRI6: ("TRI6", 6)}
 _GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 9: 6, 11: 10,
@@ -110,6 +115,8 @@ def _read_lines(lines) -> Mesh:
     order: list = []
     surf_conn = []
     surf_bcid = []
+    edge_conn = []
+    edge_bcid = []
     for _ in range(n_elems_total):
         parts = next(lines).split()
         etype = int(parts[1])
@@ -129,11 +136,32 @@ def _read_lines(lines) -> Mesh:
             assert len(nodes) == k
             surf_conn.append(nodes)
             surf_bcid.append(physical)
+        elif etype == _GMSH_EDGE2:
+            # boundary candidates of a 2D mesh (ignored when the file
+            # turns out to contain 3D volume elements)
+            edge_conn.append(nodes)
+            edge_bcid.append(physical)
         else:
-            # points / edges carry no information the reference uses
+            # points carry no information the reference uses
             continue
     if not by_type:
-        raise ValueError("mesh contains no supported volume elements")
+        # no 3D volume elements: a 2D mesh whose volume elements are the
+        # TRI3/QUAD4 rows and whose boundary sides are the EDGE2 rows
+        kinds = sorted({"TRI3" if len(f) == 3 else "QUAD4"
+                        for f in surf_conn})
+        if not kinds:
+            raise ValueError("mesh contains no supported volume elements")
+        if len(kinds) > 1:
+            raise ValueError("mixed-type 2D meshes are not supported")
+        mesh = Mesh(
+            coords=coords,
+            connectivity=np.asarray(surf_conn, dtype=np.int32),
+            elem_type=kinds[0],
+            subdomain_id=np.asarray(surf_bcid, dtype=np.int32),
+        )
+        if edge_conn:
+            _attach_boundary_ids(mesh, edge_conn, edge_bcid)
+        return mesh
 
     if len(order) == 1 and order[0] in ("TET4", "HEX8", "TET10"):
         rows = by_type[order[0]]
@@ -224,7 +252,8 @@ def write(mesh: Mesh, path_or_file: Union[str, TextIO]) -> None:
             w("$EndElements\n")
             return
         gmsh_face = {"TET4": _GMSH_TRI3, "HEX8": _GMSH_QUAD4,
-                     "TET10": _GMSH_TRI6}[mesh.elem_type]
+                     "TET10": _GMSH_TRI6, "TRI3": _GMSH_EDGE2,
+                     "QUAD4": _GMSH_EDGE2}[mesh.elem_type]
         if n_faces:
             for f, bid in zip(mesh.boundary_faces, mesh.boundary_id):
                 nodes = " ".join(str(n + 1) for n in f)

@@ -381,7 +381,8 @@ class TransientRDCSystem:
         # pass so the preconditioner never re-reads the full Ke
         Ke, diag_e = element_matrices(
             wf, phi, JxW, dphi,
-            grad_const=(self.mesh.elem_type == "TET4"), return_diag=True,
+            grad_const=(self.mesh.elem_type in ("TET4", "TRI3")),
+            return_diag=True,
         )
         # physics callbacks that build constants with jnp.ones/zeros default
         # to f64 under x64; without this cast a dtype=float32 system would
@@ -533,10 +534,10 @@ class TransientRDCSystem:
         V = self.n_vars
         mixed = self.precision == "mixed" and self.dtype == jnp.float64
         fast = self._fast_tables()
-        # TET4 is affine: shape gradients are q-independent, so matvecs
-        # run through the reassociated apply (qp_apply_affine) with the
-        # diffusion coefficient q-sum hoisted out of the Krylov loop
-        affine = self.mesh.elem_type == "TET4"
+        # TET4/TRI3 are affine: shape gradients are q-independent, so
+        # matvecs run through the reassociated apply (qp_apply_affine)
+        # with the diffusion coefficient q-sum hoisted out of the loop
+        affine = self.mesh.elem_type in ("TET4", "TRI3")
         # hanging-node constraints: C distributes masters to hanging
         # dofs, C^T folds hanging contributions back; the Krylov solve
         # runs on C^T A C embedded in full vectors with hanging entries
