@@ -116,10 +116,27 @@ def refine_mixed(mv32, pre_matvec64, pre_b, x0, rtol, maxiter,
         return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real), rnorm,
                 iters + inner.iters, k + 1)
 
-    r0 = pre_b - pre_matvec64(x0)
-    init = (x0, r0, jnp.sqrt(jnp.vdot(r0, r0).real),
+    # pass 0 solves the FULL system in f32 with the warm start as the
+    # f32 initial guess.  The previous design first measured the warm
+    # start with a true-operator application (r0 = b - A x0, an f64
+    # matvec); but the f32 pass only needs x0 to its own accuracy, so
+    # starting pass 0 from x0 IN f32 saves one f64 matvec per step
+    # (bench composition: 3 -> 2) while the stopping criterion below
+    # still measures the true f64 residual.  x0's f64 detail is
+    # preserved by applying the pass's EXACT f32 correction to the f64
+    # x0 — when pass 0 exits at zero iterations (warm start already
+    # below its tolerance) the old behavior is recovered bit-for-bit.
+    # Pass-0 rtol 3e-7 (vs 1e-6 for refinement passes): deep enough
+    # that ONE refinement pass lands below rtol=1e-12, not so deep it
+    # stalls on the f32 residual floor (~1e-7, PERF.md section 8).
+    x0_32 = x0.astype(f32)
+    inner0 = bicgstab(mv32, pre_b.astype(f32), x0=x0_32,
+                      rtol=3e-7, maxiter=80)
+    x1 = x0 + (inner0.x - x0_32).astype(jnp.float64)
+    r1 = pre_b - pre_matvec64(x1)
+    init = (x1, r1, jnp.sqrt(jnp.vdot(r1, r1).real),
             jnp.asarray(jnp.inf, jnp.float64),
-            jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+            inner0.iters, jnp.asarray(1, jnp.int32))
     x, _, rnorm, _, iters, _ = jax.lax.while_loop(cond, body, init)
     if not f64_fallback:
         return x, iters, rnorm / safe_b
