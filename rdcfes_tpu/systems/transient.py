@@ -129,9 +129,12 @@ def refine_mixed(mv32, pre_matvec64, pre_b, x0, rtol, maxiter,
     # Pass-0 rtol 3e-7 (vs 1e-6 for refinement passes): deep enough
     # that ONE refinement pass lands below rtol=1e-12, not so deep it
     # stalls on the f32 residual floor (~1e-7, PERF.md section 8).
+    # With a LOOSE caller rtol (>= 3e-7) pass 0 targets that directly —
+    # b and r share the same norm scaling — so a warm start already at
+    # tolerance exits at the r0 check with zero iterations, as before.
     x0_32 = x0.astype(f32)
     inner0 = bicgstab(mv32, pre_b.astype(f32), x0=x0_32,
-                      rtol=3e-7, maxiter=80)
+                      rtol=max(float(rtol), 3e-7), maxiter=80)
     x1 = x0 + (inner0.x - x0_32).astype(jnp.float64)
     r1 = pre_b - pre_matvec64(x1)
     init = (x1, r1, jnp.sqrt(jnp.vdot(r1, r1).real),
