@@ -273,13 +273,21 @@ def adpm_deck_regime_bench():
 def solid_bench():
     """One load step of the channel-first hyperelastic Newton path at
     production scale (~110k HEX8) — the reference's solid hot loop
-    (solid_system.C:146-271) at ~150x the shipped cube case size."""
+    (solid_system.C:146-271) at ~150x the shipped cube case size.
+
+    Runs the measured-fastest variant (scripts/bench_solid_variants.py,
+    2026-08-19 on TPU v5 lite): Beneš-kernel x-gather (bit-identical to
+    the XLA gather, 36.3 -> 28.6 s) + mixed-precision linear stage
+    (f32 inner sweeps, f64 residual carry; solution drift 2.8e-08 vs
+    the f64 stage — 36x inside the 1e-6 Newton tolerance), together
+    19.5 s.  Convergence is asserted the same way as the default."""
     import jax
 
     from rdcfes_tpu.mesh import box_hex_mesh
     from rdcfes_tpu.solvers.newton import NewtonOptions
     from rdcfes_tpu.systems.solid import SolidSystem
 
+    os.environ["RDCFES_SOLID_FAST"] = "1"  # read at Newton construction
     n = 48  # 48^3 = 110,592 HEX8, 117,649 nodes
     mesh = box_hex_mesh(n, n, n, bounds=((0, 1.0), (0, 1.0), (0, 1.0)))
     system = SolidSystem(
@@ -288,7 +296,8 @@ def solid_bench():
         bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.05)},
         penalty=1.0e6,
         newton=NewtonOptions(max_nonlinear_iterations=20,
-                             relative_residual_tolerance=1e-6),
+                             relative_residual_tolerance=1e-6,
+                             linear_precision="mixed"),
     )
     x0 = system.initial_positions()
     res = system.run_solver(x0, 0.5)  # warmup (compile) + first solve
