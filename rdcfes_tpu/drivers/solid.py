@@ -45,6 +45,10 @@ def load_newton_options(deck: Deck) -> NewtonOptions:
         # carry (solvers/newton.py); default matches the reference's
         # f64 PETSc KSP
         linear_precision=deck("solver/linear/precision", "f64"),
+        # "1" opts the inner SpMV into the Beneš-kernel x-gather
+        # (TPU hardware; bit-identical, 1.27x — PERF.md section 8);
+        # unset defers to the RDCFES_SOLID_FAST env var
+        fast_gather=deck("solver/linear/fast_gather", "") or None,
     )
 
 

@@ -18,7 +18,7 @@ is a device `while_loop` over the scatter-free ELL SpMV.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,14 @@ class NewtonOptions(NamedTuple):
     # case in; the f64 stall rescue rides along except on the Pallas
     # fast path (extra kernel call sites break the compile budget).
     linear_precision: str = "f64"
+    # Beneš-kernel x-gather for the inner SpMV: "1" on TPU hardware,
+    # "interpret" for CI, "0" for the XLA gather.  Bit-identical to the
+    # XLA gather and 1.27x faster on the 110k-HEX8 bench (PERF.md
+    # section 8), but requires TPU (or interpret mode), so the default
+    # None defers to the RDCFES_SOLID_FAST env var (itself "0" when
+    # unset) to keep CPU runs working.  Deck key:
+    # solver/linear/fast_gather.
+    fast_gather: Optional[str] = None
     # bisect the step at most this many times when residual reduction is
     # required (libMesh NewtonSolver line-search role)
     max_line_search_steps: int = 8
@@ -91,7 +99,8 @@ class NewtonSolver:
         # blocks either way.  Stage tables ride the jit boundary as
         # ARGUMENTS (closure constants at this size 413 the remote
         # compile, PERF.md section 5).
-        mode = os.environ.get("RDCFES_SOLID_FAST", "0")
+        mode = (opts.fast_gather if opts.fast_gather is not None
+                else os.environ.get("RDCFES_SOLID_FAST", "0"))
         self._fast = None
         self._fast_args = ()
         if mode != "0":

@@ -172,3 +172,33 @@ def test_solid_ell_matvec_fast_interpret(monkeypatch):
     a, b = np.asarray(r_ref.x), np.asarray(r_fast.x)
     rel = np.linalg.norm(a - b) / np.linalg.norm(a)
     assert rel < 1e-10, f"solid fast-gather divergence {rel:.3e}"
+
+
+def test_solid_fast_gather_option(monkeypatch):
+    """NewtonOptions.fast_gather (deck key solver/linear/fast_gather)
+    overrides the RDCFES_SOLID_FAST env var; None defers to it."""
+    from rdcfes_tpu.mesh import box_hex_mesh
+    from rdcfes_tpu.solvers.newton import NewtonOptions
+    from rdcfes_tpu.systems.solid import SolidSystem
+
+    opts = NewtonOptions(
+        max_nonlinear_iterations=12, relative_step_tolerance=1e-10,
+        relative_residual_tolerance=1e-10,
+        absolute_residual_tolerance=1e-10,
+        fast_gather="interpret")
+    kw = dict(materials={0: {"young": 1.0e3, "poisson": 0.3}},
+              bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.3)},
+              penalty=1.0e8)
+    m = box_hex_mesh(3, 3, 3)
+    # env says OFF; the option must still engage the kernel path
+    monkeypatch.setenv("RDCFES_SOLID_FAST", "0")
+    fast = SolidSystem(m, newton=opts, **kw)
+    assert fast._newton._fast is not None
+    r_fast = fast.run_solver(fast.initial_positions(), 0.5)
+    ref = SolidSystem(m, newton=opts._replace(fast_gather="0"), **kw)
+    assert ref._newton._fast is None
+    r_ref = ref.run_solver(ref.initial_positions(), 0.5)
+    assert bool(r_ref.converged) and bool(r_fast.converged)
+    a, b = np.asarray(r_ref.x), np.asarray(r_fast.x)
+    rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+    assert rel < 1e-10, f"fast_gather option divergence {rel:.3e}"
