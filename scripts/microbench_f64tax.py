@@ -116,13 +116,15 @@ def main():
         return pperm.grid_permute(dp, x.astype(f32), interpret,
                                   ch).astype(f64)
 
-    def run(tag, patches_T=None, patches_P=None, dtype=f64):
+    def run(tag, patches_T=None, patches_P=None, dtype=f64,
+            blocks=None, **syskw):
         with patched(T, **(patches_T or {})), \
                 patched(pperm, **(patches_P or {})):
             sys_ = TransientRDCSystem(mesh, 5, pihna_physics,
-                                      physics_blocks=pihna_blocks,
+                                      physics_blocks=blocks or pihna_blocks,
                                       precision="mixed", rtol=1e30,
-                                      dtype=dtype, precond_refresh=10**9)
+                                      dtype=dtype, precond_refresh=10**9,
+                                      **syskw)
             st, _, _ = sys_.run_steps(
                 sys_.initial_state(u0.astype(np.float64)), 40,
                 params=params)
@@ -153,6 +155,77 @@ def main():
         print(f"stage f64 tax: {k:9s} {v:6.2f} ms/step", flush=True)
     print(f"sum of stage taxes  {sum(deltas.values()):6.2f}  "
           f"vs C-all32 delta {c - all32:6.2f} ms/step", flush=True)
+
+    # ---- round 2: what keeps C-all32 (14.31) above the f32 floor
+    # (E = 4.13)?  Candidates: the f64 qp_apply in the outer matvec,
+    # the physics arithmetic, the f64 Jacobi applications + clamp +
+    # state rotation.
+    orig_apply = T.qp_apply_affine
+    orig_clamp = T.clamp_nonnegative
+    orig_M = T.apply_block_jacobi
+
+    def apply32(wfb, Epre, phi, JxW, dphi, x_qp, gx):
+        dt = x_qp.dtype
+        if dt == f32:
+            return orig_apply(wfb, Epre, phi, JxW, dphi, x_qp, gx)
+        Epre32_ = tuple(tuple(e if isinstance(e, float) else e.astype(f32)
+                              for e in row) for row in Epre)
+        return orig_apply(wfb.cast(f32), Epre32_, phi, JxW.astype(f32),
+                          dphi.astype(f32), x_qp.astype(f32),
+                          gx.astype(f32)).astype(dt)
+
+    def physics32(fn):
+        def wrapped(u_qp, grad_qp, fields, params):
+            dt = u_qp.dtype
+            if dt == f32:
+                return fn(u_qp, grad_qp, fields, params)
+            f32fields = {k: (v.astype(f32) if hasattr(v, "astype") else v)
+                         for k, v in (fields or {}).items()}
+            return fn(u_qp.astype(f32), grad_qp.astype(f32),
+                      f32fields, params).cast(dt)
+        return wrapped
+
+    def clamp32(u):
+        dt = u.dtype
+        return orig_clamp(u.astype(f32)).astype(dt)  # constructor-bound
+
+    def M32_(Dinv, x):
+        dt = x.dtype
+        if dt == f32:
+            return orig_M(Dinv, x)
+        return orig_M(Dinv.astype(f32), x.astype(f32)).astype(dt)
+
+    d2 = {}
+    d2["apply"] = all32 - run(
+        "C-all32+apply32",
+        {"interpolate_ue_affine": interp32, "block_rhs_affine": rhs32,
+         "diffusion_presum": epre32, "qp_apply_affine": apply32},
+        {"gather_corners_f64": gc32, "grid_permute_f64": gp32})
+    run2 = run(
+        "C-all32+physics32",
+        {"interpolate_ue_affine": interp32, "block_rhs_affine": rhs32,
+         "diffusion_presum": epre32},
+        {"gather_corners_f64": gc32, "grid_permute_f64": gp32},
+        blocks=physics32(pihna_blocks))
+    d2["physics"] = all32 - run2
+    d2["clamp+M"] = all32 - run(
+        "C-all32+clampM32",
+        {"interpolate_ue_affine": interp32, "block_rhs_affine": rhs32,
+         "diffusion_presum": epre32, "apply_block_jacobi": M32_},
+        {"gather_corners_f64": gc32, "grid_permute_f64": gp32},
+        clamp=clamp32)
+    everything = run(
+        "C-everything32",
+        {"interpolate_ue_affine": interp32, "block_rhs_affine": rhs32,
+         "diffusion_presum": epre32, "qp_apply_affine": apply32,
+         "apply_block_jacobi": M32_},
+        {"gather_corners_f64": gc32, "grid_permute_f64": gp32},
+        blocks=physics32(pihna_blocks), clamp=clamp32)
+    for k, v in d2.items():
+        print(f"round-2 f64 tax: {k:9s} {v:6.2f} ms/step", flush=True)
+    print(f"C-everything32 {everything:6.2f} ms/step "
+          f"(f32-floor E was 4.13; the rest = casts/pads/state)",
+          flush=True)
 
 
 if __name__ == "__main__":
