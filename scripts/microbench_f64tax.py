@@ -30,6 +30,9 @@ from contextlib import contextmanager
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 os.environ["RDCFES_FAST_SCAN"] = "1"
 os.environ.setdefault("RDCFES_SCAN_SEGMENT", "40")
 
