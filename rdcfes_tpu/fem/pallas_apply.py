@@ -37,6 +37,13 @@ def stack_blocks(wfb: WeakFormBlocks, E_pad: int):
     V = wfb.n_vars
 
     def pad(a):
+        # slice-or-pad to the kernel's EL width: callers on the padded
+        # build path (systems/transient._pad_geom) hand E_pad-sized
+        # planes whose tail lanes carry finite coefficient garbage that
+        # the kernel's JxW = 0 pad lanes multiply to exactly zero — the
+        # same contributions the E-sized path got from zero-padding
+        if a.shape[-1] >= E_pad:
+            return a[..., :E_pad]
         return jnp.pad(a, [(0, 0)] * (a.ndim - 1)
                        + [(0, E_pad - a.shape[-1])])
 
@@ -66,6 +73,13 @@ def stack_blocks_affine(wfb: WeakFormBlocks, Epre, E_pad: int):
     V = wfb.n_vars
 
     def pad(a):
+        # slice-or-pad to the kernel's EL width: callers on the padded
+        # build path (systems/transient._pad_geom) hand E_pad-sized
+        # planes whose tail lanes carry finite coefficient garbage that
+        # the kernel's JxW = 0 pad lanes multiply to exactly zero — the
+        # same contributions the E-sized path got from zero-padding
+        if a.shape[-1] >= E_pad:
+            return a[..., :E_pad]
         return jnp.pad(a, [(0, 0)] * (a.ndim - 1)
                        + [(0, E_pad - a.shape[-1])])
 
