@@ -271,9 +271,13 @@ class MixedTransientRDCSystem:
                 mv32c = lambda x: self._ct_fold(
                     self._matvec(Kes32, self._c_apply(x)))
             mv32 = lambda x: M32(mv32c(x))
+            # inner_rtol 1e-7: mixed-mesh transition elements give this
+            # operator ~1e5 residual-to-solution-error amplification
+            # (test_mixed's dense-solve bar), so each refinement pass
+            # lands near the f32 floor — zero extra f64 matvecs
             u_raw, iters, resid = refine_mixed(
                 mv32, pre_matvec, pre_b, x0, self.rtol, self.maxiter,
-                f64_fallback=True)
+                f64_fallback=True, inner_rtol=1e-7)
         else:
             fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
             r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,

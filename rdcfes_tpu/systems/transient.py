@@ -76,7 +76,8 @@ def clamp_nonnegative(u: jnp.ndarray) -> jnp.ndarray:
 
 
 def refine_mixed(mv32, pre_matvec64, pre_b, x0, rtol, maxiter,
-                 f64_fallback: bool = False, fallback_matvec=None):
+                 f64_fallback: bool = False, fallback_matvec=None,
+                 inner_rtol: float = 1e-6):
     """Mixed-precision iterative refinement (shared by TransientRDCSystem
     and MixedTransientRDCSystem): f32 inner BiCGStab on the caller's
     preconditioned matvec, f64 outer residual correction.  The f64
@@ -110,13 +111,16 @@ def refine_mixed(mv32, pre_matvec64, pre_b, x0, rtol, maxiter,
 
     def body(s):
         x, r, rnorm, _, iters, k = s
-        # inner rtol 1e-7: the residual-equation trick makes the
-        # correction's RELATIVE accuracy what matters, so pushing each
-        # pass toward the f32 floor deepens the final landing for free
-        # (a few more f32 sweeps, zero extra f64 matvecs) — this is what
-        # keeps the solution error of a pass-0 warm start at the old
-        # three-matvec design's depth (see test_mixed's dense-solve bar)
-        inner = bicgstab(mv32, r.astype(f32), rtol=1e-7, maxiter=80)
+        # inner_rtol sets the landing depth per pass (the residual-
+        # equation trick makes the correction's RELATIVE accuracy what
+        # matters).  1e-6 default; ill-conditioned operators (mixed-mesh
+        # transition elements, ~1e5 residual-to-error amplification)
+        # pass 1e-7 — near the f32 floor — to land the SOLUTION at the
+        # old three-matvec design's depth for a few extra f32 sweeps
+        # and zero extra f64 matvecs (measured: +0.6 inner iters/step
+        # at 1e-7 on the PIHNA bench, where the depth buys nothing).
+        inner = bicgstab(mv32, r.astype(f32), rtol=inner_rtol,
+                         maxiter=80)
         x = x + inner.x.astype(jnp.float64)
         r2 = pre_b - pre_matvec64(x)
         return (x, r2, jnp.sqrt(jnp.vdot(r2, r2).real), rnorm,
@@ -298,38 +302,11 @@ class TransientRDCSystem:
         axon compile helper once more than a few Mosaic kernel variants
         share the program.  As arguments they cost one device pointer
         each."""
-        g = {
+        return {
             "JxW": self.JxW, "dphi": self.dphi,
             "JxW32": self.JxW32, "dphi32": self.dphi32,
             "conn_T": self.conn_T, "node_gather": self.node_gather,
         }
-        g.update(self._pad_geom(self.JxW, self.dphi))
-        return g
-
-    def _pad_geom(self, JxW, dphi):
-        """Zero-tail E_pad copies of the geometry tables for the kernel
-        fast path: with JxW = 0 on the pad lanes, the whole element
-        pipeline (interp -> physics -> rhs/diag/Epre) runs at E_pad and
-        every padded contribution is EXACTLY zero, so the per-step
-        ue[:, :, :E] slice and Fe E->E_pad re-pad copies disappear
-        (bit-identical results; PERF.md section 9).  Empty when the
-        fast path is off (the XLA gather path stays E-sized).
-
-        Contract: physics_blocks must return FINITE coefficients for
-        any combination of physical nodal states — the pad lanes carry
-        gather-broadcast copies of real nodes (finite, non-negative
-        post-clamp) with zero gradients, and a non-finite coefficient
-        there would survive the JxW = 0 multiply as NaN.  Every shipped
-        physics (PIHNA/ADPM/RIPF/PROTEAS/HCC) satisfies this."""
-        fast = self._fast_tables()
-        if fast is None:
-            return {}
-        ep = fast["plans"].E_pad - fast["plans"].E
-        JxWp = jnp.pad(JxW, ((0, 0), (0, ep)))
-        dphip = jnp.pad(dphi, ((0, 0),) * (dphi.ndim - 1) + ((0, ep),))
-        return {"JxWp": JxWp, "dphip": dphip,
-                "JxW32p": JxWp.astype(jnp.float32),
-                "dphi32p": dphip.astype(jnp.float32)}
 
     def _fast_tables(self):
         """Resolve + lazily build the fast-gather plans; None = disabled."""
@@ -675,10 +652,8 @@ class TransientRDCSystem:
                                         ue[:, :, :EL], interpret=interp)
                 yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - EL)))
             else:
-                # table width decides the live prefix: E_pad-sized
-                # zero-tail tables (_pad_geom) make both the slice and
-                # the re-pad no-ops (bit-identical — padded lanes are
-                # exactly zero through JxW = 0)
+                # table width decides the live prefix (shape-driven so
+                # E- and E_pad-sized coefficient tables both work)
                 Et = JxW_.shape[-1]
                 Ye = apply_from_ue(wf_, JxW_, dphi_, ue[:, :, :Et], Epre)
                 yb = jnp.pad(Ye, ((0, 0), (0, 0), (0, fp.E_pad - Et)))
@@ -717,50 +692,34 @@ class TransientRDCSystem:
             # size and OOM the remote compile helper (see _geom_args)
             g = geom if geom is not None else self._geom_args()
             u_T = state["u"].T
-            # kernel fast path: the WHOLE element pipeline runs at E_pad
-            # against zero-tail geometry tables (see _pad_geom) — padded
-            # lanes carry finite garbage through interp/physics and are
-            # zeroed exactly by JxW = 0 in rhs/diag/Epre, so the per-step
-            # ue slice and Fe re-pad copies disappear (bit-identical)
+            # kernel fast path: gathers/restrictions ride the Beneš
+            # kernels; the element pipeline itself stays at E — running
+            # it at E_pad was MEASURED SLOWER (E_pad = 1.12 E at bench
+            # scale: 12% more f64-emulated interp/physics/rhs work
+            # outweighs the slice/pad copies it saved; 33.98 vs 35.34
+            # steps/s, PERF.md section 9)
             kfast = fast is not None and (fast["use_f64"]
                                           or self.dtype == jnp.float32)
-            JxW_t = g["JxWp"] if kfast else g["JxW"]
-            dphi_t = g["dphip"] if kfast else g["dphi"]
-            if kfast and fields:
-                # elemental fields (ADPM tracts, PROTEAS RTD, RIPF TD
-                # gradients, ...) ride physics_blocks at the element
-                # count: zero-pad every E-sized axis to E_pad so they
-                # broadcast against the padded pipeline (zeros there are
-                # killed by JxW = 0 like every other pad-lane value).
-                # The carried `fields` stay E-sized — only the physics
-                # view is padded.
-                E_, Ep_ = self.mesh.n_elems, fast["plans"].E_pad
-                def _pad_elem(a):
-                    if not hasattr(a, "shape") or E_ not in a.shape:
-                        return a
-                    return jnp.pad(a, [(0, Ep_ - s if s == E_ else 0)
-                                       for s in a.shape])
-                f_phys = {k: _pad_elem(v) for k, v in fields.items()}
-            else:
-                f_phys = fields
             if kfast:
                 # the coefficient build's corner gather of u goes through
                 # the same Beneš kernel as the Krylov matvecs (~2.4 ms
                 # XLA f64 gather saved; identical values, same order)
-                ue = gather_ue_fast(fast_args, u_T)
+                ue = gather_ue_fast(fast_args,
+                                    u_T)[:, :, :fast["plans"].E]
             else:
                 ue = u_T[:, g["conn_T"]]
             if affine:
                 # TET4: per-q gradients are bit-identical (dphi[q] ==
                 # dphi[0]); compute once and broadcast for the physics
-                u_qp, gx1 = interpolate_ue_affine(ue, self.phi, dphi_t)
+                u_qp, gx1 = interpolate_ue_affine(ue, self.phi,
+                                                  g["dphi"])
                 grad_qp = jnp.broadcast_to(
                     gx1[:, None], (V,) + u_qp.shape[1:2] + gx1.shape[1:])
             else:
-                u_qp, grad_qp = interpolate_ue(ue, self.phi, dphi_t)
-            wfb = self.physics_blocks(u_qp, grad_qp, f_phys, params)
+                u_qp, grad_qp = interpolate_ue(ue, self.phi, g["dphi"])
+            wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             rhs_fn = block_rhs_affine if affine else block_rhs
-            Fe = rhs_fn(wfb, self.phi, JxW_t, dphi_t)
+            Fe = rhs_fn(wfb, self.phi, g["JxW"], g["dphi"])
             if kfast:
                 b = restrict_fast(fast_args, Fe.astype(self.dtype))
             else:
@@ -770,9 +729,7 @@ class TransientRDCSystem:
                 b = ct_fold(b)
             if Dinv_in is None:
                 diag_fn = block_diag_affine if affine else block_diag
-                diag_e = diag_fn(wfb, self.phi, JxW_t, dphi_t)
-                if kfast:  # node_gather indexes the E element order
-                    diag_e = diag_e[..., :self.mesh.n_elems]
+                diag_e = diag_fn(wfb, self.phi, g["JxW"], g["dphi"])
                 D = self._diag_blocks(diag_e.astype(self.dtype),
                                       g["node_gather"])
                 if cons is not None:
@@ -799,10 +756,10 @@ class TransientRDCSystem:
 
             # once-per-step diffusion q-sum for the affine apply; every
             # Krylov matvec (f64 outer and f32 inner) reuses it
-            Epre = diffusion_presum(wfb, JxW_t) if affine else None
+            Epre = diffusion_presum(wfb, g["JxW"]) if affine else None
             if kfast:
-                matvec64 = partial(mv_fast, fast_args, wfb, JxW_t,
-                                   dphi_t, Epre=Epre)
+                matvec64 = partial(mv_fast, fast_args, wfb, g["JxW"],
+                                   g["dphi"], Epre=Epre)
             else:
                 matvec64 = partial(mv, wfb, g["JxW"], g["dphi"], Epre=Epre)
             if cons is not None:
@@ -822,16 +779,13 @@ class TransientRDCSystem:
                 wfb32 = wfb.cast(jnp.float32)
                 Dinv32 = Dinv.astype(jnp.float32)
                 M32 = partial(apply_block_jacobi, Dinv32)
-                Epre32 = (diffusion_presum(
-                    wfb32, g["JxW32p"] if kfast else g["JxW32"])
-                    if affine else None)
+                Epre32 = (diffusion_presum(wfb32, g["JxW32"])
+                          if affine else None)
                 if fast is not None:
                     if fast["use_fused"]:
                         from ..fem.pallas_apply import (stack_blocks,
                                                         stack_blocks_affine)
 
-                        # wfb32/Epre32 are E_pad-sized on the kernel
-                        # path; stack_blocks slices-or-pads to EL
                         stacks32 = (
                             ("affine",
                              stack_blocks_affine(wfb32, Epre32,
@@ -840,10 +794,8 @@ class TransientRDCSystem:
                             ("generic", stack_blocks(wfb32, fast["EL"])))
                     else:
                         stacks32 = None
-                    jxw32_t = g["JxW32p"] if kfast else g["JxW32"]
-                    dphi32_t = g["dphi32p"] if kfast else g["dphi32"]
                     mv32_core = lambda x: mv_fast(
-                        fast_args, wfb32, jxw32_t, dphi32_t, x,
+                        fast_args, wfb32, g["JxW32"], g["dphi32"], x,
                         stacks=stacks32, Epre=Epre32)
                 else:
                     mv32_core = lambda x: mv(wfb32, g["JxW32"],
@@ -860,19 +812,8 @@ class TransientRDCSystem:
                 # rescue only runs on stalled steps, where robustness —
                 # not matvec speed — is what matters.
                 if fast is not None:
-                    def mv64_xla(x, _E=self.mesh.n_elems):
-                        # kfast blocks are E_pad-sized; slice back to the
-                        # E element order the XLA gather/restrict uses.
-                        # These slices trace INSIDE refine_mixed's rescue
-                        # cond branch, so they cost nothing on the
-                        # (overwhelmingly common) non-stalled steps.
-                        slc = (lambda a: a if isinstance(a, float)
-                               else a[..., :_E])
-                        wfb_E = jax.tree.map(slc, wfb) if kfast else wfb
-                        Epre_E = (jax.tree.map(slc, Epre)
-                                  if kfast and Epre is not None else Epre)
-                        return mv(wfb_E, g["JxW"], g["dphi"], x,
-                                  Epre=Epre_E)
+                    mv64_xla = partial(mv, wfb, g["JxW"], g["dphi"],
+                                       Epre=Epre)
                     if cons is not None:
                         _mvx = mv64_xla
                         mv64_xla = lambda x: ct_fold(_mvx(c_apply(x)))
@@ -1154,13 +1095,11 @@ class TransientRDCSystem:
                                                 self.mesh.elem_type)
                 JxW = JxW.astype(self.dtype)
                 dphi = dphi.astype(self.dtype)
-                g = {"JxW": JxW, "dphi": dphi,
-                     "JxW32": JxW.astype(jnp.float32),
-                     "dphi32": dphi.astype(jnp.float32),
-                     "conn_T": self.conn_T,
-                     "node_gather": self.node_gather}
-                g.update(self._pad_geom(JxW, dphi))
-                return g
+                return {"JxW": JxW, "dphi": dphi,
+                        "JxW32": JxW.astype(jnp.float32),
+                        "dphi32": dphi.astype(jnp.float32),
+                        "conn_T": self.conn_T,
+                        "node_gather": self.node_gather}
 
             fn = self._moving_geom_fn = jax.jit(build)
         return fn(coords)
