@@ -165,9 +165,10 @@ def main():
     import sys
 
     which = sys.argv[1] if len(sys.argv) > 1 else "pihna"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     fn = {"pihna": measure_pihna, "adpm": measure_adpm,
           "solid": measure_solid}[which]
-    print(json.dumps(fn()))
+    print(json.dumps(fn(n) if which == "solid" and n else fn()))
 
 
 if __name__ == "__main__":
