@@ -140,10 +140,23 @@ def run(deck_path: str = "input.dat") -> str:
             from ..mesh.adapt_ext import Tet10Adaptive
 
             if amr_strategy == "1to8":
-                print("AMR: TET10 meshes refine by skeleton bisection; "
-                      "ignoring mesh/AMR/strategy = 1to8")
+                # deck-layer warning channel (same discipline as
+                # unconsumed-key warnings): the key is consumed but its
+                # requested behavior cannot be honored
+                deck.warn("mesh/AMR/strategy = 1to8 is not honored on "
+                          "TET10 meshes (quadratic hanging-node "
+                          "constraints are out of scope); refining by "
+                          "skeleton bisection instead")
             return Tet10Adaptive.from_mesh(m), None
         if m.elem_type == "MIXED":
+            if int(deck("parallel/n_devices", 0)) > 1:
+                # hanging-node constraints on mixed meshes are single-chip
+                # (make_rdc_system would raise mid-run at the first
+                # adaptation otherwise) — keep the fixed mesh with a
+                # notice, as pre-round-4 builds did
+                print("AMR: mixed-element hanging-node constraints are "
+                      "single-chip; multi-chip run keeps the fixed mesh")
+                return None, None
             from ..mesh.adapt_ext import MixedConstrained
 
             return None, MixedConstrained.from_mesh(m)

@@ -114,6 +114,13 @@ def kelly_error_indicator(mesh: Mesh, u: jnp.ndarray,
     src/pihna.C:826-831).  The flux jump is sampled at each interior face's
     center from BOTH adjacent elements — exact for P1 TET4 (constant
     gradients) and first-order-correct for trilinear HEX8."""
+    if mesh.elem_type in ("TRI3", "QUAD4"):
+        # _face_center_gradients builds 3x3 Jacobians from 3D reference
+        # vertices; a 2D volume mesh would hit a singular/non-square
+        # inverse, so fail clearly (no shipped deck runs AMR on 2D)
+        raise NotImplementedError(
+            "Kelly error indicator supports 3D volume meshes only "
+            "(TET4/TET10/HEX8); AMR is not wired for 2D TRI3/QUAD4 meshes")
     ea, eb, area, normal, h, sa, sb = interior_face_table(mesh,
                                                           return_sides=True)
     grad = _face_center_gradients(mesh, np.asarray(u))  # (E, S, V, 3)

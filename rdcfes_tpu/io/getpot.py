@@ -112,6 +112,14 @@ class Deck:
     def unused_keys(self) -> Sequence[str]:
         return sorted(k for k in self._values if k not in self._accessed)
 
+    def warn(self, msg: str, out: Optional[TextIO] = None) -> None:
+        """Deck-layer warning channel: a consumed key whose requested
+        behavior cannot be honored (same stream discipline as
+        warn_unused — resolve the stream at call time)."""
+        if out is None:
+            out = sys.stderr
+        print(f"WARNING: {msg}", file=out)
+
     def warn_unused(self, out: Optional[TextIO] = None) -> Sequence[str]:
         if out is None:
             # resolve at CALL time: a def-time `= sys.stderr` default

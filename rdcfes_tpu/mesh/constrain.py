@@ -172,6 +172,32 @@ class ConstrainedMesh:
                         grew = True
                 if not grew:
                     break
+            # veto fixpoint: the grow/veto interleave above can oscillate
+            # (an element that owns one hanging edge but holds a frozen
+            # hanging node is re-added and re-vetoed each pass) and exit
+            # at the iteration cap with an element still in S whose
+            # refinement would chain constraints.  Sweep vetoes to a
+            # fixpoint — an S element may not refine if it holds a
+            # hanging node whose coarse edge cannot be fully refined:
+            # the edge is frozen, or some edge owner is not in S (vetoed
+            # itself, or the cap left it unadded).  Veto only shrinks S,
+            # so this terminates.
+            while S.any():
+                bad = np.zeros_like(S)
+                for h, (a, b) in h2edge.items():
+                    frozen = (self.frozen_edges is not None
+                              and (int(a), int(b)) in self.frozen_edges)
+                    if not frozen:
+                        owners_out = bool(np.any(
+                            np.any(conn == a, axis=1)
+                            & np.any(conn == b, axis=1) & ~S))
+                        if not owners_out:
+                            continue
+                    bad |= np.any(conn == h, axis=1)
+                bad &= S
+                if not bad.any():
+                    break
+                S[bad] = False
         if not S.any():
             return None
 

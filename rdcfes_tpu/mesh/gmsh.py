@@ -147,8 +147,15 @@ def _read_lines(lines) -> Mesh:
     if not by_type:
         # no 3D volume elements: a 2D mesh whose volume elements are the
         # TRI3/QUAD4 rows and whose boundary sides are the EDGE2 rows
-        kinds = sorted({"TRI3" if len(f) == 3 else "QUAD4"
-                        for f in surf_conn})
+        _2d = {3: "TRI3", 4: "QUAD4"}
+        bad = sorted({len(f) for f in surf_conn} - set(_2d))
+        if bad:
+            # e.g. a TRI6 surface-only file: first-order TRI3/QUAD4 are
+            # the only supported 2D volume elements
+            raise ValueError(
+                f"unsupported 2D volume element ({bad[0]}-node surface "
+                "row; only first-order TRI3/QUAD4 2D meshes are supported)")
+        kinds = sorted({_2d[len(f)] for f in surf_conn})
         if not kinds:
             raise ValueError("mesh contains no supported volume elements")
         if len(kinds) > 1:

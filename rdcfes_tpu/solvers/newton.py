@@ -51,8 +51,9 @@ class NewtonOptions(NamedTuple):
     # 1e-3) stop at a path-dependent iterate — under "mixed" the
     # single-chip and (f64) halo solves then differ beyond the 1e-8
     # artifact-equality bar.  Deck key solver/linear/precision opts a
-    # case in; the f64 stall rescue rides along except on the Pallas
-    # fast path (extra kernel call sites break the compile budget).
+    # case in; the f64 stall rescue rides along on every path (on the
+    # Pallas fast path the rescue matvec is the plain-XLA ELL apply —
+    # extra kernel call sites break the compile budget).
     linear_precision: str = "f64"
     # Beneš-kernel x-gather for the inner SpMV: "1" on TPU hardware,
     # "interpret" for CI, "0" for the XLA gather.  Bit-identical to the
@@ -161,10 +162,18 @@ class NewtonSolver:
                                        self._ell_cols)
                 M32 = partial(apply_block_jacobi, Dinv.astype(f32))
                 mv32 = lambda y: M32(mv32_raw(y))
+                # the f64 stall rescue covers the stagnation exit on
+                # EVERY path: on the Pallas fast path the rescue matvec
+                # is the plain-XLA ELL apply (extra kernel call sites
+                # break the compile budget, PERF.md section 5; a rescue
+                # is rare enough that its matvec speed does not matter)
+                plain64 = (pre_matvec if self._fast is None else
+                           (lambda y: M(ell_matvec(values_ell,
+                                                   self._ell_cols, y))))
                 x, iters, resid = refine_mixed(
                     mv32, pre_matvec, pre_b, jnp.zeros_like(pre_b),
                     rtol, opts.max_linear_iterations,
-                    f64_fallback=self._fast is None)
+                    f64_fallback=True, fallback_matvec=plain64)
                 return x, iters, resid
             res = lin(pre_matvec, pre_b, rtol=rtol,
                       maxiter=opts.max_linear_iterations)

@@ -381,3 +381,32 @@ def test_constrained_run_steps_matches_step():
     # the constraint holds in the final state
     h, aa, bb = cons[:, 0], cons[:, 1], cons[:, 2]
     assert np.allclose(a[h], 0.5 * (a[aa] + a[bb]), rtol=0, atol=1e-12)
+
+
+def test_frozen_veto_owner_oscillation_fixpoint():
+    """An element that OWNS a (non-frozen) hanging edge while HOLDING a
+    frozen hanging node used to oscillate through the grow/veto closure
+    (re-added by the owner rule, re-vetoed as a frozen holder each
+    pass) and could exit at the iteration cap with a holder still
+    flagged, whose refinement would chain constraints.  The veto
+    fixpoint must instead cascade the veto to the flagged holder and
+    return None (advisor r4 finding)."""
+    from rdcfes_tpu.mesh.core import Mesh
+
+    coords = np.array([
+        [0.0, 0, 0], [1, 0, 0], [0.5, 0.5, 0], [0.5, 0, 1],   # elem X
+        [2.0, 0, 0], [3, 0, 0], [2.5, 1, 0], [2.5, 0, 1],     # elem Y
+        [0.0, 2, 0], [1, 2, 0],                               # frozen edge
+    ])
+    # X = elem 0: contains edge (0,1) -- the coarse owner of hanging
+    # node 4 -- and holds node 2, which hangs on the FROZEN edge (8,9)
+    # (its owner lives in a transition block outside this TET4 mesh).
+    # Y = elem 1: flagged, holds hanging node 4.
+    conn = np.array([[0, 1, 2, 3], [4, 5, 6, 7]], dtype=np.int32)
+    mesh = Mesh(coords=coords, connectivity=conn, elem_type="TET4",
+                subdomain_id=np.zeros(2, dtype=np.int32))
+    cm = ConstrainedMesh(mesh,
+                         hanging={(0, 1): 4, (8, 9): 2},
+                         frozen_edges=frozenset({(8, 9)}))
+    flags = np.array([False, True])
+    assert cm.refine(flags) is None

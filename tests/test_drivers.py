@@ -693,3 +693,41 @@ def test_literal_uniaxial_compression_deck(tmp_path, monkeypatch, capsys):
 def test_literal_hydrogel_tension_deck(tmp_path, monkeypatch, capsys):
     _run_literal_solid_deck("hydrogel_tension", tmp_path, monkeypatch,
                             capsys)
+
+
+def test_tet10_1to8_strategy_warns(in_tmp, capsys):
+    """A deck key the AMR path cannot honor (TET10 + strategy=1to8
+    refines by skeleton bisection) surfaces through the deck-layer
+    warning channel, consistent with the unconsumed-key discipline
+    (VERDICT r4 item 9)."""
+    from rdcfes_tpu.drivers import pihna
+    from rdcfes_tpu.mesh.generators import tet4_to_tet10
+
+    mesh = tet4_to_tet10(box_tet_mesh(2, 2, 2))
+    Kk = 2.39e5
+    u0 = np.zeros((mesh.n_nodes, 5))
+    r2 = ((mesh.coords - 0.5) ** 2).sum(axis=1)
+    u0[:, 1] = 0.05 * Kk * np.exp(-r2 / 0.05)
+    u0[:, 3] = 0.03 * Kk
+    u0[:, 4] = 1e-9
+    structure = np.zeros((mesh.n_elems, 2))
+    deck = """
+directory = 'out'
+input_GMSH = input.msh
+input_nodal = input.nodal
+input_elemental = input.elemental
+time_step_number = 2
+time_step = 0.05
+output_step = 2
+refinement_step = 1
+mesh/AMR/max_steps = 1
+mesh/AMR/strategy = 1to8
+cells_max_capacity = 2.39e+5
+cells_min_capacity = 1.0
+cytokines_max_capacity = 1.0e-8
+diffuse/v = 0.1
+"""
+    _write_case(in_tmp, mesh, deck, u0, structure)
+    pihna.run("input.dat")
+    err = capsys.readouterr().err
+    assert "WARNING" in err and "1to8 is not honored on TET10" in err

@@ -144,3 +144,39 @@ def test_vtu_write_2d(tmp_path):
     # every cell is VTK_QUAD = 9
     types = text.split('Name="types"')[1].split(">")[1].split("<")[0].split()
     assert set(types) == {"9"}
+
+
+def test_tri6_only_file_rejected():
+    """A 2D file whose surface rows are TRI6 (second-order) must fail
+    with a clear unsupported-type error, not be misread as 6-node
+    QUAD4 (advisor r4 finding)."""
+    txt = """$MeshFormat
+2.2 0 8
+$EndMeshFormat
+$Nodes
+6
+1 0 0 0
+2 1 0 0
+3 0 1 0
+4 0.5 0 0
+5 0.5 0.5 0
+6 0 0.5 0
+$EndNodes
+$Elements
+1
+1 9 2 1 1 1 2 3 4 5 6
+$EndElements
+"""
+    with pytest.raises(ValueError, match="unsupported 2D volume element"):
+        gmsh.read(io.StringIO(txt))
+
+
+def test_kelly_2d_unsupported():
+    """Kelly error indicator fails clearly on 2D volume meshes instead of
+    crashing in the 3x3 Jacobian inverse (advisor r4 finding)."""
+    from rdcfes_tpu.fem.amr import kelly_error_indicator
+
+    m = box_tri_mesh(3, 3)
+    u = np.random.default_rng(0).random((m.n_nodes, 1))
+    with pytest.raises(NotImplementedError, match="3D volume meshes"):
+        kelly_error_indicator(m, u, [0])
