@@ -121,10 +121,9 @@ def adpm_bench():
     taxis ACTIVE (the shipped deck's `taxis/A_b` never reaches the solver
     due to the documented taxis_1 key quirk — the reference's effective
     run is taxis-off).  Amplitude 50 here because this leg's measured
-    oracle BASELINE (0.1565 steps/s single-core) was taken in that
-    regime: it converges at ~24 inner iterations per step — 4x the PIHNA
-    bench — so this measures a genuinely Krylov-bound regime against a
-    like-for-like baseline.  The deck's nominal 1e3 is benched
+    compiled BASELINE (oracle/native_adpm.cpp, 10.39 steps/s single-core,
+    parity-gated) was taken in that regime — a genuinely Krylov-bound
+    regime against a like-for-like baseline.  The deck's nominal 1e3 is benched
     separately (adpm_deck_regime_bench): at CFL ~10 the linearized-CN
     operator is INDEFINITE — eigenvalues on both sides of the origin;
     measured: unrestarted f64 GMRES + exact block-Jacobi stalls at
@@ -449,12 +448,24 @@ def main():
         # each secondary leg that completes lands incrementally — a
         # harness kill during the NEXT leg must not erase this one
         emit(out)
+    # HARDENED denominators (round 5, BASELINE_MEASURED.json): every leg
+    # divides by a measured compiled-C++ single-core baseline x 8 ideal
+    # MPI ranks, parity-gated against the scipy/NumPy oracles on every
+    # measurement run (oracle/measure_native2.py).  These supersede the
+    # scipy-oracle-derived denominators (1.252 steps/s ADPM, 433.8 s
+    # solid) the round-4 verdict rejected: compiled C++ measured 66x the
+    # ADPM scipy oracle and ~147x the solid Python oracle per element.
     if "adpm_steps_per_sec" in out:
-        # ADPM oracle 0.1565 steps/s single-core x 8 ideal ranks
-        out["adpm_vs_baseline"] = round(out["adpm_steps_per_sec"] / 1.252, 2)
+        # native ADPM 10.39 steps/s single-core x 8 ideal ranks
+        out["adpm_vs_baseline"] = round(out["adpm_steps_per_sec"] / 83.11, 2)
+    if "adpm_deck_regime_steps_per_sec" in out:
+        # native ADPM, deck regime (taxis 1e3, same dt/16 subcycling):
+        # 0.4394 outer steps/s single-core x 8 ideal ranks
+        out["adpm_deck_regime_vs_baseline"] = round(
+            out["adpm_deck_regime_steps_per_sec"] / 3.516, 2)
     if "solid_load_step_sec" in out:
-        # solid oracle 3470.5 s extrapolated single-core / 8 ideal ranks
-        out["solid_vs_baseline"] = round(433.8 / out["solid_load_step_sec"], 2)
+        # native solid load step at bench scale: 23.60 s single-core / 8
+        out["solid_vs_baseline"] = round(2.95 / out["solid_load_step_sec"], 2)
     emit(out)
 
 
