@@ -99,9 +99,6 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
         # (libMesh assembles them through one polymorphic loop; here each
         # type is its own static-shape batch — systems/mixed.py
         # single-chip, parallel/halo.py multi-chip)
-        if (kwargs.get("constraints") is not None and n_dev > 1):
-            raise ValueError("constraints on mixed-element meshes are "
-                             "single-chip (AMR reshards by rebuilding)")
         if n_dev <= 1:
             from ..systems import MixedTransientRDCSystem
 

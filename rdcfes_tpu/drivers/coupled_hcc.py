@@ -170,14 +170,20 @@ def run(deck_path: str = "input.dat") -> str:
             mesh = gmsh.read(ck_mesh)
             amr_done = int(extra["amr_done"])
             fibres = extra["fibres"]
+            ck_cons = None
+            if "constraints" in extra and len(extra["constraints"]):
+                # the refined mixed mesh is non-conforming without its
+                # hanging-node constraints (single-chip path)
+                ck_cons = np.asarray(extra["constraints"])
             rds, get_u, put_state = make_rdc_system(
                 mesh, 3, hcc_physics, deck, moving_mesh=True,
-                physics_blocks=hcc_blocks)
+                physics_blocks=hcc_blocks, constraints=ck_cons)
             solid = SolidSystem(
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
                 fibres=fibres, newton=load_newton_options(deck),
-                device_mesh=dmesh,
+                device_mesh=None if ck_cons is not None else dmesh,
+                constraints=ck_cons,
             )
             paraview.mesh = mesh
             print(f"resumed on remeshed grid ({mesh.n_elems} elements)")
@@ -248,9 +254,70 @@ def run(deck_path: str = "input.dat") -> str:
                     np.asarray(p_j), np.asarray(vm_j), np.asarray(fc_j)
                 )
         if (t in rtp and amr_done < amr_max_steps
+                and mesh.elem_type == "MIXED" and dmesh is not None):
+            # constraints are single-chip in both the mixed RDC system and
+            # the solid Newton; multi-chip mixed runs keep the fixed mesh
+            print(f"remeshing step {t}: mixed-element remeshing is "
+                  "single-chip only; continuing on the fixed mesh")
+        elif (t in rtp and amr_done < amr_max_steps
                 and mesh.elem_type == "MIXED"):
-            print(f"remeshing step {t}: mixed-element meshes do not "
-                  "refine; continuing on the fixed mesh")
+            # mixed-element coupled remeshing (src/coupled_hcc.C:733-780
+            # is mesh-generic): Kelly on pressure + tumor c over the TET4
+            # block, constrained 1:8 against frozen transition blocks;
+            # the RDC side solves C^T A C (systems/mixed.py) and the
+            # solid Newton the same algebra (solvers/newton.py)
+            amr_done += 1
+            with plog.scope("remeshing"):
+                import jax.numpy as jnp
+
+                from ..fem.amr import flag_by_mean_stddev
+                from ..mesh.adapt_ext import MixedConstrained, kelly_mixed
+
+                u_np = np.asarray(state["u"])
+                ind = np.stack([elemental_to_nodal(mesh, p_elem),
+                                u_np[:, 1]], axis=1)
+                eta = kelly_mixed(mesh, jnp.asarray(ind), [0, 1])
+                flags, coarsen = flag_by_mean_stddev(
+                    np.asarray(eta), amr_refine_frac, amr_coarsen_frac)
+                if amesh is None or getattr(amesh, "mixed",
+                                            None) is not mesh:
+                    amesh = MixedConstrained.from_mesh(mesh)
+                out = amesh.refine_and_coarsen(flags, coarsen,
+                                               max_level=amr_max_level)
+                if out is None:
+                    print(f"remeshing step {t}: nothing flagged")
+                else:
+                    amesh = out.adaptive
+                    mesh = out.mesh
+                    cons = (out.constraints if len(out.constraints)
+                            else None)
+                    print(f"remeshing step {t}: adapted to "
+                          f"{mesh.n_elems} elements "
+                          f"({0 if cons is None else len(cons)} hanging "
+                          "constraints)")
+                    fibres = out.transfer_elemental(fibres)
+                    p_elem = out.transfer_elemental(p_elem)
+                    vm_elem = out.transfer_elemental(vm_elem)
+                    fibre_cur = out.transfer_elemental(fibre_cur)
+                    x_new = out.prolong(np.asarray(x))
+                    gstate = rds.gather_state(state)
+                    rds, get_u, put_state = make_rdc_system(
+                        mesh, 3, hcc_physics, deck, moving_mesh=True,
+                        physics_blocks=hcc_blocks, constraints=cons)
+                    solid = SolidSystem(
+                        mesh,
+                        materials=load_materials(deck),
+                        bcs=load_bcs(deck),
+                        penalty=deck("BCs/displacement_penalty", 1.0e5),
+                        fibres=fibres,
+                        newton=load_newton_options(deck),
+                        constraints=cons,
+                    )
+                    state = rds.scatter_state(
+                        {k: out.prolong(np.asarray(v))
+                         for k, v in gstate.items()})
+                    x = jnp.asarray(x_new)
+                    paraview.mesh = mesh
         elif t in rtp and amr_done < amr_max_steps:
             # adaptive remeshing (src/coupled_hcc.C:733-780): Kelly on
             # hydrostatic pressure + tumor concentration, mean-stddev
@@ -323,6 +390,9 @@ def run(deck_path: str = "input.dat") -> str:
                     gmsh.write(mesh,
                                os.path.join(DIR, "checkpoint_mesh.msh"))
                     ck_extras["amr_done"] = np.asarray(amr_done)
+                    if (mesh.elem_type == "MIXED" and amesh is not None
+                            and len(getattr(amesh, "constraints", ()))):
+                        ck_extras["constraints"] = amesh.constraints
                 save_checkpoint(
                     os.path.join(DIR, "checkpoint.npz"),
                     rds.gather_state(state), t,

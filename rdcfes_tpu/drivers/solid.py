@@ -200,11 +200,16 @@ def run(deck_path: str = "input.dat") -> str:
             mesh = gmsh.read(ck_mesh)
             amr_done = int(extra["amr_done"])
             fibres = extra["fibres"]
+            sys_kw = {}
+            if "constraints" in extra and len(extra["constraints"]):
+                # restore the hanging-node constraints the refined mixed
+                # mesh was checkpointed with (single-chip path)
+                sys_kw["constraints"] = np.asarray(extra["constraints"])
             system = SolidSystem(
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
                 fibres=fibres, newton=load_newton_options(deck),
-                device_mesh=dmesh,
+                device_mesh=None if sys_kw else dmesh, **sys_kw,
             )
             paraview.mesh = mesh
             print(f"resumed on remeshed grid ({mesh.n_elems} elements)")
@@ -230,13 +235,66 @@ def run(deck_path: str = "input.dat") -> str:
                 np.asarray(p_j), np.asarray(vm_j), np.asarray(fc_j)
             )
         if (l in rtp and amr_done < amr_max_steps
+                and mesh.elem_type == "MIXED" and dmesh is not None):
+            # hanging-node constraints in the solid Newton are single-chip
+            # only (the multi-chip halo Newton does not close its ghost
+            # set over constraint endpoints); multi-chip mixed runs keep
+            # the fixed mesh with a notice instead of crashing mid-run
+            print(f"remeshing step {l}: mixed-element solid remeshing is "
+                  "single-chip only; continuing on the fixed mesh",
+                  file=sys.stderr)
+        elif (l in rtp and amr_done < amr_max_steps
                 and mesh.elem_type == "MIXED"):
-            # documented deviation: hanging-node constraints inside the
-            # solid NEWTON path are not wired (the RDC path has them,
-            # systems/mixed.py), so mixed solid meshes stay fixed
-            print(f"remeshing step {l}: mixed-element solid meshes do "
-                  "not refine (constrained Newton not wired); "
-                  "continuing on the fixed mesh", file=sys.stderr)
+            # mixed-element remeshing (reference src/solid.C:330-369 is
+            # mesh-generic): Kelly on pressure + Von Mises over the TET4
+            # block, constrained 1:8 against the frozen transition
+            # blocks, and the Newton path solves C^T K C matrix-free
+            # (solvers/newton.py, gated by test_solid_constrained.py)
+            amr_done += 1
+            with plog.scope("remeshing"):
+                import jax.numpy as jnp
+
+                from ..fem.amr import flag_by_mean_stddev
+                from ..mesh.adapt_ext import MixedConstrained, kelly_mixed
+
+                ind = np.stack([elemental_to_nodal(mesh, p_elem),
+                                elemental_to_nodal(mesh, vm_elem)], axis=1)
+                eta = kelly_mixed(mesh, jnp.asarray(ind), [0, 1])
+                flags, coarsen = flag_by_mean_stddev(
+                    np.asarray(eta), amr_refine_frac, amr_coarsen_frac)
+                if amesh is None or getattr(amesh, "mixed",
+                                            None) is not mesh:
+                    amesh = MixedConstrained.from_mesh(mesh)
+                out = amesh.refine_and_coarsen(flags, coarsen,
+                                               max_level=amr_max_level)
+                if out is None:
+                    print(f"remeshing step {l}: nothing flagged")
+                else:
+                    amesh = out.adaptive
+                    mesh = out.mesh
+                    cons = out.constraints
+                    print(f"remeshing step {l}: adapted to "
+                          f"{mesh.n_elems} elements "
+                          f"({len(cons)} hanging constraints)")
+                    # prolong CURRENT positions: new mid-edge nodes land
+                    # at the midpoint of their (deformed) masters, so the
+                    # prolonged x satisfies every constraint exactly
+                    x_new = out.prolong(np.asarray(x))
+                    fibres = out.transfer_elemental(fibres)
+                    p_elem = out.transfer_elemental(p_elem)
+                    vm_elem = out.transfer_elemental(vm_elem)
+                    fibre_cur = out.transfer_elemental(fibre_cur)
+                    system = SolidSystem(
+                        mesh,
+                        materials=load_materials(deck),
+                        bcs=load_bcs(deck),
+                        penalty=deck("BCs/displacement_penalty", 1.0e5),
+                        fibres=fibres,
+                        newton=load_newton_options(deck),
+                        constraints=cons if len(cons) else None,
+                    )
+                    x = jnp.asarray(x_new)
+                    paraview.mesh = mesh
         elif l in rtp and amr_done < amr_max_steps:
             # adaptive remeshing (src/solid.C:330-369): Kelly on the
             # pressure + Von Mises fields, mean-stddev flagging, conforming
@@ -316,6 +374,11 @@ def run(deck_path: str = "input.dat") -> str:
                     gmsh.write(mesh,
                                os.path.join(DIR, "checkpoint_mesh.msh"))
                     ck_extras["amr_done"] = np.asarray(amr_done)
+                    if (mesh.elem_type == "MIXED" and amesh is not None
+                            and len(amesh.constraints)):
+                        # hanging-node constraints must survive resume:
+                        # the refined mesh is non-conforming without them
+                        ck_extras["constraints"] = amesh.constraints
                 save_checkpoint(
                     os.path.join(DIR, "checkpoint.npz"), {"x": np.asarray(x)},
                     l, pseudo_time, ck_params, **ck_extras,

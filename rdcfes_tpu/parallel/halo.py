@@ -309,7 +309,7 @@ def _restriction_tables(conn_local: np.ndarray, elem_counts: np.ndarray,
     return node_gather
 
 
-def build_mixed_plan(mesh, D: int):
+def build_mixed_plan(mesh, D: int, constraints=None):
     """(HaloPlan, per-block host tables) for a MixedMesh.
 
     The node-side plan (ownership, ghost sets, exchange tables, reverse
@@ -337,7 +337,10 @@ def build_mixed_plan(mesh, D: int):
     block_of = np.concatenate(block_of)
     pseudo = SimpleNamespace(connectivity=conn_pad, n_nodes=mesh.n_nodes,
                              coords=mesh.coords)
-    plan = HaloPlan.build(pseudo, D)
+    # hanging-node constraints ride the same plan: the closure puts both
+    # masters in every shard that sees a hanging node (HaloPlan.build),
+    # so the mixed shard step's C / C^T stay communication-free
+    plan = HaloPlan.build(pseudo, D, constraints=constraints)
 
     Nloc = plan.No_max + plan.Gtot
     block_sorted = block_of[plan.elem_order]
@@ -482,15 +485,14 @@ class HaloShardedSystem(HaloExchangeMixin):
             # mixed-element meshes: one exchange plan over the padded
             # concatenation of all blocks, per-type element tables, the
             # dense shard step summing block restrictions
-            # (_linear_stage_blocks).  The qp/Pallas fast paths and
-            # constraints stay single-type; moving_mesh recomputes the
-            # per-block geometry inside the shard program
-            # (_step_shard_moving_mixed).
-            if constraints is not None:
-                raise ValueError("constraints are not supported on "
-                                 "mixed-element meshes")
+            # (_linear_stage_blocks).  The qp/Pallas fast paths stay
+            # single-type; moving_mesh recomputes the per-block geometry
+            # inside the shard program (_step_shard_moving_mixed);
+            # hanging-node constraints (mixed AMR) ride the plan's ghost
+            # closure and the shared _linear_stage_blocks algebra.
             self.physics_blocks = None
-            plan, per_block = build_mixed_plan(mesh, D)
+            plan, per_block = build_mixed_plan(mesh, D,
+                                               constraints=constraints)
             self.plan = plan
             coords_new = jnp.asarray(mesh.coords[plan.node_order])
             tabs = []
@@ -561,10 +563,22 @@ class HaloShardedSystem(HaloExchangeMixin):
                 mask[s, : plan.owned_counts[s]] = 1.0
             self.mask_s = jax.device_put(mask, shard_last(P("d")))
             self._state_sharding = shard_last(P("d"))
+            # constraint tables (dummies keep the shard-program signature
+            # uniform; plan.has_cons gates their use at trace time)
+            if plan.has_cons:
+                cons_all, hang_mask = plan.cons_all, plan.hang_mask
+            else:
+                cons_all = np.full((D, 3, 1), plan.No_max + plan.Gtot,
+                                   dtype=np.int32)
+                hang_mask = np.ones((D, plan.No_max))
+            self.cons_all_s = jax.device_put(cons_all, shard_last(P("d")))
+            self.hang_mask_s = jax.device_put(hang_mask,
+                                              shard_last(P("d")))
             in_specs = (
                 P("d"), P("d"), P(), P(),
                 P("d"),             # tabs pytree (all leaves shard-axis-0)
                 P("d"), P("d"),     # rev_gather, mask
+                P("d"), P("d"),     # cons_all, hang_mask
             ) + tuple(P("d") for _ in plan.send_idx)
             self._step = jax.jit(shard_map(
                 self._step_shard_mixed, mesh=device_mesh,
@@ -899,7 +913,8 @@ class HaloShardedSystem(HaloExchangeMixin):
                                   ca=ca, hmask=hmask)
 
     def _step_shard_mixed(self, u_blk, efields, scalars, params, tabs,
-                          rev_gather, mask, *send_tabs):
+                          rev_gather, mask, cons_all, hang_mask,
+                          *send_tabs):
         """Mixed-element shard step: per-type element kernels on the
         ghost-filled old solution, block restrictions summed in
         _linear_stage_blocks — the distributed counterpart of
@@ -909,6 +924,8 @@ class HaloShardedSystem(HaloExchangeMixin):
         (nodal / replicated) are shared across blocks."""
         u = u_blk["u"][0]
         msk = mask[0]
+        ca = cons_all[0]
+        hmask = hang_mask[0]
         ug = self._ghost_fill(u, send_tabs)
         eblocks = []
         for bi, tab in enumerate(tabs):
@@ -929,7 +946,8 @@ class HaloShardedSystem(HaloExchangeMixin):
                 return_diag=True)
             eblocks.append((Fe, Ke, diag_e, ng, conn))
         return self._linear_stage_blocks(u_blk, tuple(eblocks), msk,
-                                         rev_gather, send_tabs)
+                                         rev_gather, send_tabs,
+                                         ca=ca, hmask=hmask)
 
     def _step_shard_moving(self, u_blk, coords_blk, efields, scalars, params,
                            conn_mv, node_gather, rev_gather, mask,
@@ -968,7 +986,7 @@ class HaloShardedSystem(HaloExchangeMixin):
 
     def _step_shard_moving_mixed(self, u_blk, coords_blk, efields, scalars,
                                  params, tabs, rev_gather, mask,
-                                 *send_tabs):
+                                 cons_all, hang_mask, *send_tabs):
         """Mixed-element moving-mesh shard step: per-block geometry
         factors are computed INSIDE the shard program from ghost-filled
         current node positions (coupled RDC<->solid on a mixed mesh,
@@ -979,6 +997,8 @@ class HaloShardedSystem(HaloExchangeMixin):
         tables never gather pad slots either way."""
         u = u_blk["u"][0]
         msk = mask[0]
+        ca = cons_all[0]
+        hmask = hang_mask[0]
         xg = self._ghost_fill(coords_blk[0], send_tabs)   # (3, Nloc)
         ug = self._ghost_fill(u, send_tabs)
         eblocks = []
@@ -1002,7 +1022,8 @@ class HaloShardedSystem(HaloExchangeMixin):
                 return_diag=True)
             eblocks.append((Fe, Ke, diag_e, ng, conn))
         return self._linear_stage_blocks(u_blk, tuple(eblocks), msk,
-                                         rev_gather, send_tabs)
+                                         rev_gather, send_tabs,
+                                         ca=ca, hmask=hmask)
 
     # ------------------------------------------------------------------
     def _step_shard_qp_fn(self, params: Dict):
@@ -1389,6 +1410,7 @@ class HaloShardedSystem(HaloExchangeMixin):
                         P("d"), P("d"), P("d"), P(), P(),
                         P("d"),             # tabs pytree
                         P("d"), P("d"),     # rev_gather, mask
+                        P("d"), P("d"),     # cons_all, hang_mask
                     ) + tuple(P("d") for _ in self.plan.send_idx)
                     self._step_moving = jax.jit(shard_map(
                         self._step_shard_moving_mixed, mesh=self.dmesh,
@@ -1396,9 +1418,11 @@ class HaloShardedSystem(HaloExchangeMixin):
                 return self._step_moving(
                     state, self.scatter_coords(coords), fields or {},
                     scalars or {}, params, self._mixed,
-                    self.rev_gather_s, self.mask_s, *self.send_idx_s)
+                    self.rev_gather_s, self.mask_s,
+                    self.cons_all_s, self.hang_mask_s, *self.send_idx_s)
             return self._step(state, fields or {}, scalars or {}, params,
                               self._mixed, self.rev_gather_s, self.mask_s,
+                              self.cons_all_s, self.hang_mask_s,
                               *self.send_idx_s)
         if coords is not None:
             if self._step_moving is None:

@@ -79,10 +79,28 @@ class NewtonResult(NamedTuple):
     converged: bool = True
 
 
+def _c_apply(cons, x):
+    """Distribute master values to hanging entries: x_h = (x_a + x_b)/2.
+    x is channel-first (V, N); cons = (hh, aa, bb)."""
+    hh, aa, bb = cons
+    return x.at[:, hh].set(0.5 * (x[:, aa] + x[:, bb]))
+
+
+def _ct_fold(cons, y):
+    """Fold hanging rows into their masters (C^T): y_a += y_h/2,
+    y_b += y_h/2, y_h = 0."""
+    hh, aa, bb = cons
+    half = 0.5 * y[:, hh]
+    y = y.at[:, aa].add(half)
+    y = y.at[:, bb].add(half)
+    return y.at[:, hh].set(0.0)
+
+
 class NewtonSolver:
     """Reusable Newton driver: jits the linear stage once per sparsity."""
 
-    def __init__(self, sp: NodePairSparsity, opts: NewtonOptions = NewtonOptions()):
+    def __init__(self, sp: NodePairSparsity, opts: NewtonOptions = NewtonOptions(),
+                 constraints: Optional[np.ndarray] = None):
         import os
 
         self.sp = sp
@@ -91,6 +109,18 @@ class NewtonSolver:
         self._ell_cols = jnp.asarray(ell_cols)
         self._ell_slot = jnp.asarray(ell_slot)
         self._diag_slots = jnp.asarray(sp.diag_slots)
+        # hanging-node constraints (H, 3) rows [h, a, b]: x_h=(x_a+x_b)/2
+        # (mesh/constrain.py) — Newton iterates in the reduced space and
+        # the linear stage applies C^T K C matrix-free, the same algebra
+        # as systems/mixed.MixedTransientRDCSystem.  Positions constrain
+        # LINEARLY (midpoint of the master edge), so dx_h=(dx_a+dx_b)/2
+        # and a constrained x0 stays constrained through every update.
+        if constraints is not None and len(constraints):
+            c = np.asarray(constraints, dtype=np.int32)
+            self._cons = (jnp.asarray(c[:, 0]), jnp.asarray(c[:, 1]),
+                          jnp.asarray(c[:, 2]))
+        else:
+            self._cons = None
         lin = {"bicgstab": bicgstab, "gmres": gmres}[opts.linear_method]
 
         # opt-in Beneš-kernel x-gather for the inner SpMV
@@ -131,6 +161,15 @@ class NewtonSolver:
                                  interpret=self._fast["interpret"])
             else:
                 matvec = partial(ell_matvec, values_ell, self._ell_cols)
+            if self._cons is not None:
+                # constrained operator C^T K C: iterates live in the
+                # reduced space embedded with hanging entries zero; the
+                # block-Jacobi preconditioner is node-block-diagonal, so
+                # it preserves that subspace
+                raw_mv = matvec
+                matvec = lambda y: _ct_fold(
+                    self._cons, raw_mv(_c_apply(self._cons, y)))
+                rhs = _ct_fold(self._cons, rhs)
             Dinv = block_jacobi_inverse(values, self._diag_slots)
             M = partial(apply_block_jacobi, Dinv)
             # LEFT preconditioning with the preconditioned residual as the
@@ -160,6 +199,10 @@ class NewtonSolver:
                 else:
                     mv32_raw = partial(ell_matvec, values_ell.astype(f32),
                                        self._ell_cols)
+                if self._cons is not None:
+                    raw32 = mv32_raw
+                    mv32_raw = lambda y: _ct_fold(
+                        self._cons, raw32(_c_apply(self._cons, y)))
                 M32 = partial(apply_block_jacobi, Dinv.astype(f32))
                 mv32 = lambda y: M32(mv32_raw(y))
                 # the f64 stall rescue covers the stagnation exit on
@@ -167,9 +210,14 @@ class NewtonSolver:
                 # is the plain-XLA ELL apply (extra kernel call sites
                 # break the compile budget, PERF.md section 5; a rescue
                 # is rare enough that its matvec speed does not matter)
+                plain_ell = (lambda y: ell_matvec(values_ell,
+                                                  self._ell_cols, y))
+                if self._cons is not None:
+                    raw_pl = plain_ell
+                    plain_ell = lambda y: _ct_fold(
+                        self._cons, raw_pl(_c_apply(self._cons, y)))
                 plain64 = (pre_matvec if self._fast is None else
-                           (lambda y: M(ell_matvec(values_ell,
-                                                   self._ell_cols, y))))
+                           (lambda y: M(plain_ell(y))))
                 x, iters, resid = refine_mixed(
                     mv32, pre_matvec, pre_b, jnp.zeros_like(pre_b),
                     rtol, opts.max_linear_iterations,
@@ -180,6 +228,15 @@ class NewtonSolver:
             return res.x, res.iters, res.residual
 
         self._linear_solve = jax.jit(linear_solve)
+
+    def _res_norm(self, R) -> float:
+        """Residual norm for the Newton stopping rules: the REDUCED-space
+        residual ||C^T R|| when hanging-node constraints are present (the
+        raw hanging rows carry forces that the constraint distributes to
+        the masters — equilibrium holds in the reduced space)."""
+        if self._cons is not None:
+            R = _ct_fold(self._cons, R)
+        return float(jnp.linalg.norm(R))
 
     def solve(self, assemble: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]],
               x0: jnp.ndarray,
@@ -196,7 +253,7 @@ class NewtonSolver:
         opts = self.opts
         x = x0
         R, values = assemble(x)
-        rnorm = float(jnp.linalg.norm(R))
+        rnorm = self._res_norm(R)
         r0 = rnorm if rnorm > 0 else 1.0
         k = 0
         converged = False
@@ -212,6 +269,10 @@ class NewtonSolver:
             lin_rtol = max(min(opts.initial_linear_tolerance, rnorm / r0), 1e-14)
             dx, lin_iters, lin_res = self._linear_solve(
                 values, -R, lin_rtol, *self._fast_args)
+            if self._cons is not None:
+                # expand the reduced update: dx_h = (dx_a + dx_b)/2, so a
+                # constrained x stays constrained through x + lam*dx
+                dx = _c_apply(self._cons, dx)
 
             lam = 1.0
             if not bool(jnp.isfinite(dx).all()):
@@ -231,21 +292,21 @@ class NewtonSolver:
                 # reported KSP_DIVERGED instead of handing back this step.
                 for _ in range(opts.max_line_search_steps):
                     R_new = trial_R(x + lam * dx)
-                    if float(jnp.linalg.norm(R_new)) < rnorm:
+                    if self._res_norm(R_new) < rnorm:
                         break
                     lam *= 0.5
                 else:
                     break  # no usable step in this direction
                 x = x + lam * dx
                 R, values = assemble(x)
-                rnorm = float(jnp.linalg.norm(R))
+                rnorm = self._res_norm(R)
                 k += 1
                 continue
             if opts.require_residual_reduction:
                 reduced = False
                 for _ in range(opts.max_line_search_steps):
                     R_new = trial_R(x + lam * dx)
-                    if float(jnp.linalg.norm(R_new)) < rnorm:
+                    if self._res_norm(R_new) < rnorm:
                         reduced = True
                         break
                     lam *= 0.5
@@ -258,7 +319,7 @@ class NewtonSolver:
 
             x = x + lam * dx
             R, values = assemble(x)
-            rnorm = float(jnp.linalg.norm(R))
+            rnorm = self._res_norm(R)
             k += 1
 
             xnorm = float(jnp.linalg.norm(x))

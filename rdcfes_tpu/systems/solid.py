@@ -146,6 +146,7 @@ class SolidSystem:
         fibres: Optional[np.ndarray] = None,
         newton: NewtonOptions = NewtonOptions(),
         device_mesh=None,
+        constraints: Optional[np.ndarray] = None,
     ):
         self.mesh = mesh
         self.newton = newton
@@ -279,7 +280,17 @@ class SolidSystem:
                     "disp": jnp.asarray(disp[fsel]),
                     "slots": jnp.asarray(fslots),
                 })
-        self._newton = NewtonSolver(self.sp, newton)
+        # hanging-node constraints (mixed-mesh AMR, mesh/adapt_ext.py):
+        # Newton iterates in the reduced space, C^T K C matrix-free
+        # (reference src/solid.C:330-369 refines mesh-generically; the
+        # libMesh analogue is DofMap constraint condensation)
+        if constraints is not None and len(constraints) and (
+                device_mesh is not None):
+            raise ValueError(
+                "hanging-node constraints in the solid Newton path are "
+                "single-chip only (COMPONENTS.md); run with "
+                "parallel/n_devices = 1")
+        self._newton = NewtonSolver(self.sp, newton, constraints=constraints)
         self.dmesh = device_mesh
         self._assemble_jit = jax.jit(self.assemble)
         self._residual_jit = jax.jit(self.assemble_residual)
