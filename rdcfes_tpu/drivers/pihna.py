@@ -149,14 +149,9 @@ def run(deck_path: str = "input.dat") -> str:
                           "skeleton bisection instead")
             return Tet10Adaptive.from_mesh(m), None
         if m.elem_type == "MIXED":
-            if int(deck("parallel/n_devices", 0)) > 1:
-                # hanging-node constraints on mixed meshes are single-chip
-                # (make_rdc_system would raise mid-run at the first
-                # adaptation otherwise) — keep the fixed mesh with a
-                # notice, as pre-round-4 builds did
-                print("AMR: mixed-element hanging-node constraints are "
-                      "single-chip; multi-chip run keeps the fixed mesh")
-                return None, None
+            # hanging-node constraints ride the halo plan's ghost closure
+            # on mixed meshes too (parallel/halo.py build_mixed_plan), so
+            # multi-chip mixed AMR reshards by rebuilding like TET4
             from ..mesh.adapt_ext import MixedConstrained
 
             return None, MixedConstrained.from_mesh(m)

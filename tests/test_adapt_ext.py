@@ -291,3 +291,26 @@ def test_pihna_driver_mixed_amr(in_tmp):
     csv = open(os.path.join(out, "output.csv")).read().splitlines()
     vals = np.array(csv[-1].split(","), dtype=float)
     assert np.isfinite(vals).all() and (vals >= 0).all()
+
+
+def test_pihna_driver_mixed_amr_multichip(in_tmp):
+    """Multi-chip MIXED AMR (VERDICT r4 item 8 tail): the refined
+    constrained system reshards by rebuilding through the halo plan's
+    constraint closure — the 8-device run completes and matches the
+    single-chip CSV at output precision."""
+    import jax
+
+    from rdcfes_tpu.drivers import pihna
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-virtual-device CPU platform")
+    _amr_driver_case(mixed=True)
+    out1 = pihna.run("input.dat")
+    csv1 = open(os.path.join(out1, "output.csv")).read()
+    deck = open("input.dat").read() + "parallel/n_devices = 8\n"
+    open("input.dat", "w").write(deck)
+    out8 = pihna.run("input.dat")
+    csv8 = open(os.path.join(out8, "output.csv")).read()
+    assert csv8 == csv1
