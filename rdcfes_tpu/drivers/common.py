@@ -94,6 +94,20 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
     import numpy as np
 
     n_dev = int(deck("parallel/n_devices", 0))
+    # linear solver tolerance (deck knob `solver/linear/tolerance`).
+    # Default 3e-11: the round-5 CALIBRATED value — 120-step trajectory
+    # parity vs the direct-solve oracles measured worst per-step rel L2
+    # 1.6e-9 at 3e-11 (6x inside the 1e-8 contract, BASELINE.json),
+    # 7.0e-9 at 1e-10 (only 1.4x margin — rejected), 8e-11 at the
+    # libMesh-default 1e-12.  Iteration savings ride refine_mixed's
+    # adaptive per-pass ceiling (the final f32 sweep stops once the
+    # projected residual meets tol).  The compiled-C++ baselines run
+    # rtol 1e-10 (oracle/native_*.cpp) — looser than this default, so
+    # the baseline comparison stays conservative.  Set 1e-12 to restore
+    # the libMesh default (TOLERANCE^2, what the reference's unset
+    # `linear solver tolerance` falls back to).
+    rtol = float(deck("solver/linear/tolerance", 3e-11))
+    kwargs.setdefault("rtol", rtol)
     if getattr(mesh, "elem_type", None) == "MIXED":
         # mixed-element meshes run through the per-type-block systems
         # (libMesh assembles them through one polymorphic loop; here each
@@ -109,6 +123,7 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
                 kw["moving_mesh"] = True
             if kwargs.get("constraints") is not None:
                 kw["constraints"] = kwargs["constraints"]
+            kw["rtol"] = kwargs["rtol"]
             system = MixedTransientRDCSystem(mesh, n_vars, physics,
                                              precision="mixed", **kw)
             return (system, (lambda st: np.asarray(st["u"])),
@@ -139,6 +154,7 @@ def make_rdc_system(mesh, n_vars, physics, deck, *, clamp=None,
             # closure puts both masters in every shard that sees a
             # hanging node, so C / C^T stay communication-free)
             kw["constraints"] = kwargs["constraints"]
+        kw["rtol"] = kwargs["rtol"]
         system = HaloShardedSystem(mesh, n_vars, physics, dmesh, **kw)
         return system, (lambda st: system.gather(st["u"])), system.initial_state
     from ..systems import TransientRDCSystem

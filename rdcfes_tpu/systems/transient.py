@@ -119,7 +119,18 @@ def refine_mixed(mv32, pre_matvec64, pre_b, x0, rtol, maxiter,
         # old three-matvec design's depth for a few extra f32 sweeps
         # and zero extra f64 matvecs (measured: +0.6 inner iters/step
         # at 1e-7 on the PIHNA bench, where the depth buys nothing).
-        inner = bicgstab(mv32, r.astype(f32), rtol=inner_rtol,
+        # ADAPTIVE CEILING (round 5): a pass whose start residual is
+        # already near tol does not need the full inner_rtol depth —
+        # an inner relative residual of eps lands the outer residual at
+        # ~eps*rnorm, so eps = 0.25*tol/rnorm suffices (safety 4x).
+        # This is what makes the caller's rtol a real cost knob: before
+        # it, every pass ran to fixed depth and rtol 1e-9 cost exactly
+        # as many sweeps as 1e-12 (measured, round-5 calibration).
+        # jnp.clip floor = inner_rtol keeps the deliberately-deep
+        # mixed-mesh passes no shallower than before tol is reached.
+        eps_k = jnp.clip(0.25 * tol / rnorm, inner_rtol, 1e-1
+                         ).astype(f32)
+        inner = bicgstab(mv32, r.astype(f32), rtol=eps_k,
                          maxiter=80)
         x = x + inner.x.astype(jnp.float64)
         r2 = pre_b - pre_matvec64(x)

@@ -89,6 +89,31 @@ def test_trajectory_parity():
     assert worst < 1e-8, f"parity violated: worst rel L2 {worst:.3e}"
 
 
+def test_trajectory_parity_calibrated_default():
+    """The CALIBRATED deck-default tolerance (solver/linear/tolerance =
+    3e-11, drivers/common.py) keeps the 1e-8 trajectory-parity contract
+    with margin — this pins the default against drift.  Full-trajectory
+    measurements (round-5 calibration): worst rel L2 over 120 steps =
+    1.6e-9 at 3e-11, 7.0e-9 at 1e-10 (rejected: 1.4x margin), 8e-11 at
+    the libMesh-default 1e-12."""
+    mesh, p, u0 = _case()
+    orc = PihnaOracle(mesh.coords, mesh.connectivity, p)
+    from rdcfes_tpu.models.pihna import pihna_blocks
+
+    system = TransientRDCSystem(mesh, 5, pihna_physics, rtol=3e-11,
+                                physics_blocks=pihna_blocks,
+                                precision="mixed")
+    state = system.initial_state(u0)
+    uo = u0.copy()
+    worst = 0.0
+    for _ in range(40):
+        state, _, _ = system.step(state, params=p)
+        uo, _ = orc.step(uo)
+        rel = np.linalg.norm(np.asarray(state["u"]) - uo) / np.linalg.norm(uo)
+        worst = max(worst, rel)
+    assert worst < 5e-9, f"calibrated-default parity degraded: {worst:.3e}"
+
+
 def test_adpm_trajectory_parity():
     """ADPM vs the independent scipy oracle: assembly at machine eps and
     a 30-step trajectory under the 1e-8 bar, with response functions,
