@@ -179,17 +179,17 @@ def adpm_bench():
                                 physics_blocks=adpm_blocks, rtol=3e-11,
                                 precision="mixed", precond_refresh=10)
     fields = {"tracts": jnp.asarray(tracts), "time": 1.0}
-    # 400 steps in 8 scan segments of 50: a single 400-step device
-    # program runs ~40 s at this iteration count and trips the device
-    # watchdog (kernel-fault UNAVAILABLE observed); segments are identical
-    # math (run_steps chains state)
+    # 200 timed steps in 4 segments of 50 (a rate metric — round 4 timed
+    # 400, which cost the leg its slot in the driver artifact; a single
+    # long device program also trips the ~40 s device watchdog, so
+    # segments stay at 50 — identical math, run_steps chains state)
     state, its, _ = system.run_steps(system.initial_state(u0), 50,
                                      fields=fields, params=p)  # warmup
     np.asarray(state["u"])  # data fetch = real sync over the axon tunnel
     state = system.initial_state(u0)
     total_iters = 0
     t0 = time.perf_counter()
-    for _ in range(8):
+    for _ in range(4):
         state, its, ress = system.run_steps(state, 50, fields=fields,
                                             params=p)
         total_iters += int(np.asarray(its).sum())
@@ -198,7 +198,8 @@ def adpm_bench():
     u = np.asarray(state["u"])
     assert np.isfinite(u).all()
     return {
-        "adpm_steps_per_sec": round(400 / wall, 3),
+        "adpm_steps_per_sec": round(200 / wall, 3),
+        "adpm_timed_steps": 200,
         "adpm_inner_iters_total": total_iters,
         "adpm_linear_residual": float(np.asarray(ress)[-1]),
     }
@@ -260,14 +261,14 @@ def adpm_deck_regime_bench():
     np.asarray(state["u"])  # real sync over the axon tunnel
     state = system.initial_state(u0)
     t0 = time.perf_counter()
-    state, its, ress = system.run_steps(state, 10, fields=fields,
+    state, its, ress = system.run_steps(state, 6, fields=fields,
                                         params=p, subcycle=sub)
     u = np.asarray(state["u"])
     wall = time.perf_counter() - t0
     assert np.isfinite(u).all()
     ress = np.asarray(ress)
     return {
-        "adpm_deck_regime_steps_per_sec": round(10 / wall, 4),
+        "adpm_deck_regime_steps_per_sec": round(6 / wall, 4),
         "adpm_deck_regime_subcycle": sub,
         "adpm_deck_regime_inner_iters": int(np.asarray(its).sum()),
         "adpm_deck_regime_max_residual": float(ress.max()),
@@ -436,10 +437,11 @@ def main():
     # one if time remains
     landed.set()
     emit(out)
-    # solid before ADPM so all three benches land in the JSON even when the
-    # time budget truncates the run (round-2 verdict: the solid number was
-    # squeezed out)
-    for fn in (solid_bench, adpm_bench, adpm_deck_regime_bench):
+    # ADPM legs before solid this round (round 4: solid landed but both
+    # ADPM legs hit the budget wall; every completed leg lands
+    # incrementally, so ordering only allocates the truncation risk —
+    # to the leg benched most recently by the builder)
+    for fn in (adpm_bench, adpm_deck_regime_bench, solid_bench):
         if time.perf_counter() - t_start > budget:
             # remote-tunnel compiles are slow; guarantee the JSON line
             # lands even under a tight harness timeout
