@@ -27,7 +27,37 @@ from ..mesh.core import Mesh
 SMALLEST_NUMBER = 1.0e-24
 
 _VTK_TYPE = {"TET4": 10, "HEX8": 12, "TRI3": 5, "QUAD4": 9,
-             "PRISM6": 13, "PYRAMID5": 14, "TET10": 24}
+             "PRISM6": 13, "PYRAMID5": 14, "TET10": 24,
+             # quadratic IO-breadth types (src/paraview.h:215-230):
+             # VTK_QUADRATIC_{QUAD,HEXAHEDRON} and
+             # VTK_BIQUADRATIC_QUAD / VTK_TRIQUADRATIC_HEXAHEDRON
+             "QUAD8": 23, "QUAD9": 28, "HEX20": 25, "HEX27": 29}
+
+# gmsh -> VTK node permutations for the quadratic hex types, derived by
+# matching edge (node-pair) and face (corner-set) ROLES instead of
+# hand-written index lists.  gmsh hexahedron edges/faces per the Gmsh
+# reference manual; VTK edges per vtkQuadraticHexahedron (bottom ring,
+# top ring, verticals) and faces per vtkHexahedron::GetFace.
+_GMSH_HEX_EDGES = [(0, 1), (0, 3), (0, 4), (1, 2), (1, 5), (2, 3),
+                   (2, 6), (3, 7), (4, 5), (4, 7), (5, 6), (6, 7)]
+_VTK_HEX_EDGES = [(0, 1), (1, 2), (2, 3), (3, 0), (4, 5), (5, 6),
+                  (6, 7), (7, 4), (0, 4), (1, 5), (2, 6), (3, 7)]
+_GMSH_HEX_FACES = [(0, 3, 2, 1), (0, 1, 5, 4), (0, 4, 7, 3),
+                   (1, 2, 6, 5), (2, 3, 7, 6), (4, 5, 6, 7)]
+_VTK_HEX_FACES = [(0, 4, 7, 3), (1, 2, 6, 5), (0, 1, 5, 4),
+                  (3, 7, 6, 2), (0, 3, 2, 1), (4, 5, 6, 7)]
+
+
+def _hex_perm(n27: bool):
+    """Column permutation taking a gmsh-ordered HEX20/27 row to VTK."""
+    ge = {frozenset(e): 8 + i for i, e in enumerate(_GMSH_HEX_EDGES)}
+    perm = list(range(8))
+    perm += [ge[frozenset(e)] for e in _VTK_HEX_EDGES]
+    if n27:
+        gf = {frozenset(f): 20 + i for i, f in enumerate(_GMSH_HEX_FACES)}
+        perm += [gf[frozenset(f)] for f in _VTK_HEX_FACES]
+        perm.append(26)
+    return perm
 
 
 def elemental_to_nodal(mesh: Mesh, values: np.ndarray) -> np.ndarray:
@@ -68,6 +98,9 @@ def _cell_arrays(mesh) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         # VTK_QUADRATIC_TETRA orders edges (0,1),(1,2),(0,2),(0,3),
         # (1,3),(2,3); gmsh swaps the last two
         conn = conn[:, [0, 1, 2, 3, 4, 5, 6, 7, 9, 8]]
+    elif mesh.elem_type in ("HEX20", "HEX27"):
+        conn = conn[:, _hex_perm(mesh.elem_type == "HEX27")]
+    # QUAD8/QUAD9 node orders coincide in gmsh and VTK
     return (conn.ravel(), K * np.arange(1, E + 1),
             np.full(E, _VTK_TYPE[mesh.elem_type]))
 

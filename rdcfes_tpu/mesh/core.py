@@ -68,19 +68,50 @@ ELEMENT_FACES: Dict[str, Tuple[Tuple[int, ...], ...]] = {
     # right rotation of the edge tangent (fem.geometry EDGE2 branch)
     "TRI3": ((0, 1), (1, 2), (2, 0)),
     "QUAD4": ((0, 1), (1, 2), (2, 3), (3, 0)),
+    # quadratic IO-breadth types (VERDICT r4 item 10; reference VTK
+    # table src/paraview.h:215-230).  Faces carry the parent corner
+    # tuple plus the gmsh mid-edge (and face-centre) node ids.
+    "HEX20": (
+        (0, 3, 2, 1, 9, 13, 11, 8),
+        (0, 1, 5, 4, 8, 12, 16, 10),
+        (1, 2, 6, 5, 11, 14, 18, 12),
+        (2, 3, 7, 6, 13, 15, 19, 14),
+        (3, 0, 4, 7, 9, 10, 17, 15),
+        (4, 5, 6, 7, 16, 18, 19, 17),
+    ),
+    "HEX27": (
+        (0, 3, 2, 1, 9, 13, 11, 8, 20),
+        (0, 1, 5, 4, 8, 12, 16, 10, 21),
+        (1, 2, 6, 5, 11, 14, 18, 12, 23),
+        (2, 3, 7, 6, 13, 15, 19, 14, 24),
+        (3, 0, 4, 7, 9, 10, 17, 15, 22),
+        (4, 5, 6, 7, 16, 18, 19, 17, 25),
+    ),
+    "QUAD8": ((0, 1, 4), (1, 2, 5), (2, 3, 6), (3, 0, 7)),
+    "QUAD9": ((0, 1, 4), (1, 2, 5), (2, 3, 6), (3, 0, 7)),
 }
 
 NODES_PER_ELEM = {"TET4": 4, "HEX8": 8, "PRISM6": 6, "PYRAMID5": 5,
-                  "TET10": 10, "TRI3": 3, "QUAD4": 4, "EDGE2": 2}
+                  "TET10": 10, "TRI3": 3, "QUAD4": 4, "EDGE2": 2,
+                  "TRI6": 6, "EDGE3": 3, "QUAD8": 8, "QUAD9": 9,
+                  "HEX20": 20, "HEX27": 27}
 FACE_TYPE = {"TET4": "TRI3", "HEX8": "QUAD4", "TET10": "TRI6",
-             "TRI3": "EDGE2", "QUAD4": "EDGE2"}
+             "TRI3": "EDGE2", "QUAD4": "EDGE2",
+             "HEX20": "QUAD8", "HEX27": "QUAD9",
+             "QUAD8": "EDGE3", "QUAD9": "EDGE3"}
 # volume element types allowed inside a single-type Mesh (the shipped-deck
 # surface); PRISM6/PYRAMID5 participate through MixedMesh blocks.  TET10
 # is the second-order capability upgrade (every reference deck is
 # FIRST/LAGRANGE, pihna.C:30-34): supported on the RDC path, single-type.
 # TRI3/QUAD4 as volume types are the 2D slice of libMesh's element table
 # (reference surface src/paraview.h:210-234; every shipped deck is 3D).
-_SINGLE_TYPES = ("TET4", "HEX8", "TET10", "TRI3", "QUAD4")
+# HEX20/HEX27/QUAD8/QUAD9 are the quadratic IO-breadth types (VERDICT
+# r4 item 10): first-class mesh containers + Gmsh/VTU round-trip +
+# nodal basis tables (fem/elements.py) — IO-and-geometry citizens; the
+# transient/solid SOLVER paths stay on the deck-exercised types.
+# PRISM15/PRISM18 remain out of scope (ragged quadratic faces).
+_SINGLE_TYPES = ("TET4", "HEX8", "TET10", "TRI3", "QUAD4",
+                 "HEX20", "HEX27", "QUAD8", "QUAD9")
 
 
 @dataclasses.dataclass
@@ -142,7 +173,8 @@ class Mesh:
 
     @property
     def dim(self) -> int:
-        return 2 if self.elem_type in ("TRI3", "QUAD4") else 3
+        return 2 if self.elem_type in ("TRI3", "QUAD4", "QUAD8",
+                                       "QUAD9") else 3
 
     def with_coords(self, coords: np.ndarray) -> "Mesh":
         return dataclasses.replace(self, coords=np.asarray(coords, dtype=np.float64))

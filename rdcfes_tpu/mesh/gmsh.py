@@ -34,21 +34,32 @@ _GMSH_HEX8 = 5
 _GMSH_PRISM6 = 6
 _GMSH_PYRAMID5 = 7
 _GMSH_TRI6 = 9
+_GMSH_QUAD9 = 10
 _GMSH_TET10 = 11
+_GMSH_HEX27 = 12
+_GMSH_EDGE3 = 8
+_GMSH_QUAD8 = 16
+_GMSH_HEX20 = 17
 
 _VOLUME_TYPES = {_GMSH_TET4: ("TET4", 4), _GMSH_HEX8: ("HEX8", 8),
                  _GMSH_PRISM6: ("PRISM6", 6),
                  _GMSH_PYRAMID5: ("PYRAMID5", 5),
-                 _GMSH_TET10: ("TET10", 10)}
+                 _GMSH_TET10: ("TET10", 10),
+                 _GMSH_HEX20: ("HEX20", 20),
+                 _GMSH_HEX27: ("HEX27", 27)}
 _GMSH_CODE = {name: code for code, (name, _) in _VOLUME_TYPES.items()}
-# 2D meshes: TRI3/QUAD4 are the volume elements, EDGE2 the boundary
-# (classified after parsing — a file with any 3D volume element keeps
-# TRI3/QUAD4 as boundary surfaces)
-_GMSH_CODE.update({"TRI3": _GMSH_TRI3, "QUAD4": _GMSH_QUAD4})
+# 2D meshes: TRI3/QUAD4 (and quadratic QUAD8/QUAD9) are the volume
+# elements, EDGE2/EDGE3 the boundary (classified after parsing — a file
+# with any 3D volume element keeps the 2D rows as boundary surfaces)
+_GMSH_CODE.update({"TRI3": _GMSH_TRI3, "QUAD4": _GMSH_QUAD4,
+                   "QUAD8": _GMSH_QUAD8, "QUAD9": _GMSH_QUAD9,
+                   "TRI6": _GMSH_TRI6, "EDGE2": _GMSH_EDGE2,
+                   "EDGE3": _GMSH_EDGE3})
 _SURFACE_TYPES = {_GMSH_TRI3: ("TRI3", 3), _GMSH_QUAD4: ("QUAD4", 4),
-                  _GMSH_TRI6: ("TRI6", 6)}
-_GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 9: 6, 11: 10,
-                15: 1}
+                  _GMSH_TRI6: ("TRI6", 6), _GMSH_QUAD8: ("QUAD8", 8),
+                  _GMSH_QUAD9: ("QUAD9", 9)}
+_GMSH_NNODES = {1: 2, 2: 3, 3: 4, 4: 4, 5: 8, 6: 6, 7: 5, 8: 3, 9: 6,
+                10: 9, 11: 10, 12: 27, 15: 1, 16: 8, 17: 20}
 
 
 def read(path_or_file: Union[str, TextIO]) -> Mesh:
@@ -136,7 +147,7 @@ def _read_lines(lines) -> Mesh:
             assert len(nodes) == k
             surf_conn.append(nodes)
             surf_bcid.append(physical)
-        elif etype == _GMSH_EDGE2:
+        elif etype in (_GMSH_EDGE2, _GMSH_EDGE3):
             # boundary candidates of a 2D mesh (ignored when the file
             # turns out to contain 3D volume elements)
             edge_conn.append(nodes)
@@ -147,14 +158,14 @@ def _read_lines(lines) -> Mesh:
     if not by_type:
         # no 3D volume elements: a 2D mesh whose volume elements are the
         # TRI3/QUAD4 rows and whose boundary sides are the EDGE2 rows
-        _2d = {3: "TRI3", 4: "QUAD4"}
+        _2d = {3: "TRI3", 4: "QUAD4", 8: "QUAD8", 9: "QUAD9"}
         bad = sorted({len(f) for f in surf_conn} - set(_2d))
         if bad:
-            # e.g. a TRI6 surface-only file: first-order TRI3/QUAD4 are
-            # the only supported 2D volume elements
+            # e.g. a TRI6 surface-only file: TRI3/QUAD4 (and quadratic
+            # QUAD8/QUAD9) are the supported 2D volume elements
             raise ValueError(
                 f"unsupported 2D volume element ({bad[0]}-node surface "
-                "row; only first-order TRI3/QUAD4 2D meshes are supported)")
+                "row; TRI3/QUAD4/QUAD8/QUAD9 2D meshes are supported)")
         kinds = sorted({_2d[len(f)] for f in surf_conn})
         if not kinds:
             raise ValueError("mesh contains no supported volume elements")
@@ -170,7 +181,8 @@ def _read_lines(lines) -> Mesh:
             _attach_boundary_ids(mesh, edge_conn, edge_bcid)
         return mesh
 
-    if len(order) == 1 and order[0] in ("TET4", "HEX8", "TET10"):
+    if len(order) == 1 and order[0] in ("TET4", "HEX8", "TET10",
+                                        "HEX20", "HEX27"):
         rows = by_type[order[0]]
         mesh = Mesh(
             coords=coords,
@@ -260,7 +272,9 @@ def write(mesh: Mesh, path_or_file: Union[str, TextIO]) -> None:
             return
         gmsh_face = {"TET4": _GMSH_TRI3, "HEX8": _GMSH_QUAD4,
                      "TET10": _GMSH_TRI6, "TRI3": _GMSH_EDGE2,
-                     "QUAD4": _GMSH_EDGE2}[mesh.elem_type]
+                     "QUAD4": _GMSH_EDGE2, "HEX20": _GMSH_QUAD8,
+                     "HEX27": _GMSH_QUAD9, "QUAD8": _GMSH_EDGE3,
+                     "QUAD9": _GMSH_EDGE3}[mesh.elem_type]
         if n_faces:
             for f, bid in zip(mesh.boundary_faces, mesh.boundary_id):
                 nodes = " ".join(str(n + 1) for n in f)
