@@ -130,7 +130,8 @@ def element_kernels_cf(elem_type, x, conn, X0e_cf, young, poisson,
                  * T1[a][None, :, None, :, :])            # (3,3,K,K,E)
             Kmat = t if Kmat is None else Kmat + t
 
-    Ke = Kmat + jnp.eye(3)[:, :, None, None, None] * G[None, None]
+    Ke = (Kmat + jnp.eye(3, dtype=Kmat.dtype)[:, :, None, None, None]
+          * G[None, None])
     return Fe, Ke
 
 
@@ -147,10 +148,20 @@ class SolidSystem:
         newton: NewtonOptions = NewtonOptions(),
         device_mesh=None,
         constraints: Optional[np.ndarray] = None,
+        tangent_precision: str = "f64",
     ):
         self.mesh = mesh
         self.newton = newton
         self.penalty = float(penalty)
+        # "f32": the tangent (and only the tangent — the residual the
+        # Newton stopping rules see stays f64) is evaluated and scattered
+        # in single precision.  Inexact-Newton argument: the Jacobian only
+        # steers the iteration; convergence is measured on the f64
+        # residual, so the converged equilibrium is unchanged up to the
+        # Newton tolerance.  Measured on the 110k-HEX8 bench (PERF.md
+        # section 11): the f64 tangent assembly is ~92% of the load step.
+        assert tangent_precision in ("f64", "f32")
+        self.tangent_precision = tangent_precision
         # per-element-type blocks: a single-type mesh is the one-block
         # case; MixedMesh assembles every block into the union sparsity
         # (libMesh's polymorphic element loop, src/solid_system.C:146,
@@ -306,6 +317,30 @@ class SolidSystem:
         positions x_T (3, N) — channel-first at the solver boundary; the
         global operator is the sum of per-type block assemblies."""
         x = x_T.T  # (N, 3)
+        if self.tangent_precision == "f32":
+            # split assembly: the residual in f64 (the Newton stopping
+            # rules and the outer Krylov residual carry see it), the
+            # tangent evaluated + contracted + scattered entirely in f32
+            # — the tangent only steers (inexact Newton), and its f64
+            # evaluation is ~92% of the measured load step
+            R = self.assemble_residual(x_T, pseudo_time)
+            f32 = jnp.float32
+            x32 = x.astype(f32)
+            pt32 = jnp.asarray(pseudo_time, f32)
+            values = None
+            for blk in self.eblocks:
+                _, Ke = element_kernels_cf(
+                    blk["elem_type"], x32, blk["conn"],
+                    blk["X0e_cf"].astype(f32),
+                    blk["young"].astype(f32), blk["poisson"].astype(f32),
+                    blk["fibre_k"].astype(f32), blk["rates"].astype(f32),
+                    blk["fibres"].astype(f32), pt32,
+                    want_tangent=True)
+                v = assemble_matrix(Ke, blk["slots_flat_cf"], self.sp.nnz)
+                values = v if values is None else values + v
+            if self.bc_groups:
+                values = self._penalty_bc_values(x32, pt32, values)
+            return R, values
         R = None
         values = None
         for blk in self.eblocks:
@@ -364,17 +399,24 @@ class SolidSystem:
 
         R (3, N); values (3, 3, nnz) — channel-first scatter targets."""
         R = self._penalty_bc_residual(x, pseudo_time, R)
+        return R, self._penalty_bc_values(x, pseudo_time, values)
+
+    def _penalty_bc_values(self, x, pseudo_time, values):
+        """The tangent half of _apply_penalty_bcs — dtype follows
+        `values` (the f32-tangent path feeds x/values in f32)."""
+        dt_ = values.dtype
         for g in self.bc_groups:
             psi, JxWf, _, _ = face_geometry_factors(x, g["faces"],
                                                     g["face_type"])
             # jacobian: penalty * psi_i psi_j on constrained axes
             # (diagonal blocks)
-            Kf_pen = self.penalty * jnp.einsum("fq,qi,qj->fij", JxWf, psi,
-                                               psi)
+            psi_ = psi.astype(dt_)
+            Kf_pen = self.penalty * jnp.einsum(
+                "fq,qi,qj->fij", JxWf.astype(dt_), psi_, psi_)
             # (3, 3, F, i, j): delta_vw * mask[f, v] * Kf_pen[f, i, j]
             Kblocks = (
-                jnp.eye(3)[:, :, None, None, None]
-                * g["mask"].T[:, None, :, None, None]
+                jnp.eye(3, dtype=dt_)[:, :, None, None, None]
+                * g["mask"].T.astype(dt_)[:, None, :, None, None]
                 * Kf_pen[None, None, :, :, :]
             )
             bcs_flat = g["slots"].reshape(-1)
@@ -385,7 +427,7 @@ class SolidSystem:
                 ])
                 for v in range(3)
             ])
-        return R, values
+        return values
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
