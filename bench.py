@@ -174,9 +174,15 @@ def adpm_bench():
     tracts = rng.standard_normal((mesh.n_elems, 3))
     tracts /= np.linalg.norm(tracts, axis=1, keepdims=True)
 
-    # rtol 3e-11: the calibrated deck default (see pihna_bench)
+    # rtol 1e-9: the LOCAL-parity calibration for this amplifying regime
+    # (PARITY.md section 10): trajectory parity at taxis-active CFL~0.5
+    # is intrinsically divergent (~1.3x/step at EVERY solver tolerance),
+    # so the 1e-8 contract binds per step from a common state — measured
+    # worst local rel L2 1.8e-9 at rtol 1e-9 (5.5x margin; the compiled
+    # C++ baseline itself solves at rtol 1e-10).  Microbench: 33.6 ->
+    # 29.4 ms/step vs rtol 1e-12 (scripts/microbench_adpm.py).
     system = TransientRDCSystem(mesh, 3, adpm_physics,
-                                physics_blocks=adpm_blocks, rtol=3e-11,
+                                physics_blocks=adpm_blocks, rtol=1e-9,
                                 precision="mixed", precond_refresh=10)
     fields = {"tracts": jnp.asarray(tracts), "time": 1.0}
     # 200 timed steps in 4 segments of 50 (a rate metric — round 4 timed
