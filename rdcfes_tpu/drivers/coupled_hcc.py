@@ -25,7 +25,8 @@ from ..models.hcc import HCC_VARS, hcc_blocks, hcc_physics
 from ..systems import SolidSystem
 from .common import (make_rdc_system, make_solid_device_mesh, PerfLog,
                      step_banner)
-from .solid import load_bcs, load_fibres, load_materials, load_newton_options
+from .solid import (load_bcs, load_fibres, load_materials,
+                    load_newton_options, load_tangent_precision)
 
 
 def load_params(deck: Deck) -> dict:
@@ -109,6 +110,7 @@ def run(deck_path: str = "input.dat") -> str:
             penalty=deck("BCs/displacement_penalty", 1.0e5),
             fibres=fibres,
             newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
             device_mesh=dmesh,
         )
     state = put_state(u0)
@@ -182,6 +184,7 @@ def run(deck_path: str = "input.dat") -> str:
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
                 fibres=fibres, newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
                 device_mesh=None if ck_cons is not None else dmesh,
                 constraints=ck_cons,
             )
@@ -311,6 +314,7 @@ def run(deck_path: str = "input.dat") -> str:
                         penalty=deck("BCs/displacement_penalty", 1.0e5),
                         fibres=fibres,
                         newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
                         constraints=cons,
                     )
                     state = rds.scatter_state(
@@ -371,6 +375,7 @@ def run(deck_path: str = "input.dat") -> str:
                         penalty=deck("BCs/displacement_penalty", 1.0e5),
                         fibres=fibres,
                         newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
                         device_mesh=dmesh,
                     )
                     state = rds.scatter_state(

@@ -57,7 +57,26 @@ def load_newton_options(deck: Deck) -> NewtonOptions:
         fast_gather=deck("solver/linear/fast_gather", "")
         or os.environ.get("RDCFES_SOLID_FAST")
         or ("1" if on_tpu() else None),
+        # modified Newton (keep the assembled tangent while the residual
+        # contracts; refresh-on-degradation — solvers/newton.py).  Off by
+        # default: the iterate path is genuinely different, so artifact
+        # parity vs exact Newton holds only to the residual->solution
+        # conditioning slack of the stopping rule (~1e-5 of displacement
+        # scale at the deck defaults), not the 1e-8 artifact bar.
+        reuse_tangent=deck("solver/nonlinear/reuse_tangent", False),
     )
+
+
+def load_tangent_precision(deck: Deck) -> str:
+    """solver/nonlinear/tangent_precision: "f32" evaluates/contracts/
+    scatters the tangent in single precision (the residual the Newton
+    stopping rules see stays f64 — inexact Newton; measured 92% of the
+    110k-HEX8 load step is the f64 tangent assembly, PERF.md section
+    11).  Platform-aware default: f32 on TPU (drift 4.9e-8 of the
+    displacement scale vs the f64 tangent), f64 on CPU (artifact parity
+    with the reference's stack)."""
+    return (deck("solver/nonlinear/tangent_precision", "")
+            or ("f32" if on_tpu() else "f64"))
 
 
 def load_bcs(deck: Deck) -> dict:
@@ -153,6 +172,7 @@ def run(deck_path: str = "input.dat") -> str:
             penalty=deck("BCs/displacement_penalty", 1.0e5),
             fibres=fibres,
             newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
             device_mesh=dmesh,
         )
     x = system.initial_positions()
@@ -217,6 +237,7 @@ def run(deck_path: str = "input.dat") -> str:
                 mesh, materials=load_materials(deck), bcs=load_bcs(deck),
                 penalty=deck("BCs/displacement_penalty", 1.0e5),
                 fibres=fibres, newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
                 device_mesh=None if sys_kw else dmesh, **sys_kw,
             )
             paraview.mesh = mesh
@@ -299,6 +320,7 @@ def run(deck_path: str = "input.dat") -> str:
                         penalty=deck("BCs/displacement_penalty", 1.0e5),
                         fibres=fibres,
                         newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
                         constraints=cons if len(cons) else None,
                     )
                     x = jnp.asarray(x_new)
@@ -365,6 +387,7 @@ def run(deck_path: str = "input.dat") -> str:
                         penalty=deck("BCs/displacement_penalty", 1.0e5),
                         fibres=fibres,
                         newton=load_newton_options(deck),
+            tangent_precision=load_tangent_precision(deck),
                         device_mesh=dmesh,
                     )
                     x = jnp.asarray(x_new)

@@ -161,6 +161,14 @@ class SolidSystem:
         # Newton tolerance.  Measured on the 110k-HEX8 bench (PERF.md
         # section 11): the f64 tangent assembly is ~92% of the load step.
         assert tangent_precision in ("f64", "f32")
+        if tangent_precision != "f64" and device_mesh is not None:
+            # the node-partitioned halo Newton (parallel/solid_halo.py)
+            # assembles inside one fused shard_map program and does not
+            # carry the split-precision path; fall back loudly so a
+            # multi-chip deck behaves predictably
+            print("solid: tangent_precision=f32 is single-chip only; "
+                  "multi-chip run keeps the f64 tangent", flush=True)
+            tangent_precision = "f64"
         self.tangent_precision = tangent_precision
         # per-element-type blocks: a single-type mesh is the one-block
         # case; MixedMesh assembles every block into the union sparsity
