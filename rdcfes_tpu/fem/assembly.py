@@ -190,20 +190,29 @@ def gather_tables(sp: NodePairSparsity, connectivity: np.ndarray
     conn = np.asarray(connectivity)
     E, K = conn.shape
 
-    def invert(targets: np.ndarray, n_bins: int):
-        order = np.argsort(targets, kind="stable")
-        sorted_t = targets[order]
-        counts = np.bincount(sorted_t, minlength=n_bins)
-        C = int(counts.max())
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        table = np.full((C, n_bins), len(targets), dtype=np.int64)
-        pos = np.arange(len(targets)) - starts[sorted_t]
-        table[pos, sorted_t] = order
-        return table.astype(np.int32)
-
-    slot_gather = invert(sp.slots_flat_cf().astype(np.int64), sp.nnz)
-    node_gather = invert(conn.T.reshape(-1).astype(np.int64), sp.n_nodes)
+    slot_gather = invert_scatter(sp.slots_flat_cf().astype(np.int64),
+                                 sp.nnz)
+    node_gather = invert_scatter(conn.T.reshape(-1).astype(np.int64),
+                                 sp.n_nodes)
     return slot_gather, node_gather
+
+
+def invert_scatter(targets: np.ndarray, n_bins: int) -> np.ndarray:
+    """Invert a scatter map into a padded gather table (host precompute):
+    row c of the result holds, for each bin, the index of its c-th
+    contribution in the flat source buffer; padding = len(targets)
+    (callers append one zero entry there).  Shared by gather_tables and
+    the per-block solid assembly (systems/solid.py)."""
+    targets = np.asarray(targets, dtype=np.int64)
+    order = np.argsort(targets, kind="stable")
+    sorted_t = targets[order]
+    counts = np.bincount(sorted_t, minlength=n_bins)
+    C = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    table = np.full((C, n_bins), len(targets), dtype=np.int64)
+    pos = np.arange(len(targets)) - starts[sorted_t]
+    table[pos, sorted_t] = order
+    return table.astype(np.int32)
 
 
 def assemble_matrix_gather(Ke: jnp.ndarray, slot_gather: jnp.ndarray

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fem.assembly import assemble_matrix, assemble_vector, build_sparsity
+from ..fem.assembly import (assemble_matrix_gather, assemble_vector_gather,
+                            build_sparsity, invert_scatter)
 from ..fem.geometry import face_geometry_factors, geometry_factors
 from ..mesh.core import FACE_TYPE, Mesh
 from ..models.eig3 import principal_stress_invariants
@@ -247,6 +248,17 @@ class SolidSystem:
                 "conn": jnp.asarray(conn),
                 "conn_flat_cf": jnp.asarray(conn.T.reshape(-1)),
                 "slots_flat_cf": jnp.asarray(slots_b),
+                # inverted (gather) assembly tables: TPU scatter-adds are
+                # quasi-serial — the 9 x 7.08M-contribution tangent
+                # scatter measured ~5.5 s of the 6.0 s bench-scale
+                # assembly (dtype-INsensitive, PERF.md section 11.3) —
+                # so the solid path assembles by slot-pull like the
+                # transient production path (fem/assembly.py
+                # gather_tables rationale)
+                "slot_gather": jnp.asarray(invert_scatter(
+                    np.asarray(slots_b), self.sp.nnz)),
+                "node_gather": jnp.asarray(invert_scatter(
+                    conn.T.reshape(-1), mesh.n_nodes)),
                 "X0e_cf": jnp.asarray(
                     np.transpose(mesh.coords[conn], (1, 2, 0))),
                 "young": jnp.asarray(young[sel]),
@@ -344,7 +356,7 @@ class SolidSystem:
                     blk["fibre_k"].astype(f32), blk["rates"].astype(f32),
                     blk["fibres"].astype(f32), pt32,
                     want_tangent=True)
-                v = assemble_matrix(Ke, blk["slots_flat_cf"], self.sp.nnz)
+                v = assemble_matrix_gather(Ke, blk["slot_gather"])
                 values = v if values is None else values + v
             if self.bc_groups:
                 values = self._penalty_bc_values(x32, pt32, values)
@@ -357,8 +369,8 @@ class SolidSystem:
                 blk["young"], blk["poisson"], blk["fibre_k"],
                 blk["rates"], blk["fibres"], pseudo_time,
                 want_tangent=True)
-            v = assemble_matrix(Ke, blk["slots_flat_cf"], self.sp.nnz)
-            r = assemble_vector(Fe, blk["conn_flat_cf"], self.sp.n_nodes)
+            v = assemble_matrix_gather(Ke, blk["slot_gather"])
+            r = assemble_vector_gather(Fe, blk["node_gather"])
             values = v if values is None else values + v
             R = r if R is None else R + r
 
@@ -378,7 +390,7 @@ class SolidSystem:
                 blk["young"], blk["poisson"], blk["fibre_k"],
                 blk["rates"], blk["fibres"], pseudo_time,
                 want_tangent=False)
-            r = assemble_vector(Fe, blk["conn_flat_cf"], self.sp.n_nodes)
+            r = assemble_vector_gather(Fe, blk["node_gather"])
             R = r if R is None else R + r
         if self.bc_groups:
             R = self._penalty_bc_residual(x, pseudo_time, R)
