@@ -1,0 +1,195 @@
+"""Paired-f32 (double-f32, "df64") Pallas kernels for the f64 build path.
+
+PERF.md §8-9 measured the PIHNA step's coefficient build paying ~11 ms of
+XLA-f64 emulation tax on a chip with no f64 hardware, and staged this
+lever: carry the build arithmetic as (hi, lo) f32 pairs — the same
+numerical class the Beneš transport kernels already use for f64 payloads
+(fem/pallas_perm.py) — through hand-written VPU kernels.
+
+Why kernels and not plain XLA ops: XLA's algebraic simplifier treats the
+float graph as real arithmetic and COLLAPSES compensated summation — a
+TwoSum/Dekker network written as jnp ops folds to a single f32 multiply-
+add chain (measured: a 4-term compensated MAC chain compiled to
+`c0*x0 + c1*x1` verbatim, error 1e-8 instead of 4e-15; probe:
+scripts/probe_df64.py, 2026-08-20).  Mosaic compiles the kernel body
+IEEE-strictly, so the compensation survives there — validated on
+hardware by scripts/probe_df64_kernel.py before anything here shipped.
+
+Accuracy class: products are exact via Veltkamp/Dekker splitting (no FMA
+assumed); accumulation uses TwoSum on the dominant chain with sloppy
+low-order adds.  Worst-case relative error per MAC chain is ~2^-45,
+versus f64's 2^-53 — three decades inside the 1e-8/step parity contract
+(PARITY.md), and validated against the XLA-f64 build by
+test_pallas_df64.py at 1e-11 relative.
+
+Reference parity note: these kernels compute the same interpolation
+sums as src/rdc_system.C's interpolate-at-qp loops (SURVEY.md §2.3),
+reassociated; the f64 XLA path (fem/assembly.py) remains the default
+everywhere except the TPU fast path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_E = 4096
+_SPLITTER = 4097.0  # 2^12 + 1: Veltkamp splitter for f32 (24-bit mantissa)
+
+
+# ---------------------------------------------------------------------------
+# double-f32 primitives (ONLY valid inside a Pallas kernel body — at the
+# XLA graph level the simplifier folds the compensation away; see module
+# docstring)
+# ---------------------------------------------------------------------------
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (6 ops)."""
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _split(x):
+    """Veltkamp split of f32 into 12+12 mantissa halves (4 ops)."""
+    t = jnp.float32(_SPLITTER) * x
+    h = t - (t - x)
+    return h, x - h
+
+
+def _mul_dd(a, b, a_sp=None, b_sp=None):
+    """(ah+al)*(bh+bl) -> (ph, pl) with the dominant product exact via
+    Dekker and the cross terms in plain f32 (they land at ~2^-48 of the
+    result).  `a_sp`/`b_sp`: precomputed Veltkamp splits of ah/bh."""
+    ah, al = a
+    bh, bl = b
+    ahh, ahl = a_sp if a_sp is not None else _split(ah)
+    bhh, bhl = b_sp if b_sp is not None else _split(bh)
+    p = ah * bh
+    e = ((ahh * bhh - p) + ahh * bhl + ahl * bhh) + ahl * bhl
+    e = e + (ah * bl + al * bh)
+    return p, e
+
+
+def _add_dd(a, b):
+    """(ah+al)+(bh+bl) -> pair; TwoSum on the dominant terms, sloppy
+    low-order add (8 ops)."""
+    s, e = _two_sum(a[0], b[0])
+    return s, e + (a[1] + b[1])
+
+
+def split_f64(x):
+    """XLA-level split of an f64 array into an (hi, lo) f32 pair.
+    Exact: lo = fl32(x - fl64(hi))."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def join_f64(hi, lo):
+    """XLA-level join of an (hi, lo) pair back to f64."""
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def _const_pair(c):
+    """Host-side split of an f64 scalar constant into an f32 pair."""
+    hi = np.float32(c)
+    return float(hi), float(np.float32(np.float64(c) - np.float64(hi)))
+
+
+# ---------------------------------------------------------------------------
+# affine interpolation kernel: ue pair -> (u_qp, gx) pairs
+# ---------------------------------------------------------------------------
+
+def _interp_affine_kernel(ueh_ref, uel_ref, dph_ref, dpl_ref,
+                          uqh_ref, uql_ref, gxh_ref, gxl_ref,
+                          *, phi_pairs, V, Q, K):
+    """u_qp[v,q] = sum_k phi[q,k] * ue[v,k]   (phi: exact host constants)
+    gx[v,d]   = sum_k dphi0[k,d] * ue[v,k]  (dphi0: per-element pair)
+
+    All arithmetic in paired f32; ue hi-planes Veltkamp-split once and
+    reused by every (q, d)."""
+    with jax.enable_x64(False):
+        ueh = ueh_ref[:]            # (V, K, T)
+        uel = uel_ref[:]
+        dph = dph_ref[:]            # (K, 3, T)
+        dpl = dpl_ref[:]
+        ue_sp = [[_split(ueh[v, k]) for k in range(K)] for v in range(V)]
+        dp_sp = [[_split(dph[k, d]) for d in range(3)] for k in range(K)]
+        for v in range(V):
+            for q in range(Q):
+                acc = None
+                for k in range(K):
+                    ch, cl, chh, chl = phi_pairs[q][k]
+                    c = (jnp.float32(ch), jnp.float32(cl))
+                    c_sp = (jnp.float32(chh), jnp.float32(chl))
+                    p = _mul_dd(c, (ueh[v, k], uel[v, k]),
+                                a_sp=c_sp, b_sp=ue_sp[v][k])
+                    acc = p if acc is None else _add_dd(acc, p)
+                uqh_ref[v, q] = acc[0]
+                uql_ref[v, q] = acc[1]
+            for d in range(3):
+                acc = None
+                for k in range(K):
+                    p = _mul_dd((dph[k, d], dpl[k, d]),
+                                (ueh[v, k], uel[v, k]),
+                                a_sp=dp_sp[k][d], b_sp=ue_sp[v][k])
+                    acc = p if acc is None else _add_dd(acc, p)
+                gxh_ref[v, d] = acc[0]
+                gxl_ref[v, d] = acc[1]
+
+
+def interp_affine_df64(ue_pair, phi_host, dphi0_pair, interpret=False):
+    """interpolate_ue_affine (fem/assembly.py) on (hi, lo) f32 pairs.
+
+    ue_pair: (ueh, uel) each (V, K, E_pad); phi_host: (Q, K) ndarray of
+    f64 host constants; dphi0_pair: (dph, dpl) each (K, 3, E_pad).
+    Returns ((uqh, uql) (V, Q, E_pad), (gxh, gxl) (V, 3, E_pad))."""
+    ueh, uel = ue_pair
+    dph, dpl = dphi0_pair
+    V, K, E_pad = ueh.shape
+    Q = phi_host.shape[0]
+    tile = TILE_E
+    while E_pad % tile:
+        tile //= 2
+    phi_pairs = []
+    for q in range(Q):
+        row = []
+        for k in range(K):
+            ch, cl = _const_pair(phi_host[q, k])
+            hsp = np.float32(np.float32(_SPLITTER) * np.float32(ch))
+            chh = np.float32(hsp - np.float32(hsp - np.float32(ch)))
+            chl = np.float32(np.float32(ch) - chh)
+            row.append((ch, cl, float(chh), float(chl)))
+        phi_pairs.append(tuple(row))
+
+    kern = partial(_interp_affine_kernel, phi_pairs=tuple(phi_pairs),
+                   V=V, Q=Q, K=K)
+    vkspec = pl.BlockSpec((V, K, tile), lambda t: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    k3spec = pl.BlockSpec((K, 3, tile), lambda t: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    uqspec = pl.BlockSpec((V, Q, tile), lambda t: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    gxspec = pl.BlockSpec((V, 3, tile), lambda t: (0, 0, t),
+                          memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    uqh, uql, gxh, gxl = pl.pallas_call(
+        kern,
+        grid=(E_pad // tile,),
+        in_specs=[vkspec, vkspec, k3spec, k3spec],
+        out_specs=(uqspec, uqspec, gxspec, gxspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((V, Q, E_pad), f32),
+            jax.ShapeDtypeStruct((V, Q, E_pad), f32),
+            jax.ShapeDtypeStruct((V, 3, E_pad), f32),
+            jax.ShapeDtypeStruct((V, 3, E_pad), f32),
+        ),
+        interpret=interpret,
+    )(ueh, uel, dph, dpl)
+    return (uqh, uql), (gxh, gxl)

@@ -282,6 +282,19 @@ def gather_corners_f64(dp: DevicePlan, x, rep, interpret=False,
     return _join_f64(g[:V], g[V:])
 
 
+def gather_corners_f64_pair(dp: DevicePlan, x, rep, interpret=False,
+                            channels=None):
+    """gather_corners_f64 WITHOUT the trailing join: returns the (hi,
+    lo) f32 planes for consumers that continue in paired-f32 arithmetic
+    (fem/pallas_df64.py) — the join (an emulated f64 add per gathered
+    entry) and the consumer's re-split both disappear."""
+    V = x.shape[0]
+    hi, lo = _split_f64(x)
+    g = gather_corners(dp, jnp.concatenate([hi, lo], axis=0), rep,
+                       interpret, channels)
+    return g[:V], g[V:]
+
+
 def grid_permute_f64(dp: DevicePlan, x, interpret=False, channels=None):
     """f64 variant of grid_permute (hi/lo f32 transport)."""
     V = x.shape[0]

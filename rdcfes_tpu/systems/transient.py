@@ -376,7 +376,26 @@ class TransientRDCSystem:
                                   "RDCFES_FAST_FUSED",
                                   "1" if self.mesh.elem_type == "TET4"
                                   else "0")))),
+                # df64 build: the coefficient-build interpolation runs in
+                # the paired-f32 Pallas kernel (fem/pallas_df64.py)
+                # instead of XLA-emulated f64.  TET4 + compiled Mosaic
+                # only: in interpret mode the kernel body lowers to XLA
+                # ops, whose simplifier folds the compensated arithmetic
+                # (module docstring there); opt-in until hardware-
+                # validated end-to-end.
+                "use_df64": (self.fast_gather != "interpret"
+                             and self.mesh.elem_type == "TET4"
+                             and bool(int(os.environ.get(
+                                 "RDCFES_DF64_BUILD", "0")))),
             }
+            if self.mesh.elem_type == "TET4":
+                # paired-f32 split of the affine gradient table for the
+                # df64 interp kernel, padded to the EL live prefix
+                from ..fem.pallas_df64 import split_f64
+                d0h, d0l = split_f64(self.dphi[0])
+                pad = ((0, 0), (0, 0), (0, ep))
+                self._fast["args"] = self._fast["args"] + (
+                    (jnp.pad(d0h, pad), jnp.pad(d0l, pad)),)
         return self._fast
 
     # ------------------------------------------------------------------
@@ -629,6 +648,21 @@ class TransientRDCSystem:
                     interpret=fast["interpret"], channels=2 * V)
             return ue.reshape(V, fp.K, fp.E_pad)
 
+        def gather_ue_pair_fast(fa, x):
+            """gather_ue_fast keeping the f64 payload as (hi, lo) f32
+            planes — feeds the df64 build kernels without the join and
+            the consumer's re-split."""
+            from ..fem.pallas_perm import gather_corners_f64_pair
+
+            dfwd, _ = _plans_from(fa)
+            fp = fast["plans"]
+            xp = jnp.pad(x, ((0, 0), (0, fp.NR * 128 - fp.N)))
+            h, l = gather_corners_f64_pair(
+                dfwd, xp.reshape(V, fp.NR, 128), fp.C_x,
+                interpret=fast["interpret"], channels=2 * V)
+            return (h.reshape(V, fp.K, fp.E_pad),
+                    l.reshape(V, fp.K, fp.E_pad))
+
         def mv_fast(fa, wf_, JxW_, dphi_, x, stacks=None, Epre=None):
             """Matvec with the corner gather and restriction routed
             through the Beneš permutation kernels.  With `stacks` (the
@@ -711,23 +745,48 @@ class TransientRDCSystem:
             # steps/s, PERF.md section 9)
             kfast = fast is not None and (fast["use_f64"]
                                           or self.dtype == jnp.float32)
-            if kfast:
-                # the coefficient build's corner gather of u goes through
-                # the same Beneš kernel as the Krylov matvecs (~2.4 ms
-                # XLA f64 gather saved; identical values, same order)
-                ue = gather_ue_fast(fast_args,
-                                    u_T)[:, :, :fast["plans"].E]
-            else:
-                ue = u_T[:, g["conn_T"]]
-            if affine:
-                # TET4: per-q gradients are bit-identical (dphi[q] ==
-                # dphi[0]); compute once and broadcast for the physics
-                u_qp, gx1 = interpolate_ue_affine(ue, self.phi,
-                                                  g["dphi"])
+            use_df64 = (kfast and affine and fast.get("use_df64", False)
+                        and self.dtype == jnp.float64)
+            if use_df64:
+                # df64 build interp: the gather's hi/lo planes feed the
+                # paired-f32 Pallas interp directly — no f64 join of the
+                # (V, K, E_pad) gather, no XLA-emulated f64 interp
+                # (PERF.md §8's staged lever; accuracy class ~2^-45,
+                # three decades inside the 1e-8/step parity contract)
+                from ..fem.pallas_df64 import interp_affine_df64, join_f64
+
+                ueh, uel = gather_ue_pair_fast(fast_args, u_T)
+                EL = fast["EL"]
+                up_, gp_ = interp_affine_df64(
+                    (ueh[:, :, :EL], uel[:, :, :EL]),
+                    np.asarray(self.phi), fast_args[4],
+                    interpret=fast["interpret"])
+                Ereal = fast["plans"].E
+                u_qp = join_f64(*up_)[:, :, :Ereal]
+                gx1 = join_f64(*gp_)[:, :, :Ereal]
                 grad_qp = jnp.broadcast_to(
                     gx1[:, None], (V,) + u_qp.shape[1:2] + gx1.shape[1:])
             else:
-                u_qp, grad_qp = interpolate_ue(ue, self.phi, g["dphi"])
+                if kfast:
+                    # the coefficient build's corner gather of u goes
+                    # through the same Beneš kernel as the Krylov matvecs
+                    # (~2.4 ms XLA f64 gather saved; identical values,
+                    # same order)
+                    ue = gather_ue_fast(fast_args,
+                                        u_T)[:, :, :fast["plans"].E]
+                else:
+                    ue = u_T[:, g["conn_T"]]
+                if affine:
+                    # TET4: per-q gradients are bit-identical (dphi[q] ==
+                    # dphi[0]); compute once and broadcast for the physics
+                    u_qp, gx1 = interpolate_ue_affine(ue, self.phi,
+                                                      g["dphi"])
+                    grad_qp = jnp.broadcast_to(
+                        gx1[:, None],
+                        (V,) + u_qp.shape[1:2] + gx1.shape[1:])
+                else:
+                    u_qp, grad_qp = interpolate_ue(ue, self.phi,
+                                                   g["dphi"])
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             rhs_fn = block_rhs_affine if affine else block_rhs
             Fe = rhs_fn(wfb, self.phi, g["JxW"], g["dphi"])
