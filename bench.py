@@ -287,12 +287,18 @@ def solid_bench():
     production scale (~110k HEX8) — the reference's solid hot loop
     (solid_system.C:146-271) at ~150x the shipped cube case size.
 
-    Runs the measured-fastest variant (scripts/bench_solid_variants.py,
-    2026-08-19 on TPU v5 lite): Beneš-kernel x-gather (bit-identical to
-    the XLA gather, 36.3 -> 28.6 s) + mixed-precision linear stage
-    (f32 inner sweeps, f64 residual carry; solution drift 2.8e-08 vs
-    the f64 stage — 36x inside the 1e-6 Newton tolerance), together
-    19.5 s.  Convergence is asserted the same way as the default."""
+    Runs the measured-fastest variant (scripts/microbench_solid5.py,
+    2026-08-20 on TPU v5 lite): slot-pull gather assembly (the 9-slot
+    tangent scatter was 5.67 s of the 6 s assembly; inverted gather
+    tables run it at 1.79 s), f32 tangent with modified-Newton reuse
+    (inexact Newton: the Jacobian only steers; the f64 residual rule at
+    rel 1e-6 — the compiled C++ baseline's stopping rule — decides
+    convergence, with step_tol pinned to 1e-6 so it binds), Beneš-kernel
+    x-gather + mixed-precision linear stage.  Measured 4.48 s/load step
+    (exact-f64 path: 9.23 s; round-4 best: 19.5 s); solution drift vs
+    the exact-f64 path 7.9e-5 of displacement scale under the same
+    residual rule.  Convergence is asserted the same way as the
+    default."""
     import jax
 
     from rdcfes_tpu.mesh import box_hex_mesh
@@ -307,8 +313,11 @@ def solid_bench():
         materials={0: {"young": 1.0e3, "poisson": 0.3}},
         bcs={0: (0.0, 0.0, 0.0), 5: (np.nan, np.nan, -0.05)},
         penalty=1.0e6,
+        tangent_precision="f32",
         newton=NewtonOptions(max_nonlinear_iterations=20,
                              relative_residual_tolerance=1e-6,
+                             relative_step_tolerance=1e-6,
+                             reuse_tangent=True,
                              linear_precision="mixed"),
     )
     x0 = system.initial_positions()

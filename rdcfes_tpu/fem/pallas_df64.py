@@ -179,17 +179,26 @@ def interp_affine_df64(ue_pair, phi_host, dphi0_pair, interpret=False):
     gxspec = pl.BlockSpec((V, 3, tile), lambda t: (0, 0, t),
                           memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    uqh, uql, gxh, gxl = pl.pallas_call(
-        kern,
-        grid=(E_pad // tile,),
-        in_specs=[vkspec, vkspec, k3spec, k3spec],
-        out_specs=(uqspec, uqspec, gxspec, gxspec),
-        out_shape=(
-            jax.ShapeDtypeStruct((V, Q, E_pad), f32),
-            jax.ShapeDtypeStruct((V, Q, E_pad), f32),
-            jax.ShapeDtypeStruct((V, 3, E_pad), f32),
-            jax.ShapeDtypeStruct((V, 3, E_pad), f32),
-        ),
-        interpret=interpret,
-    )(ueh, uel, dph, dpl)
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    # x64 disabled at trace time: index-map literals otherwise become
+    # i64 constants Mosaic cannot legalize (same workaround as
+    # pallas_apply.py)
+    with jax.enable_x64(False):
+        uqh, uql, gxh, gxl = pl.pallas_call(
+            kern,
+            grid=(E_pad // tile,),
+            in_specs=[vkspec, vkspec, k3spec, k3spec],
+            out_specs=(uqspec, uqspec, gxspec, gxspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((V, Q, E_pad), f32),
+                jax.ShapeDtypeStruct((V, Q, E_pad), f32),
+                jax.ShapeDtypeStruct((V, 3, E_pad), f32),
+                jax.ShapeDtypeStruct((V, 3, E_pad), f32),
+            ),
+            interpret=interpret,
+            **kwargs,
+        )(ueh, uel, dph, dpl)
     return (uqh, uql), (gxh, gxl)
