@@ -389,13 +389,18 @@ class TransientRDCSystem:
                                  "RDCFES_DF64_BUILD", "0")))),
             }
             if self.mesh.elem_type == "TET4":
-                # paired-f32 split of the affine gradient table for the
-                # df64 interp kernel, padded to the EL live prefix
+                # paired-f32 splits of the step-invariant geometry
+                # (affine gradient table + JxW) for the df64 build
+                # kernels, padded to the EL live prefix (zero tails:
+                # JxW = 0 pad lanes zero out pad-element contributions)
                 from ..fem.pallas_df64 import split_f64
                 d0h, d0l = split_f64(self.dphi[0])
                 pad = ((0, 0), (0, 0), (0, ep))
+                jh, jl = split_f64(self.JxW)
+                jpad = ((0, 0), (0, ep))
                 self._fast["args"] = self._fast["args"] + (
-                    (jnp.pad(d0h, pad), jnp.pad(d0l, pad)),)
+                    (jnp.pad(d0h, pad), jnp.pad(d0l, pad)),
+                    (jnp.pad(jh, jpad), jnp.pad(jl, jpad)),)
         return self._fast
 
     # ------------------------------------------------------------------
@@ -731,6 +736,25 @@ class TransientRDCSystem:
                    interpret=fast["interpret"], channels=2 * V)
             return g.reshape(W, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
 
+        def restrict_fast_pair(fa, Feh, Fel):
+            """restrict_fast for (hi, lo) f32 pairs from the df64 rhs
+            kernel: the pair planes ride the permutation directly (the
+            f64 path's input split disappears); the join happens after
+            the permute, where the fold sum needs real f64."""
+            from ..fem.pallas_perm import _join_f64, grid_permute
+
+            _, drev = _plans_from(fa)
+            fp = fast["plans"]
+            W = Feh.shape[0]
+            pad = lambda a: jnp.pad(
+                a, ((0, 0), (0, 0), (0, fp.E_pad - a.shape[-1])))
+            x2 = jnp.concatenate([pad(Feh), pad(Fel)],
+                                 axis=0).reshape(2 * W, fp.A * 128, 128)
+            g = grid_permute(drev, x2, interpret=fast["interpret"],
+                             channels=2 * V)
+            j = _join_f64(g[:W], g[W:])
+            return j.reshape(W, fp.C_x, fp.NR * 128).sum(axis=1)[:, :fp.N]
+
         def step_fn(state, fields, Dinv_in, fast_args=None, geom=None):
             # `geom` (self._geom_args()) carries the big step-invariant
             # tables as jit arguments — closed over they dominate program
@@ -789,10 +813,22 @@ class TransientRDCSystem:
                                                    g["dphi"])
             wfb = self.physics_blocks(u_qp, grad_qp, fields, params)
             rhs_fn = block_rhs_affine if affine else block_rhs
-            Fe = rhs_fn(wfb, self.phi, g["JxW"], g["dphi"])
-            if kfast:
+            if use_df64:
+                # rhs in paired f32: the A/B coefficient split feeds the
+                # Pallas rhs kernel, whose Fe pairs ride the restriction
+                # permutation directly (no f64 Fe materialization, no
+                # split inside the restrict)
+                from ..fem.pallas_df64 import rhs_affine_df64
+
+                Fe_pair = rhs_affine_df64(wfb, np.asarray(self.phi),
+                                          fast_args[5], fast_args[4],
+                                          interpret=fast["interpret"])
+                b = restrict_fast_pair(fast_args, *Fe_pair)
+            elif kfast:
+                Fe = rhs_fn(wfb, self.phi, g["JxW"], g["dphi"])
                 b = restrict_fast(fast_args, Fe.astype(self.dtype))
             else:
+                Fe = rhs_fn(wfb, self.phi, g["JxW"], g["dphi"])
                 b = self._restrict(Fe.astype(self.dtype).reshape(V, -1),
                                    g["node_gather"])
             if cons is not None:

@@ -59,6 +59,80 @@ def test_primitives_eager_accuracy():
 
 
 @pytest.mark.parametrize("exact_inputs", [True, False])
+def test_rhs_kernel_interpret(exact_inputs):
+    """rhs_affine_df64 vs block_rhs_affine; exact at f32-exact inputs,
+    f32-class otherwise (interpret mode — see module docstring)."""
+    from rdcfes_tpu.fem.pallas_df64 import rhs_affine_df64
+    from rdcfes_tpu.fem.weakform import WeakFormBlocks, block_rhs_affine
+
+    rng = np.random.default_rng(3)
+    V, Q, K, E = 3, 4, 4, 512
+    if exact_inputs:
+        mk = lambda *s: rng.integers(-100, 100, s).astype(np.float64)
+        phi = rng.integers(1, 9, (Q, K)).astype(np.float64) / 8.0
+    else:
+        mk = lambda *s: rng.standard_normal(s)
+        phi = rng.uniform(0.05, 0.6, (Q, K))
+    jxw = np.abs(mk(Q, E)) + 1.0
+    dph0 = mk(K, 3, E)
+    dphi = np.broadcast_to(dph0[None], (Q, K, 3, E)).copy()
+    A = (jnp.asarray(mk(Q, E)), 0.0, jnp.asarray(mk(Q, E)))
+    B = (0.0, jnp.asarray(mk(Q, 3, E)), 0.0)
+    z = 0.0
+    wfb = WeakFormBlocks(A=A, B=B,
+                         C=((z,) * V,) * V, D=((z,) * V,) * V,
+                         E=((z,) * V,) * V)
+    ref = np.asarray(block_rhs_affine(wfb, phi, jnp.asarray(jxw),
+                                      jnp.asarray(dphi)))
+    feh, fel = rhs_affine_df64(wfb, phi, split_f64(jnp.asarray(jxw)),
+                               split_f64(jnp.asarray(dph0)),
+                               interpret=True)
+    got = np.asarray(feh, np.float64) + np.asarray(fel, np.float64)
+    tol = 0.0 if exact_inputs else 1e-4
+    s = np.abs(ref).max()
+    assert np.abs(got - ref).max() <= tol * max(s, 1.0), (
+        np.abs(got - ref).max(), s)
+
+
+def test_df64_step_wiring_interpret():
+    """Force the df64 build path through a real transient step in
+    interpret mode and compare against the default step at the f32
+    class — pins the gather-pair/interp/rhs/restrict plumbing (shapes,
+    slicing, zero tails), not the compiled accuracy."""
+    from rdcfes_tpu.mesh import box_tet_mesh
+    from rdcfes_tpu.models.pihna import (default_params, pihna_blocks,
+                                         pihna_physics)
+    from rdcfes_tpu.systems import TransientRDCSystem
+
+    mesh = box_tet_mesh(4, 4, 4, bounds=((0, 10.0),) * 3)
+    params = {k: float(v) for k, v in default_params().items()}
+    rng = np.random.default_rng(4)
+    u0 = np.zeros((mesh.n_nodes, 5))
+    r2 = ((mesh.coords - mesh.coords.mean(0)) ** 2).sum(axis=1)
+    u0[:, 1] = 100.0 * np.exp(-r2 / 8.0)
+    u0[:, 3] = 7200.0 * (1.0 + 0.1 * rng.random(mesh.n_nodes))
+
+    def run(df64):
+        s = TransientRDCSystem(mesh, 5, pihna_physics,
+                               physics_blocks=pihna_blocks,
+                               precision="mixed",
+                               fast_gather="interpret")
+        if df64:
+            s._fast_tables()["use_df64"] = True
+        st, _, _ = s.run_steps(s.initial_state(u0), 2, params=params)
+        return np.asarray(st["u"])
+
+    u_ref = run(False)
+    u_df = run(True)
+    scale = np.abs(u_ref).max(axis=0)
+    scale[scale == 0] = 1.0
+    drift = (np.abs(u_df - u_ref) / scale[None, :]).max()
+    # interpret mode carries f32-class interp/rhs (the XLA fold);
+    # anything beyond this class means the plumbing is wrong
+    assert drift < 1e-4, drift
+
+
+@pytest.mark.parametrize("exact_inputs", [True, False])
 def test_interp_kernel_interpret(exact_inputs):
     """Wiring/shape check via interpret mode.  With f32-exact inputs and
     constants the interp is exact in ANY arithmetic, so the interpret-
