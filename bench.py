@@ -91,6 +91,11 @@ def pihna_bench():
     # step oracle parity 1.6e-9, 6x inside the 1e-8 contract; the
     # compiled baseline runs looser, rtol 1e-10), with refine_mixed's
     # adaptive per-pass ceiling sizing the final f32 sweep to it
+    # df64 build: interp + rhs ride the paired-f32 Pallas kernels
+    # (PERF.md §12: +1.82 ms/step on this program; trajectory parity
+    # UNCHANGED at 1.606e-9 with/without — scripts/probe_df64_parity.py
+    # on TPU v5e, 2026-08-21)
+    os.environ.setdefault("RDCFES_DF64_BUILD", "1")
     system = TransientRDCSystem(mesh, 5, pihna_physics,
                                 physics_blocks=pihna_blocks, rtol=3e-11,
                                 precision="mixed", precond_refresh=20)
