@@ -376,17 +376,20 @@ class TransientRDCSystem:
                                   "RDCFES_FAST_FUSED",
                                   "1" if self.mesh.elem_type == "TET4"
                                   else "0")))),
-                # df64 build: the coefficient-build interpolation runs in
-                # the paired-f32 Pallas kernel (fem/pallas_df64.py)
+                # df64 build: the coefficient-build interp + rhs run in
+                # the paired-f32 Pallas kernels (fem/pallas_df64.py)
                 # instead of XLA-emulated f64.  TET4 + compiled Mosaic
-                # only: in interpret mode the kernel body lowers to XLA
+                # only (in interpret mode the kernel body lowers to XLA
                 # ops, whose simplifier folds the compensated arithmetic
-                # (module docstring there); opt-in until hardware-
-                # validated end-to-end.
+                # — module docstring there), which makes this a
+                # TPU-only default: measured +1.82 ms/step with
+                # trajectory parity UNCHANGED at 1.606e-9 (PERF.md §12;
+                # scripts/probe_df64_parity.py).  RDCFES_DF64_BUILD=0
+                # restores the XLA-f64 build.
                 "use_df64": (self.fast_gather != "interpret"
                              and self.mesh.elem_type == "TET4"
                              and bool(int(os.environ.get(
-                                 "RDCFES_DF64_BUILD", "0")))),
+                                 "RDCFES_DF64_BUILD", "1")))),
             }
             if self.mesh.elem_type == "TET4":
                 # paired-f32 splits of the step-invariant geometry
