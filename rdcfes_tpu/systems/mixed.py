@@ -275,9 +275,14 @@ class MixedTransientRDCSystem:
             # operator ~1e5 residual-to-solution-error amplification
             # (test_mixed's dense-solve bar), so each refinement pass
             # lands near the f32 floor — zero extra f64 matvecs
+            # adaptive_tol=False: the per-pass residual ceiling would
+            # let final passes land shallow; through this operator's
+            # ~1e5 amplification that costs ~6e-8 of SOLUTION accuracy
+            # (refine_mixed docring; round-5 regression caught by the
+            # dense-solve test)
             u_raw, iters, resid = refine_mixed(
                 mv32, pre_matvec, pre_b, x0, self.rtol, self.maxiter,
-                f64_fallback=True, inner_rtol=1e-7)
+                f64_fallback=True, inner_rtol=1e-7, adaptive_tol=False)
         else:
             fn = {"bicgstab": bicgstab, "gmres": gmres}[self.method]
             r = fn(pre_matvec, pre_b, x0=x0, rtol=self.rtol,
